@@ -1,0 +1,184 @@
+"""Deterministic synthetic ``clips`` table generator (seed-driven).
+
+Plays the role of the reference's committed test fixtures
+(``wallaby2caom2/tests/data/**/*.fits.header`` + expected XMLs,
+discovered by glob at ``tests/test_caom_gen_visit.py:87-89``): instead of
+committing binary fixtures we commit this generator — same seed, same rows,
+byte-identical parquet — per BASELINE.json input_hint schema:
+
+    clips(clip_id string, bytes binary, sr_hz int, dur_ms int,
+          codec string, transcript string)
+
+Planted defects (each a cascade rule trigger) and planted PII/toxicity spans
+are chosen by a per-row counter-based RNG, so row *i* is identical regardless
+of chunking or generation order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions import audio
+
+SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("dur_ms", pa.int32()),
+        ("codec", pa.string()),
+        ("transcript", pa.string()),
+    ]
+)
+
+_SRS = (8000, 16000, 22050)
+_CODECS = ("pcm_s16le", "wav", "flac")
+
+# Per-language phrase banks — deliberately different words from the langid
+# seed corpus (functions/langid.py) so classification exercises trigram
+# generalization, not memorized sentences. "it" is generated but NOT allowed
+# (config.ALLOWED_LANGS) → trips lang_not_allowed.
+_BANK: dict[str, list[str]] = {
+    "en": "every morning children walk slowly towards school carrying heavy books while teachers prepare lessons inside warm classrooms near the river".split(),
+    "fr": "chaque matin les enfants marchent lentement vers une ecole portant des livres lourds pendant que des maitres preparent leurs cours pres de la riviere".split(),
+    "de": "jeden morgen gehen kinder langsam zur schule und tragen schwere buecher waehrend lehrer im warmen klassenzimmer am fluss den unterricht vorbereiten".split(),
+    "es": "cada manana los ninos caminan despacio hacia la escuela llevando libros pesados mientras maestros preparan sus clases cerca del rio en aulas calidas".split(),
+    "it": "ogni mattina i bambini camminano lentamente verso la scuola portando libri pesanti mentre gli insegnanti preparano le lezioni vicino al fiume".split(),
+}
+_GEN_LANGS = tuple(_BANK)
+
+_PII_SNIPPETS = (
+    "contact me at jane.doe{i}@example.com please",
+    "my number is 555-123-4567 call anytime",
+    "ssn on file 123-45-6789 for verification",
+    "card 4111 1111 1111 1111 expires soon",
+    "that frakking printer broke again",
+    "what a scuzzbucket move honestly",
+)
+
+_CONSONANTS = np.array(list("bcdfghjklmnpqrstvwxz"))
+
+
+def _rng(seed: int, i: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence(entropy=seed, spawn_key=(i,)))
+
+
+def _sentence(rng: np.random.Generator, lang: str, n_words: int) -> str:
+    words = rng.choice(_BANK[lang], size=n_words)
+    return " ".join(words).capitalize() + "."
+
+
+def _make_transcript(rng: np.random.Generator, i: int) -> str:
+    """Transcript with planted text-rule defects + PII spans."""
+    lang = _GEN_LANGS[int(rng.integers(len(_GEN_LANGS)))]
+    roll = rng.random()
+    if roll < 0.02:  # too_short
+        return _BANK[lang][int(rng.integers(len(_BANK[lang])))][:6]
+    if roll < 0.03:  # too_long
+        return " ".join(_sentence(rng, lang, 18) for _ in range(120))
+    if roll < 0.06:  # repetition
+        w = " ".join(rng.choice(_BANK[lang], size=3))
+        return (w + " ") * int(rng.integers(8, 20))
+    if roll < 0.09:  # gibberish → perplexity_high
+        chars = rng.choice(_CONSONANTS, size=int(rng.integers(60, 160)))
+        s = "".join(chars)
+        return " ".join(s[j : j + 7] for j in range(0, len(s), 7))
+    if roll < 0.12:  # mixed-language → langid_low_conf (usually)
+        l2 = _GEN_LANGS[int(rng.integers(len(_GEN_LANGS)))]
+        return _sentence(rng, lang, 7) + " " + _sentence(rng, l2, 7)
+    text = " ".join(_sentence(rng, lang, int(rng.integers(8, 16))) for _ in range(int(rng.integers(1, 4))))
+    if rng.random() < 0.15:  # planted PII / toxicity (orthogonal to keep)
+        snippet = _PII_SNIPPETS[int(rng.integers(len(_PII_SNIPPETS)))].format(i=i)
+        text = text + " " + snippet
+    return text
+
+
+def _make_audio(
+    rng: np.random.Generator, i: int
+) -> tuple[bytes, int, int, str]:
+    """→ (payload, declared sr_hz, declared dur_ms, codec), defects planted."""
+    sr = int(_SRS[int(rng.integers(len(_SRS)))])
+    dur_ms = int(rng.integers(200, 3000))
+    n = int(sr * dur_ms / 1000)
+    t = np.arange(n, dtype=np.float32) / sr
+    f0 = 80.0 + float(rng.random()) * 600.0
+    samples = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(n).astype(
+        np.float32
+    )
+    samples = samples.astype(np.float32)
+    codec = _CODECS[int(rng.integers(len(_CODECS)))]
+    declared_sr, declared_dur = sr, dur_ms
+
+    roll = rng.random()
+    if roll < 0.02:  # codec_invalid: unknown codec tag
+        codec = "bad"
+    elif roll < 0.04:  # decode_failed: truncated payload
+        samples = samples[: max(1, n // 3)]
+        declared_dur = dur_ms  # container length now lies → wav/flac fail
+        if codec == "pcm_s16le":
+            # raw pcm can't "lie"; force odd byte count instead
+            return audio.encode_pcm_s16le(samples)[:-1], sr, dur_ms, codec
+        payload = _encode(samples, sr, codec)
+        # truncate the container mid-data so the parser rejects it
+        return payload[: len(payload) - n], sr, dur_ms, codec
+    elif roll < 0.05:  # decode_failed: zero-length payload
+        return b"", sr, dur_ms, codec
+    elif roll < 0.07 and codec in ("wav", "flac"):  # sr_mismatch
+        declared_sr = int(_SRS[(_SRS.index(sr) + 1) % len(_SRS)])
+    elif roll < 0.09:  # duration_mismatch: declared dur off by 2x
+        declared_dur = dur_ms * 2
+    elif roll < 0.105:  # audio_silence
+        samples = samples * 1e-5
+    elif roll < 0.12:  # audio_clipping
+        samples = np.clip(samples * 8.0, -1.0, 1.0)
+
+    return _encode(samples, sr, codec), declared_sr, declared_dur, codec
+
+
+def _encode(samples: np.ndarray, sr: int, codec: str) -> bytes:
+    if codec == "wav" or codec == "bad":
+        return audio.encode_wav(samples, sr)
+    if codec == "flac":
+        return audio.encode_flac_stub(samples, sr)
+    return audio.encode_pcm_s16le(samples)
+
+
+def generate_rows(n: int, seed: int = 42, start: int = 0, skew_hot_frac: float = 0.05):
+    """Yield row dicts [start, start+n). ``skew_hot_frac`` of clip_ids share a
+    hot prefix bucket — exercises the salted repartition (north rule)."""
+    for i in range(start, start + n):
+        rng = _rng(seed, i)
+        payload, sr, dur, codec = _make_audio(rng, i)
+        hot = rng.random() < skew_hot_frac
+        cid = f"hot_{i % 7:01d}_{i:010d}" if hot else f"clip_{i:010d}"
+        yield {
+            "clip_id": cid,
+            "bytes": payload,
+            "sr_hz": sr,
+            "dur_ms": dur,
+            "codec": codec,
+            "transcript": _make_transcript(rng, i),
+        }
+
+
+def generate_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
+    rows = list(generate_rows(n, seed=seed, start=start))
+    return pa.Table.from_pylist(rows, schema=SCHEMA)
+
+
+def write_clips_parquet(
+    path: str, n: int, seed: int = 42, rows_per_file: int = 25_000
+) -> str:
+    """Write the clips table as a multi-file parquet dataset (so Spark gets
+    parallel input splits even before the salted repartition)."""
+    os.makedirs(path, exist_ok=True)
+    part = 0
+    for start in range(0, n, rows_per_file):
+        chunk = generate_table(min(rows_per_file, n - start), seed=seed, start=start)
+        pq.write_table(chunk, os.path.join(path, f"part-{part:05d}.parquet"))
+        part += 1
+    return path

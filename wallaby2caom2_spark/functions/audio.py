@@ -1,0 +1,146 @@
+"""Audio codec encode/decode — pure numpy, no external audio libraries.
+
+Reference analog: the per-file FITS header parse (``FileMetadataReader`` /
+``make_headers_from_file``, ``wallaby2caom2/tests/test_caom_gen_visit.py:99-102``)
+— the stage that turns an opaque payload into typed metadata. Here the payload
+is an audio clip and the "headers" are the decode-sanity struct
+(pcm_ok, measured sample rate/duration, rms, clip rate).
+
+Supported codecs (see config.SUPPORTED_CODECS):
+
+* ``pcm_s16le`` — headerless raw little-endian int16 mono PCM.
+* ``wav``       — RIFF/WAVE container, PCM-16 mono, hand-parsed (stdlib-free,
+                  so it vectorizes cleanly inside Arrow batches).
+* ``flac``      — REAL decode requires libsndfile/soundfile, which is NOT in
+                  this container; it is gated behind an import-try below. The
+                  sandbox stand-in is a deterministic mini-container
+                  (magic ``fLaC`` + 12-byte header + raw int16 payload) used by
+                  the generator, the decoder, and the oracle alike, so the
+                  Spark-side plumbing (schema, batching, sanity rules) is real
+                  and fully tested.
+
+All functions are deterministic and shared with the oracle labeler.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this container
+    import soundfile as _soundfile  # type: ignore
+except ImportError:  # expected here
+    _soundfile = None
+
+_FULL_SCALE = 32767.0
+_FAKE_FLAC_MAGIC = b"fLaC"
+
+
+# ---------------------------------------------------------------------------
+# encode (used by the deterministic data generator only)
+# ---------------------------------------------------------------------------
+
+def encode_pcm_s16le(samples: np.ndarray) -> bytes:
+    """float32 [-1,1] mono → raw int16 LE bytes."""
+    q = np.clip(np.rint(samples * _FULL_SCALE), -32768, 32767).astype("<i2")
+    return q.tobytes()
+
+
+def encode_wav(samples: np.ndarray, sr_hz: int) -> bytes:
+    """float32 [-1,1] mono → minimal RIFF/WAVE (PCM-16) bytes."""
+    data = encode_pcm_s16le(samples)
+    fmt_chunk = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def encode_flac_stub(samples: np.ndarray, sr_hz: int) -> bytes:
+    """Deterministic FLAC stand-in: magic + sr + nsamples + int16 payload."""
+    data = encode_pcm_s16le(samples)
+    return _FAKE_FLAC_MAGIC + struct.pack("<II", sr_hz, len(samples)) + data
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode_clip(payload: bytes | None, codec: str) -> tuple[np.ndarray | None, int]:
+    """Decode one clip → (float32 samples in [-1,1], measured sr_hz).
+
+    Returns (None, 0) when the payload cannot be decoded (truncated,
+    wrong magic, odd byte count …). sr is 0 when the codec carries no
+    rate (raw PCM) — the declared ``sr_hz`` column is authoritative then.
+    """
+    if payload is None or len(payload) == 0:
+        return None, 0
+    if codec == "pcm_s16le":
+        if len(payload) % 2:
+            return None, 0
+        return np.frombuffer(payload, dtype="<i2").astype(np.float32) / _FULL_SCALE, 0
+    if codec == "wav":
+        return _decode_wav(payload)
+    if codec == "flac":
+        if _soundfile is not None:  # pragma: no cover - lib absent here
+            import io
+
+            try:
+                samples, sr = _soundfile.read(io.BytesIO(payload), dtype="float32")
+                return samples.astype(np.float32), int(sr)
+            except Exception:
+                return None, 0
+        return _decode_flac_stub(payload)
+    return None, 0
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray | None, int]:
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None, 0
+    pos, sr, data = 12, 0, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt " and pos + 16 <= len(payload):
+            fmt_tag, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", payload, pos)
+            if fmt_tag != 1 or ch != 1 or bits != 16:
+                return None, 0
+        elif cid == b"data":
+            if pos + clen > len(payload):  # truncated payload
+                return None, 0
+            data = payload[pos : pos + clen]
+        pos += clen
+    if data is None or sr == 0 or len(data) % 2:
+        return None, 0
+    return np.frombuffer(data, dtype="<i2").astype(np.float32) / _FULL_SCALE, sr
+
+
+def _decode_flac_stub(payload: bytes) -> tuple[np.ndarray | None, int]:
+    if len(payload) < 12 or payload[:4] != _FAKE_FLAC_MAGIC:
+        return None, 0
+    sr, n = struct.unpack_from("<II", payload, 4)
+    data = payload[12:]
+    if len(data) != 2 * n or sr == 0:
+        return None, 0
+    return np.frombuffer(data, dtype="<i2").astype(np.float32) / _FULL_SCALE, sr
+
+
+# ---------------------------------------------------------------------------
+# sanity features (the "header struct" of the audio world)
+# ---------------------------------------------------------------------------
+
+def decode_features(
+    payload: bytes | None, codec: str, declared_sr: int
+) -> tuple[bool, int, int, float, float]:
+    """→ (pcm_ok, sr_meas, dur_ms_meas, rms, clip_rate).
+
+    sr_meas falls back to the declared rate for headerless codecs.
+    """
+    samples, sr_meas = decode_clip(payload, codec)
+    if samples is None or len(samples) == 0:
+        return False, 0, 0, 0.0, 0.0
+    sr = sr_meas or declared_sr
+    dur_ms = int(round(len(samples) * 1000.0 / sr)) if sr > 0 else 0
+    rms = float(np.sqrt(np.mean(np.square(samples, dtype=np.float64))))
+    clip_rate = float(np.mean(np.abs(samples) >= 32766.0 / _FULL_SCALE))
+    return True, sr, dur_ms, rms, clip_rate

@@ -1,0 +1,50 @@
+"""Hashed character-bigram language model → per-transcript perplexity.
+
+KenLM-style in spirit (hashed n-gram table, add-k smoothing), tiny in
+practice: the LM is built at import time from the langid seed corpora of the
+*allowed* languages, stored as one numpy log-prob table, and broadcast-free —
+every executor python worker reconstructs the identical table
+deterministically on first import.
+
+Shared by the Spark stage (operators/langid_stage.py) and the oracle labeler.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .langid import _SEED, _trigram_buckets  # reuse hashing infra
+from .langid import N_BUCKETS
+
+_ADD_K = 0.5
+
+
+def _build_lm() -> np.ndarray:
+    counts = np.full(N_BUCKETS, _ADD_K, dtype=np.float64)
+    for text in _SEED.values():
+        np.add.at(counts, _trigram_buckets(text), 1.0)
+    logp = np.log(counts / counts.sum())
+    return logp.astype(np.float32)
+
+
+_LOGP: np.ndarray = _build_lm()
+
+
+def perplexity_batch(texts: list[str | None]) -> np.ndarray:
+    """exp(-mean log p(trigram)) per text; inf-free (caps at exp(32))."""
+    out = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            out[i] = float(np.exp(32.0))
+            continue
+        b = _trigram_buckets(t)
+        if len(b) == 0:
+            out[i] = float(np.exp(32.0))
+            continue
+        nll = -float(_LOGP[b].mean())
+        out[i] = float(np.exp(min(nll, 32.0)))
+    return out
+
+
+def perplexity_one(text: str | None) -> float:
+    return float(perplexity_batch([text])[0])

@@ -1,0 +1,69 @@
+"""Audio codec unit tests — the BASELINE.json per-row invariant
+(decoded-PCM allclose, SNR ≥ 30 dB) plus defect containment."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wallaby2caom2_spark.functions import audio
+
+
+def _sig(n=8000, f0=220.0, sr=16000):
+    t = np.arange(n, dtype=np.float32) / sr
+    return (0.4 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+
+
+def _snr_db(ref: np.ndarray, out: np.ndarray) -> float:
+    err = ref - out
+    return 10.0 * np.log10(float(np.sum(ref**2)) / max(float(np.sum(err**2)), 1e-30))
+
+
+@pytest.mark.parametrize("codec", ["pcm_s16le", "wav", "flac"])
+def test_roundtrip_snr_at_least_30db(codec):
+    sig = _sig()
+    payload = {
+        "pcm_s16le": audio.encode_pcm_s16le(sig),
+        "wav": lambda: audio.encode_wav(sig, 16000),
+        "flac": lambda: audio.encode_flac_stub(sig, 16000),
+    }[codec]
+    payload = payload() if callable(payload) else payload
+    out, sr = audio.decode_clip(payload, codec)
+    assert out is not None and len(out) == len(sig)
+    if codec != "pcm_s16le":
+        assert sr == 16000
+    snr = _snr_db(sig, out)
+    assert snr >= 30.0, f"SNR {snr:.1f} dB < 30"
+    assert np.allclose(sig, out, atol=2.0 / 32767)
+
+
+def test_decode_features_measures_duration_and_rms():
+    sig = _sig(n=16000, sr=16000)  # exactly 1000 ms
+    ok, sr, dur, rms, clip = audio.decode_features(
+        audio.encode_wav(sig, 16000), "wav", 16000
+    )
+    assert ok and sr == 16000 and dur == 1000
+    assert abs(rms - 0.4 / np.sqrt(2)) < 0.01
+    assert clip == 0.0
+
+
+@pytest.mark.parametrize(
+    "payload,codec",
+    [
+        (b"", "wav"),
+        (None, "wav"),
+        (b"RIFFxxxx", "wav"),
+        (b"\x00" * 31, "pcm_s16le"),      # odd byte count
+        (b"fLaC" + b"\x00" * 4, "flac"),  # truncated header
+        (b"anything", "bad"),             # unknown codec
+    ],
+)
+def test_bad_payloads_contained(payload, codec):
+    ok, *_ = audio.decode_features(payload, codec, 16000)
+    assert ok is False
+
+
+def test_truncated_wav_rejected():
+    payload = audio.encode_wav(_sig(), 16000)
+    ok, *_ = audio.decode_features(payload[: len(payload) // 2], "wav", 16000)
+    assert ok is False

@@ -1,0 +1,68 @@
+"""Rule-cascade unit tests: pure column-expression logic fed literal feature
+rows with literal expected outputs (test_storage_name.py style) — no UDFs,
+so these run in milliseconds and pin the cascade order of config.RULE_ORDER."""
+
+from __future__ import annotations
+
+import pytest
+
+from wallaby2caom2_spark.config import DEFAULT_CONFIG, RULE_ORDER
+from wallaby2caom2_spark.operators import cascade
+
+GOOD = dict(
+    codec="wav",
+    pcm_ok=True,
+    sr_hz=16000,
+    sr_meas=16000,
+    dur_ms=1000,
+    dur_ms_meas=1000,
+    rms=0.3,
+    clip_rate=0.0,
+    transcript="every morning the children walk slowly towards school",
+    lang="en",
+    lang_conf=0.99,
+    ppl=5000.0,
+)
+
+CASES = [
+    ({}, None),
+    ({"codec": "mp3"}, "codec_invalid"),
+    ({"pcm_ok": False}, "decode_failed"),
+    ({"sr_meas": 8000}, "sr_mismatch"),
+    ({"dur_ms_meas": 2000}, "duration_mismatch"),
+    ({"rms": 1e-6}, "audio_silence"),
+    ({"clip_rate": 0.5}, "audio_clipping"),
+    ({"transcript": "hi"}, "too_short"),
+    ({"transcript": "x" * 9000}, "too_long"),
+    ({"transcript": "aaa bbb " * 30}, "repetition"),
+    ({"ppl": 50000.0}, "perplexity_high"),
+    ({"lang": "it"}, "lang_not_allowed"),
+    ({"lang_conf": 0.5}, "langid_low_conf"),
+    # first-match-wins: codec_invalid outranks everything downstream
+    ({"codec": "bad", "pcm_ok": False, "lang": "it"}, "codec_invalid"),
+    ({"pcm_ok": False, "ppl": 99999.0}, "decode_failed"),
+]
+
+
+@pytest.mark.parametrize("patch,expected", CASES)
+def test_cascade_literal_cases(spark, patch, expected):
+    row = {**GOOD, **patch}
+    df = spark.createDataFrame(
+        [row],
+        "codec string, pcm_ok boolean, sr_hz int, sr_meas int, dur_ms int, "
+        "dur_ms_meas int, rms double, clip_rate double, transcript string, "
+        "lang string, lang_conf float, ppl double",
+    )
+    out = (
+        df.transform(cascade.with_transcript_stats)
+        .transform(lambda d: cascade.with_keep_drop(d, DEFAULT_CONFIG))
+        .select("keep", "drop_reason")
+        .collect()[0]
+    )
+    assert out["drop_reason"] == expected
+    assert out["keep"] == (expected is None)
+
+
+def test_every_rule_in_order_covered():
+    tested = {e for _, e in CASES if e}
+    assert tested == set(RULE_ORDER)

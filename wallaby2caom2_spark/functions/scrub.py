@@ -21,7 +21,7 @@ SCRUB_TABLE: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     (r"\b(?:\+?1[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
-    (r"\b(?:\d[ -]?){13,16}\b", "[CARD]"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "[CARD]"),
     (r"\b(?:damnwort|frakking|scuzzbucket|gorramit)\b", "[TOXIC]"),  # synthetic lexicon
 )
 

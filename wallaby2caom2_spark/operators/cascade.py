@@ -1,0 +1,80 @@
+"""Keep/drop rule cascade — pure Catalyst column expressions, zero Python.
+
+Direct analog of the reference's first-match-wins product-type cascade
+(``wallaby2caom2/storage_name.py:101-114``: ``.rms.``→NOISE, ``.png``→PREVIEW,
+model-table names→AUXILIARY, else SCIENCE — duplicated at
+``wallaby2caom2/main_app.py:170-184``), generalized to the 12 quality rules of
+config.RULE_ORDER. The whole cascade is ONE ``F.when`` chain → stays inside
+whole-stage codegen; transcript shape stats (length, word counts, repetition
+ratio) are built-in string/array functions, not UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+
+def with_transcript_stats(df: DataFrame) -> DataFrame:
+    """n_chars / n_words / rep_ratio as Catalyst expressions.
+
+    Word split matches Python ``str.split()`` (the oracle): trim, split on
+    whitespace runs, empty string → zero words.
+    """
+    words = F.split(F.trim(F.col("transcript")), r"\s+")
+    n_words = F.when(
+        F.length(F.trim(F.col("transcript"))) == 0, F.lit(0)
+    ).otherwise(F.size(words))
+    return (
+        df.withColumn("n_chars", F.coalesce(F.length("transcript"), F.lit(0)))
+        .withColumn("n_words", F.coalesce(n_words, F.lit(0)))
+        .withColumn(
+            "n_distinct_words",
+            F.when(F.col("n_words") == 0, F.lit(0)).otherwise(
+                F.size(F.array_distinct(words))
+            ),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.col("n_distinct_words") / F.col("n_words")
+            ),
+        )
+    )
+
+
+def with_keep_drop(
+    df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """First-match-wins ``drop_reason`` + ``keep``. Expects the decode
+    struct fields (pcm_ok…), langid fields (lang, lang_conf, ppl) and
+    transcript stats to be present."""
+    t = cfg.thresholds
+    reason = (
+        F.when(
+            ~F.col("codec").isin(*cfg.supported_codecs), F.lit("codec_invalid")
+        )
+        .when(~F.col("pcm_ok"), F.lit("decode_failed"))
+        .when(F.col("sr_meas") != F.col("sr_hz"), F.lit("sr_mismatch"))
+        .when(
+            F.abs(F.col("dur_ms_meas") - F.col("dur_ms"))
+            > t.duration_tolerance * F.col("dur_ms"),
+            F.lit("duration_mismatch"),
+        )
+        .when(F.col("rms") < t.min_rms, F.lit("audio_silence"))
+        .when(F.col("clip_rate") > t.max_clip_rate, F.lit("audio_clipping"))
+        .when(F.col("n_chars") < t.min_chars, F.lit("too_short"))
+        .when(F.col("n_chars") > t.max_chars, F.lit("too_long"))
+        .when(F.col("rep_ratio") > t.max_repetition_ratio, F.lit("repetition"))
+        .when(F.col("ppl") > t.max_perplexity, F.lit("perplexity_high"))
+        .when(
+            ~F.col("lang").isin(*cfg.allowed_langs), F.lit("lang_not_allowed")
+        )
+        .when(F.col("lang_conf") < t.min_lang_conf, F.lit("langid_low_conf"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )

@@ -1,0 +1,81 @@
+"""The quality-filter pipeline: one lazy DataFrame DAG.
+
+Reference lifecycle analog (SURVEY.md §3): where wallaby2caom2 runs a serial
+per-item loop — name-build → store → read existing → meta visit → write →
+bookkeeping (``wallaby2caom2/composable.py:115-138``) — this module declares
+the same dataflow once, over all rows:
+
+    scan → salted repartition (the ONLY shuffle) → decode UDF → langid UDF
+    → transcript stats (codegen) → rule cascade (codegen) → scrub UDF
+    → result projection  [+ metrics aggregation as a separate action]
+
+Everything between the shuffle and the sink is narrow → Catalyst fuses it
+into a single stage; the three pandas UDFs are the only JVM↔Python
+crossings, all Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..operators import cascade, decode, langid_stage, partitioning, scrub_stage
+
+RESULT_COLUMNS = [
+    "clip_id",
+    "keep",
+    "drop_reason",
+    "scrubbed_transcript",
+    "scrub_edits",
+    "lang",
+    "lang_conf",
+    "ppl",
+    "pcm_ok",
+    "sr_meas",
+    "dur_ms_meas",
+    "rms",
+    "clip_rate",
+]
+
+
+def quality_filter(
+    clips: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+    repartition: bool = True,
+) -> DataFrame:
+    """clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript) → result rows.
+
+    Column-pruning note: the final projection drops ``bytes`` so no sink or
+    downstream metrics query ever drags payloads through a shuffle.
+    """
+    df = clips
+    if repartition:
+        n = num_partitions or clips.sparkSession.sparkContext.defaultParallelism * 2
+        df = partitioning.salted_repartition(df, n)
+    df = (
+        df.transform(decode.with_decode_features)
+        .transform(langid_stage.with_langid)
+        .transform(cascade.with_transcript_stats)
+        .transform(lambda d: cascade.with_keep_drop(d, cfg))
+        .transform(scrub_stage.with_scrub)
+    )
+    return df.select(*RESULT_COLUMNS)
+
+
+def run_metrics(result: DataFrame) -> DataFrame:
+    """North-rule counters: clips seen / kept / dropped-by-rule / scrub edits.
+
+    Reference analog: success/failure/progress logs + metrics directory
+    (``config/config.yml:28-54``). One tiny hash aggregation; input columns
+    are 3 narrow ones, so the scan never touches transcripts or bytes.
+    """
+    return (
+        result.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome"))
+        .agg(
+            F.count("*").alias("clips"),
+            F.sum("scrub_edits").alias("scrub_edits"),
+        )
+        .withColumn("kept", F.col("outcome") == "kept")
+    )

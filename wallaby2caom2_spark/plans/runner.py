@@ -1,0 +1,91 @@
+"""Resumable, exactly-once pipeline runner.
+
+Reference lifecycle analog: the state-file driven incremental run —
+bookmark (``config/state.yml:1-3``) + time-boxed chunks
+(``config/config.yml:67-71``, interval: 600 minutes) + retry/quarantine
+bookkeeping (``config/config.yml:28-47``). Our unit of progress is the
+deterministic clip_id hash bucket; each *wave* (a group of buckets) is one
+bounded Spark job, committed atomically:
+
+    write results (dynamic partition overwrite, per-bucket dirs)
+    → append lineage + metrics → mark buckets done in the checkpoint.
+
+A crash between any two steps re-runs at most one wave; the overwrite makes
+that idempotent — exactly-once per clip at read time (tests/test_resume.py
+kills a run mid-way and asserts it).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..operators.partitioning import with_bucket
+from ..sources import checkpoint as ckpt_mod
+from ..sources import clips as clips_src
+from ..sources import lineage as lineage_src
+from .pipeline import quality_filter, run_metrics
+
+
+class SimulatedCrash(RuntimeError):
+    """Raised by the fail-injection hook in tests (kill/restart scenario)."""
+
+
+def run_resumable(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    n_buckets: int = 16,
+    n_waves: int = 4,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    run_id: str | None = None,
+    fail_after_wave: int | None = None,
+) -> dict:
+    """Process all not-yet-committed buckets in ``n_waves`` bounded jobs.
+
+    Returns a small summary dict (waves run, buckets committed).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    os.makedirs(out_dir, exist_ok=True)
+    results_path = os.path.join(out_dir, "results")
+    ckpt = ckpt_mod.BucketCheckpoint(
+        os.path.join(out_dir, "checkpoint.json"), n_buckets
+    )
+    remaining = ckpt.remaining()
+    if not remaining:
+        return {"run_id": run_id, "waves": 0, "buckets": []}
+
+    clips = with_bucket(clips_src.read_clips(spark, in_path), n_buckets)
+    committed: list[int] = []
+    wave_size = max(1, -(-len(remaining) // n_waves))
+    waves = [remaining[i : i + wave_size] for i in range(0, len(remaining), wave_size)]
+
+    for wave_i, bucket_group in enumerate(waves):
+        subset = clips.filter(F.col("bucket").isin(bucket_group))
+        result = quality_filter(subset, cfg)
+        result = with_bucket(result, n_buckets)  # re-derive for partitioned sink
+        clips_src.write_results(result, results_path, partition_by="bucket")
+
+        written = spark.read.parquet(results_path).filter(
+            F.col("bucket").isin(bucket_group)
+        )
+        counts = [
+            (int(r["bucket"]), int(r["n"]))
+            for r in written.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        ]
+        lineage_src.append_lineage(
+            spark, os.path.join(out_dir, "lineage"), run_id, wave_i, counts
+        )
+        lineage_src.append_metrics(
+            run_metrics(written), os.path.join(out_dir, "metrics"), run_id
+        )
+        ckpt.mark_done(set(bucket_group))
+        committed.extend(bucket_group)
+        if fail_after_wave is not None and wave_i >= fail_after_wave:
+            raise SimulatedCrash(f"injected crash after wave {wave_i}")
+
+    return {"run_id": run_id, "waves": len(waves), "buckets": committed}

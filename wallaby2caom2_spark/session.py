@@ -1,0 +1,47 @@
+"""SparkSession factory with the pipeline's pinned configuration.
+
+Local-mode defaults sized for the sandbox (local[$SPARK_GRAFT_CPUS]); on a
+real cluster the same builder options apply, only master/memory change
+(launched via ``spark-submit --py-files``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT_CONFIG
+
+
+def get_spark(
+    app_name: str = "wallaby2caom2_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus_env}]" if cpus_env else "local[*]"
+    else:
+        master = f"local[{cpus}]"
+    shuffle = shuffle_partitions or DEFAULT_CONFIG.shuffle_partitions
+    return (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(DEFAULT_CONFIG.arrow_max_records_per_batch),
+        )
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # idempotent re-runs overwrite only the partitions they recompute
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )

@@ -1,0 +1,52 @@
+"""Clips table source/sink (S1/S7 analogs).
+
+Reference analogs: todo-file / local-dir / VOSpace work discovery
+(``wallaby2caom2/composable.py:115-138,153-177``, ``config/config.yml:17,22``)
+all collapse to "scan the input table"; the record sink (``_caom2_store`` /
+``write_obs_to_file``, ``wallaby2caom2/tests/test_composable.py:115``)
+becomes the results writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CLIPS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("dur_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("transcript", T.StringType(), True),
+    ]
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for the Iceberg Spark runtime (absent in this container)."""
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def read_clips(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with the pinned schema → Catalyst gets pushdown +
+    pruning for free; an Iceberg table path (``catalog.db.clips``) is read
+    via ``spark.read.table`` when the runtime is present."""
+    if "." in path and not path.startswith(("/", "file:", "s3:", "hdfs:")):
+        return spark.read.table(path)
+    return spark.read.schema(CLIPS_SCHEMA).parquet(path)
+
+
+def write_results(df: DataFrame, path: str, partition_by: str | None = "bucket") -> None:
+    """Idempotent partitioned write: with dynamic partitionOverwriteMode
+    (session.py) a re-run replaces exactly the partitions it recomputes —
+    the Parquet stand-in for Iceberg's ``MERGE INTO`` keyed on clip_id."""
+    writer = df.write.mode("overwrite")
+    if partition_by and partition_by in df.columns:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)

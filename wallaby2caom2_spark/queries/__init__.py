@@ -1,0 +1,26 @@
+"""Driver-contract query registry.
+
+Each submodule exposes ``QUERIES`` (name → callable(spark, sf_dir) →
+DataFrame) and ``ORACLE`` (name → DuckDB SQL over the pre-registered views
+``region nation customer supplier part orders lineitem events documents
+embeddings``). Names without an ORACLE entry get the driver's weaker
+rows-only check (non-SQL-expressible ops: the binary clips pipeline).
+
+Contract: every computed column is aliased identically in the Spark plan and
+the oracle SQL; floating aggregates are rounded in BOTH so value-hashes match.
+"""
+
+from __future__ import annotations
+
+from . import clips_flagship, dedup, relational, similarity, textstats
+
+_MODULES = (relational, dedup, similarity, textstats, clips_flagship)
+
+ALL_QUERIES = {}
+ALL_ORACLE = {}
+for _m in _MODULES:
+    for _k in _m.QUERIES:
+        if _k in ALL_QUERIES:
+            raise ValueError(f"duplicate query name {_k}")
+    ALL_QUERIES.update(_m.QUERIES)
+    ALL_ORACLE.update(_m.ORACLE)

@@ -1,0 +1,74 @@
+"""Flagship clips quality-filter queries (non-SQL-expressible → rows-only).
+
+The clips table does not exist in /root/testdata, so per the north rule it is
+synthesised deterministically (datagen.py, seed 42) into a per-sf cache under
+/tmp — same seed → byte-identical parquet, mirroring how the reference
+commits golden fixtures (``wallaby2caom2/tests/data/**``).
+
+No ``oracle_sql`` entries: the pipeline's pandas-UDF stages (PCM decode,
+langid, perplexity, scrub) are not ANSI-SQL-expressible; the driver records
+the weaker rows-only check, and the real correctness gate is the golden
+pytest suite (tests/test_pipeline_golden.py — per-row F1/equality vs the
+pure-Python oracle labeler).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import datagen
+from ..operators import multimodal
+from ..plans.pipeline import quality_filter, run_metrics
+from ..sources import clips as clips_src
+
+_CACHE_ROOT = "/tmp/wallaby_clips_cache"
+_GEN_VERSION = "v1"
+
+# clips per scale-factor directory name (sf0.001 / sf0.01 / sf0.1)
+_N_BY_SF = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 20000}
+
+
+def clips_path_for(sf_dir: str) -> str:
+    """Deterministic per-sf clips parquet, generated once and cached."""
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    n = _N_BY_SF.get(name, 2000)
+    path = os.path.join(_CACHE_ROOT, f"{name}-{_GEN_VERSION}-n{n}")
+    marker = os.path.join(path, "_SUCCESS_GEN")
+    if not os.path.exists(marker):
+        datagen.write_clips_parquet(path, n, seed=42)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clips_src.read_clips(spark, clips_path_for(sf_dir))
+
+
+def clips_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline: decode → langid/ppl → cascade → scrub."""
+    return quality_filter(load_clips(spark, sf_dir))
+
+
+def clips_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule counters over the pipeline output (A5 analog)."""
+    return run_metrics(quality_filter(load_clips(spark, sf_dir)))
+
+
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction plumbing (stubbed decode)."""
+    return multimodal.media_kind_summary(load_clips(spark, sf_dir)).orderBy(
+        F.col("kind")
+    )
+
+
+QUERIES = {
+    "clips_quality_filter": clips_quality_filter,
+    "clips_metrics": clips_metrics,
+    "multimodal_media_meta": multimodal_media_meta,
+}
+
+ORACLE: dict[str, str] = {}

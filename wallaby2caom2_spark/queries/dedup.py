@@ -1,0 +1,273 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline ops the 100 TB engine needs beyond the reference's
+surface (reference analog: distinct-key containers A3/A6,
+``wallaby2caom2/fix_product_id_visit.py:97``). All cross-engine-deterministic:
+hashes are md5 (identical in Spark and DuckDB), set math is exact small-int
+division, so value-hashes match bit-for-bit.
+
+Scale notes (100 TB design):
+- exact dedup: hash-groupBy on md5(text) — one shuffle on a uniform key.
+- MinHash: signatures are computed per-row with higher-order array functions
+  (whole-stage codegen, no explode, no Python); LSH banding turns the
+  quadratic pair problem into an equi-join on (band, bucket) — the shuffle
+  key is the band hash, uniform by construction.
+- SimHash: per-row bit-majority over word hashes, again pure codegen.
+- n-gram Jaccard: exact verify step, only run on LSH candidates at scale
+  (here demonstrated query-side with a broadcast probe set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._tables import load
+
+N_MINHASH = 8  # 4 bands x 2 rows
+_SHINGLE = 3  # words per shingle
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — content-hash groupBy
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.md5(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(text))::BIGINT AS n_unique
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures — min over md5(seed || shingle), pure codegen
+# ---------------------------------------------------------------------------
+
+def _shingles(words: F.Column) -> F.Column:
+    """3-word shingles as an array column (empty when too few words)."""
+    idx = F.sequence(F.lit(1), F.size(words) - (_SHINGLE - 1))
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    return F.when(F.size(words) >= _SHINGLE, mk).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _minhash(shingles: F.Column, seed: int) -> F.Column:
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(_words())
+    d = docs.withColumn("sh", sh)
+    cols = [
+        _minhash(F.col("sh"), h).alias(f"sig{h}") for h in range(N_MINHASH)
+    ]
+    return d.select("doc_id", *cols)
+
+
+def _minhash_sig_sql() -> str:
+    sigs = ",\n       ".join(
+        "list_min(list_transform(sh, s -> md5('%d:' || s))) AS sig%d" % (h, h)
+        for h in range(N_MINHASH)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= {_SHINGLE}
+              THEN list_transform(generate_series(1, len(words)-{_SHINGLE - 1}),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+              ELSE [] END AS sh
+  FROM w
+)
+SELECT doc_id, {sigs} FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH banding — bucket-size accounting per band (the scale path's shuffle key)
+# ---------------------------------------------------------------------------
+
+def dedup_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_minhash_signature(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("|", F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")))
+            for b in range(N_MINHASH // 2)
+        ]
+    )
+    exploded = sig.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "bucket")
+    )
+    buckets = exploded.groupBy("band_idx", "bucket").agg(
+        F.count("*").alias("sz")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).cast("bigint").alias(
+            "n_multi_buckets"
+        ),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint").alias(
+            "n_candidate_pairs"
+        ),
+    )
+
+
+def _lsh_bands_sql() -> str:
+    band_exprs = ", ".join(
+        f"md5(sig{2 * b} || '|' || sig{2 * b + 1})" for b in range(N_MINHASH // 2)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS bucket,
+         unnest(generate_series(0, {N_MINHASH // 2 - 1})) AS band_idx
+  FROM sig
+),
+buckets AS (
+  SELECT band_idx, bucket, count(*) AS sz FROM bands GROUP BY 1, 2
+)
+SELECT band_idx::INTEGER AS band_idx,
+       count(*)::BIGINT AS n_buckets,
+       sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi_buckets,
+       (sum(sz * (sz - 1) / 2))::BIGINT AS n_candidate_pairs
+FROM buckets GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word-set) Jaccard — exact verify vs a broadcast probe set
+# ---------------------------------------------------------------------------
+
+_JACCARD_MIN = 0.3
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "wset", F.array_distinct(_words())
+    )
+    probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa")
+    )
+    others = docs.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb"))
+    joined = others.join(F.broadcast(probes), F.col("doc_b") > F.col("doc_a"))
+    common = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    union = F.size("wa") + F.size("wb") - common
+    jac = common / union
+    return (
+        joined.select(
+            "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS wset
+  FROM documents
+),
+probes AS (SELECT doc_id AS doc_a, wset AS wa FROM w WHERE doc_id % 50 = 0),
+pairs AS (
+  SELECT doc_a, doc_id AS doc_b,
+         len(list_intersect(wa, wset))::DOUBLE
+           / (len(wa) + len(wset) - len(list_intersect(wa, wset))) AS j
+  FROM w JOIN probes ON doc_id > doc_a
+)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard
+FROM pairs WHERE round(j, 4) >= {_JACCARD_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 60-bit bit-majority fingerprint, nested higher-order aggregates
+# ---------------------------------------------------------------------------
+
+_SIMHASH_EXPR = """
+aggregate(
+  sequence(0, 59),
+  cast(0 as bigint),
+  (acc, j) -> acc + IF(
+      aggregate(wh, 0, (a, h) -> a + IF(((shiftright(h, j)) & 1) = 1, 1, -1)) > 0,
+      shiftleft(cast(1 as bigint), j),
+      cast(0 as bigint))
+)
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wd = F.array_distinct(_words())
+    wh = F.transform(
+        wd, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+    )
+    return (
+        docs.withColumn("wh", wh)
+        .select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    )
+
+
+_SIMHASH_SQL = """
+WITH wd AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+  FROM documents
+),
+wh AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM wd
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM wh, generate_series(0, 59) t(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signature": dedup_minhash_signature,
+    "dedup_lsh_bands": dedup_lsh_bands,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash_signature": _minhash_sig_sql(),
+    "dedup_lsh_bands": _lsh_bands_sql(),
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
+}

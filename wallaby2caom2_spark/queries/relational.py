@@ -1,0 +1,356 @@
+"""SURVEY.md §2 relational operator analogs over the TPC-H-ish test tables.
+
+Each query re-expresses one reference behavior as idiomatic Catalyst
+DataFrame code, with a DuckDB oracle. Cross-engine float determinism: money
+sums use the exact cents-BIGINT pattern (per-row ``round(x*100)::bigint``,
+integer sum) so value-hashes match bit-for-bit regardless of summation order.
+
+Reference citations per query:
+- doc_rule_cascade: first-match-wins product-type cascade,
+  ``wallaby2caom2/storage_name.py:101-114`` / ``main_app.py:170-184``.
+- rejected_anti_join: rejected-known-failures exclusion (J3),
+  ``config/config.yml:56-60``.
+- retry_anti_join: retry/todo selection (J4), ``config/config.yml:38-41``.
+- name_derivation: StorageName derived naming (P8-P12),
+  ``wallaby2caom2/storage_name.py:129-176``.
+- value_repair_scrub: declarative value repair (P15),
+  ``wallaby2caom2/main_app.py:84-96``.
+- latest_event_per_user: per-key dedup ranking (§2.5 window note).
+- hourly_event_rollup: time-boxed incremental chunks (S12/A4),
+  ``config/config.yml:67-71``.
+- pricing_summary / revenue_per_nation: metrics-style hash aggregation
+  (A1/A5) at TPC-H Q1/Q5 shape — the bench headline queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._tables import load
+
+ALLOWED_DOC_LANGS = ("en", "fr", "de", "es")
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact money representation: deterministic per-row double→cents."""
+    return F.round(col * 100, 0).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# P2 analog — first-match-wins rule cascade (whole-stage codegen, no UDF)
+# ---------------------------------------------------------------------------
+
+def doc_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.withColumn("n_words", F.size(words)).withColumn(
+        "n_distinct", F.size(F.array_distinct(words))
+    )
+    rep = 1.0 - F.col("n_distinct") / F.col("n_words")
+    outcome = (
+        F.when(F.col("n_chars") < 100, F.lit("too_short"))
+        .when(F.col("n_chars") > 450, F.lit("too_long"))
+        .when(~F.col("lang").isin(*ALLOWED_DOC_LANGS), F.lit("lang_not_allowed"))
+        .when(rep > 0.65, F.lit("repetition"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        d.withColumn("outcome", outcome)
+        .groupBy("outcome")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+_DOC_RULE_CASCADE_SQL = """
+WITH w AS (
+  SELECT *, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), c AS (
+  SELECT n_chars, lang,
+         1.0 - len(list_distinct(words))::DOUBLE / len(words) AS rep
+  FROM w
+)
+SELECT CASE WHEN n_chars < 100 THEN 'too_short'
+            WHEN n_chars > 450 THEN 'too_long'
+            WHEN lang NOT IN ('en','fr','de','es') THEN 'lang_not_allowed'
+            WHEN rep > 0.65 THEN 'repetition'
+            ELSE 'kept' END AS outcome,
+       count(*)::BIGINT AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM c GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A5 analog — TPC-H Q1-shaped hash aggregation (bench headline q1)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_price_cents"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice*100, 0)::BIGINT)::BIGINT AS sum_base_price_cents,
+       sum(round(l_extendedprice*(1-l_discount)*100, 0)::BIGINT)::BIGINT
+           AS sum_disc_price_cents,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 analog — broadcast left-anti "rejected list" exclusion
+# ---------------------------------------------------------------------------
+
+def rejected_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    rejected = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    return (
+        cust.join(F.broadcast(rejected), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("sum_bal_cents"),
+        )
+    )
+
+
+_REJECTED_ANTI_JOIN_SQL = """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_kept,
+       sum(round(c_acctbal*100, 0)::BIGINT)::BIGINT AS sum_bal_cents
+FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4 analog — retry/todo selection: inputs anti-join the "done" set
+# ---------------------------------------------------------------------------
+
+def retry_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    done = (
+        li.filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    return (
+        part.join(done, "p_partkey", "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_pending"))
+    )
+
+
+_RETRY_ANTI_JOIN_SQL = """
+SELECT p_brand, count(*)::BIGINT AS n_pending
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2001-06-01')
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 analog — multi-way star join with broadcast dims (bench headline q2)
+# ---------------------------------------------------------------------------
+
+def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_REVENUE_PER_NATION_SQL = """
+SELECT r_name AS region, n_name AS nation,
+       sum(round(l_extendedprice*(1-l_discount)*100, 0)::BIGINT)::BIGINT
+           AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window analog — per-key dedup ranking (latest event wins)
+# ---------------------------------------------------------------------------
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_cents"),
+        )
+    )
+
+
+_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type,
+       round(value*100, 0)::BIGINT AS value_cents
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# S12/A4 analog — time-boxed rollup (incremental-batch chunk accounting)
+# ---------------------------------------------------------------------------
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+_HOURLY_ROLLUP_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value*100, 0)::BIGINT)::BIGINT AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# P8-P12 analog — StorageName-style derived naming, pure column expressions
+# ---------------------------------------------------------------------------
+
+def name_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.element_at(toks, -2).alias("version_token"),
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws("_", F.element_at(toks, 1), F.element_at(toks, 2)).alias("obs_id"),
+        F.concat(F.regexp_replace("p_name", " ", "_"), F.lit("_prev_256.png")).alias(
+            "thumb_name"
+        ),
+    )
+
+
+_NAME_DERIVATION_SQL = """
+WITH t AS (SELECT *, string_split(p_name, ' ') AS toks FROM part)
+SELECT p_partkey,
+       toks[1] AS first_token,
+       toks[len(toks)] AS last_token,
+       toks[len(toks)-1] AS version_token,
+       len(toks)::INTEGER AS n_tokens,
+       concat(toks[1], '_', toks[2]) AS obs_id,
+       concat(replace(p_name, ' ', '_'), '_prev_256.png') AS thumb_name
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# P15 analog — declarative value-repair / scrub chain (ordered regex table)
+# ---------------------------------------------------------------------------
+
+def value_repair_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    s1 = F.regexp_replace(F.col("text"), r"\bthe\b", "[THE]")
+    s2 = F.regexp_replace(s1, r"\ba\b", "[A]")
+    s3 = F.regexp_replace(s2, r"\s+", " ")
+    edits = F.regexp_count(F.col("text"), F.lit(r"\bthe\b")) + F.regexp_count(
+        F.col("text"), F.lit(r"\ba\b")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(s3).alias("scrub_fp"),
+        edits.cast("int").alias("scrub_edits"),
+    )
+
+
+_VALUE_REPAIR_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '\\bthe\\b', '[THE]', 'g'),
+               '\\ba\\b', '[A]', 'g'),
+             '\\s+', ' ', 'g')) AS scrub_fp,
+       (len(regexp_extract_all(text, '\\bthe\\b'))
+        + len(regexp_extract_all(text, '\\ba\\b')))::INTEGER AS scrub_edits
+FROM documents
+"""
+
+
+QUERIES = {
+    "doc_rule_cascade": doc_rule_cascade,
+    "pricing_summary": pricing_summary,
+    "rejected_anti_join": rejected_anti_join,
+    "retry_anti_join": retry_anti_join,
+    "revenue_per_nation": revenue_per_nation,
+    "latest_event_per_user": latest_event_per_user,
+    "hourly_event_rollup": hourly_event_rollup,
+    "name_derivation": name_derivation,
+    "value_repair_scrub": value_repair_scrub,
+}
+
+ORACLE = {
+    "doc_rule_cascade": _DOC_RULE_CASCADE_SQL,
+    "pricing_summary": _PRICING_SUMMARY_SQL,
+    "rejected_anti_join": _REJECTED_ANTI_JOIN_SQL,
+    "retry_anti_join": _RETRY_ANTI_JOIN_SQL,
+    "revenue_per_nation": _REVENUE_PER_NATION_SQL,
+    "latest_event_per_user": _LATEST_EVENT_SQL,
+    "hourly_event_rollup": _HOURLY_ROLLUP_SQL,
+    "name_derivation": _NAME_DERIVATION_SQL,
+    "value_repair_scrub": _VALUE_REPAIR_SQL,
+}

@@ -1,0 +1,252 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Training-data-pipeline ops for the 100 TB engine: brute-force cosine top-k as
+the correctness baseline, random-hyperplane LSH bucketing and an IVF-style
+nearest-centroid assignment as the scale paths.
+
+Cross-engine determinism: all arithmetic is forced to float64 in BOTH engines
+(Spark: cast each element to double before the fold; DuckDB: ``::DOUBLE[]``),
+cosines are rounded to 4 decimals and ordering always tie-breaks on ids, so
+value-hashes match. The LSH hyperplanes are deterministic constants derived
+from md5 in Python and inlined as literals into both plans — no engine-hash
+dependence.
+
+Scale notes: top-k brute force is O(Q x N) with the probe side broadcast —
+right for small probe sets; the LSH/IVF variants turn neighbor search into an
+equi-join / hash-partition on bucket id, which shuffles uniformly and scales
+to 10^12 rows. At 100 TB, the bucket id becomes the table's partition key so
+candidate generation is shuffle-free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._tables import load
+
+DIM = 64
+N_PLANES = 8
+TOP_K = 5
+N_CENTROIDS = 8
+
+
+def _plane(h: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — same constants are
+    inlined into the Spark plan and the oracle SQL."""
+    return [
+        int(hashlib.md5(f"{h}_{i}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+        for i in range(DIM)
+    ]
+
+
+PLANES: list[list[float]] = [_plane(h) for h in range(N_PLANES)]
+
+
+def _to_double(col: F.Column) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (correctness baseline)
+# ---------------------------------------------------------------------------
+
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", _to_double(F.col("embedding"))
+    )
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    joined = cand.join(
+        F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id")
+    )
+    cos = _dot(F.col("pe"), F.col("ne")) / (
+        _norm(F.col("pe")) * _norm(F.col("ne"))
+    )
+    scored = joined.select(
+        "probe_id", "neighbor_id", F.round(cos, 4).alias("cos_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, e AS pe FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT probe_id, vec_id AS neighbor_id,
+         round(list_dot_product(pe, e)
+               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))),
+               4) AS cos_sim
+  FROM e JOIN probes ON vec_id != probe_id
+)
+SELECT probe_id, neighbor_id, cos_sim,
+       rank::INTEGER AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH bucketing (scale path: equi-join on bucket)
+# ---------------------------------------------------------------------------
+
+def _sql_plane_literal(h: int) -> str:
+    return "[" + ", ".join(repr(v) for v in PLANES[h]) + "]"
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", _to_double(F.col("embedding"))
+    )
+    bucket = F.lit(0)
+    for h in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in PLANES[h]])
+        bucket = bucket + F.when(_dot(F.col("e"), plane) > 0, 1 << h).otherwise(0)
+    return (
+        emb.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+def _lsh_buckets_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_sql_plane_literal(h)}) > 0 "
+        f"THEN {1 << h} ELSE 0 END)"
+        for h in range(N_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT ({terms})::INTEGER AS bucket,
+       count(*)::BIGINT AS n_vectors,
+       count(DISTINCT label)::BIGINT AS n_labels
+FROM e GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-style nearest-centroid assignment (scale path: partition by centroid)
+# ---------------------------------------------------------------------------
+
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", _to_double(F.col("embedding"))
+    )
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    joined = emb.join(F.broadcast(cents), F.col("vec_id") >= F.lit(N_CENTROIDS))
+    cos = _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce")))
+    scored = joined.select(
+        "vec_id", "label", "centroid_id", F.round(cos, 4).alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.avg("cos_sim"), 4).alias("avg_cos"),
+    )
+
+
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT vec_id, centroid_id,
+         round(list_dot_product(e, ce)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))),
+               4) AS cos_sim
+  FROM e CROSS JOIN cents
+  WHERE vec_id >= {N_CENTROIDS}
+),
+assigned AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT centroid_id, count(*)::BIGINT AS n_assigned,
+       round(avg(cos_sim), 4) AS avg_cos
+FROM assigned GROUP BY centroid_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# norm sanity stats (cheap cardinality/health counters, A5 analog)
+# ---------------------------------------------------------------------------
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", _to_double(F.col("embedding"))
+    )
+    return (
+        emb.withColumn("nrm", F.round(_norm(F.col("e")), 4))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+_NORM_STATS_SQL = """
+WITH e AS (
+  SELECT label, round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])), 4) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n_vectors,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm
+FROM e GROUP BY label
+"""
+
+
+QUERIES = {
+    "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_ivf_assign": ann_ivf_assign,
+    "embedding_norm_stats": embedding_norm_stats,
+}
+
+ORACLE = {
+    "similarity_topk_bruteforce": _TOPK_SQL,
+    "ann_lsh_buckets": _lsh_buckets_sql(),
+    "ann_ivf_assign": _IVF_SQL,
+    "embedding_norm_stats": _NORM_STATS_SQL,
+}

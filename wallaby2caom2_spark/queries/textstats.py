@@ -1,0 +1,199 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, marker-word language ID, document fingerprinting.
+
+Training-data-pipeline ops (the analogs feed the clips pipeline's transcript
+rules; reference analog: the scalar-function layer of SURVEY.md §2.6). All
+pure Catalyst column expressions — no UDFs — with DuckDB oracles. Float
+determinism: scores are built from identical expression trees in both engines
+(small-int divisions and fixed constants), so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._tables import load
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# Marker-word sets for the n-gram-heuristic language ID (synthetic corpus →
+# synthetic markers; the operator shape is what matters: per-set hit counts,
+# argmax with deterministic tie-break).
+MARKERS = {
+    "sqlish": ("table", "query", "join", "scan", "sort", "filter"),
+    "streamish": ("stream", "window", "batch", "event", "line"),
+    "storish": ("row", "column", "part", "key", "hash", "value"),
+}
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# token counting — whitespace + regex tokenizer
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "n_chars",
+        F.size(_words()).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).alias("re_tokens"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("sum_ws_tokens"),
+        F.sum("re_tokens").alias("sum_re_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS sum_ws_tokens,
+       sum(len(regexp_extract_all(text, '{TOKEN_RE}')))::BIGINT AS sum_re_tokens,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length / stopword / punctuation components
+# ---------------------------------------------------------------------------
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    len_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    stop_ratio = stop_hits / n_words
+    punct_ratio = F.regexp_count(F.col("text"), F.lit(PUNCT_RE)) / F.col("n_chars")
+    score = 0.5 * len_score + 0.3 * stop_ratio + 0.2 * (
+        1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))
+    )
+    bucket = (
+        F.when(score >= 0.55, F.lit("high"))
+        .when(score >= 0.4, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return docs.select(
+        "doc_id", F.round(score, 4).alias("quality"), bucket.alias("quality_bucket")
+    )
+
+
+_QUALITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, n_chars, text,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         0.5 * least(n_chars / 400.0, 1.0)
+         + 0.3 * (len(list_filter(words,
+                    x -> x IN {STOPWORDS!r}))::DOUBLE / len(words))
+         + 0.2 * (1.0 - least(
+              (len(regexp_extract_all(text, '{PUNCT_RE}'))::DOUBLE / n_chars)
+              * 10.0, 1.0)) AS score
+  FROM w
+)
+SELECT doc_id, round(score, 4) AS quality,
+       CASE WHEN score >= 0.55 THEN 'high'
+            WHEN score >= 0.4 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# marker-set language ID — hit counts, argmax with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    def _hit_counter(markers: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    hits = {name: _hit_counter(s) for name, s in MARKERS.items()}
+    h_sql, h_str, h_sto = hits["sqlish"], hits["streamish"], hits["storish"]
+    predicted = (
+        F.when((h_sql >= h_str) & (h_sql >= h_sto), F.lit("sqlish"))
+        .when(h_str >= h_sto, F.lit("streamish"))
+        .otherwise(F.lit("storish"))
+    )
+    return (
+        docs.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_LANGID_SQL = f"""
+WITH w AS (
+  SELECT lang, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), h AS (
+  SELECT lang,
+         len(list_filter(words, x -> x IN {MARKERS["sqlish"]!r})) AS h_sql,
+         len(list_filter(words, x -> x IN {MARKERS["streamish"]!r})) AS h_str,
+         len(list_filter(words, x -> x IN {MARKERS["storish"]!r})) AS h_sto
+  FROM w
+)
+SELECT lang,
+       CASE WHEN h_sql >= h_str AND h_sql >= h_sto THEN 'sqlish'
+            WHEN h_str >= h_sto THEN 'streamish'
+            ELSE 'storish' END AS predicted,
+       count(*)::BIGINT AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — full, prefix, and head-shingle hashes
+# ---------------------------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    head = F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 8))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.md5(F.substring(norm, 1, 64)).alias("prefix_fp"),
+        F.md5(head).alias("head_fp"),
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fp,
+       md5(substr(norm, 1, 64)) AS prefix_fp,
+       md5(array_to_string(string_split(norm, ' ')[1:8], ' ')) AS head_fp
+FROM n
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_langid_heuristic": text_langid_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLE = {
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "text_quality_score": _QUALITY_SQL,
+    "text_langid_heuristic": _LANGID_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+}

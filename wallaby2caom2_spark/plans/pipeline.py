@@ -5,13 +5,18 @@ per-item loop — name-build → store → read existing → meta visit → writ
 bookkeeping (``wallaby2caom2/composable.py:115-138``) — this module declares
 the same dataflow once, over all rows:
 
-    scan → salted repartition (the ONLY shuffle) → decode UDF → langid UDF
+    scan → decode UDF (narrow, per input split) → DROP bytes
+    → salted repartition of slim rows (the ONLY shuffle) → langid UDF
     → transcript stats (codegen) → rule cascade (codegen) → scrub UDF
     → result projection  [+ metrics aggregation as a separate action]
 
-Everything between the shuffle and the sink is narrow → Catalyst fuses it
-into a single stage; the three pandas UDFs are the only JVM↔Python
-crossings, all Arrow-batched.
+Ordering rationale (100 TB design): the audio payload dominates row size
+(~50 KB vs ~300 B for everything else), so ``bytes`` must NEVER cross a
+shuffle — decode runs as a narrow stage over the scan's own splits (parquet
+splits are size-balanced by construction, so byte-level work is even without
+a shuffle), and only the slim decoded+text rows are salt-repartitioned to
+even out row-count work for the text stages. The three pandas UDFs are the
+only JVM↔Python crossings, all Arrow-batched.
 """
 
 from __future__ import annotations
@@ -50,13 +55,12 @@ def quality_filter(
     Column-pruning note: the final projection drops ``bytes`` so no sink or
     downstream metrics query ever drags payloads through a shuffle.
     """
-    df = clips
+    df = clips.transform(decode.with_decode_features).drop("bytes")
     if repartition:
         n = num_partitions or clips.sparkSession.sparkContext.defaultParallelism * 2
         df = partitioning.salted_repartition(df, n)
     df = (
-        df.transform(decode.with_decode_features)
-        .transform(langid_stage.with_langid)
+        df.transform(langid_stage.with_langid)
         .transform(cascade.with_transcript_stats)
         .transform(lambda d: cascade.with_keep_drop(d, cfg))
         .transform(scrub_stage.with_scrub)

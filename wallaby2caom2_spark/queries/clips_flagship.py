@@ -25,7 +25,7 @@ from ..plans.pipeline import quality_filter, run_metrics
 from ..sources import clips as clips_src
 
 _CACHE_ROOT = "/tmp/wallaby_clips_cache"
-_GEN_VERSION = "v1"
+_GEN_VERSION = "v2"  # v2: 1250 rows/file → ~60MB files, parallel scan splits
 
 # clips per scale-factor directory name (sf0.001 / sf0.01 / sf0.1)
 _N_BY_SF = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 20000}
@@ -38,7 +38,7 @@ def clips_path_for(sf_dir: str) -> str:
     path = os.path.join(_CACHE_ROOT, f"{name}-{_GEN_VERSION}-n{n}")
     marker = os.path.join(path, "_SUCCESS_GEN")
     if not os.path.exists(marker):
-        datagen.write_clips_parquet(path, n, seed=42)
+        datagen.write_clips_parquet(path, n, seed=42, rows_per_file=1250)
         with open(marker, "w") as fh:
             fh.write("ok")
     return path

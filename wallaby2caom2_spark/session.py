@@ -39,9 +39,12 @@ def get_spark(
             str(DEFAULT_CONFIG.arrow_max_records_per_batch),
         )
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # payload-heavy scans: smaller splits → more parallel decode tasks
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # idempotent re-runs overwrite only the partitions they recompute
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .getOrCreate()
     )

@@ -72,8 +72,9 @@ def _sentence(rng: np.random.Generator, lang: str, n_words: int) -> str:
     return " ".join(words).capitalize() + "."
 
 
-def _make_transcript(rng: np.random.Generator, i: int) -> str:
-    """Transcript with planted text-rule defects + PII spans."""
+def _make_transcript(rng: np.random.Generator, i: int, text_mult: int = 1) -> str:
+    """Transcript with planted text-rule defects + PII spans. ``text_mult``
+    scales the clean-path sentence count (text-heavy bench profile)."""
     lang = _GEN_LANGS[int(rng.integers(len(_GEN_LANGS)))]
     roll = rng.random()
     if roll < 0.02:  # too_short
@@ -90,7 +91,8 @@ def _make_transcript(rng: np.random.Generator, i: int) -> str:
     if roll < 0.12:  # mixed-language → langid_low_conf (usually)
         l2 = _GEN_LANGS[int(rng.integers(len(_GEN_LANGS)))]
         return _sentence(rng, lang, 7) + " " + _sentence(rng, l2, 7)
-    text = " ".join(_sentence(rng, lang, int(rng.integers(8, 16))) for _ in range(int(rng.integers(1, 4))))
+    n_sent = int(rng.integers(1, 4)) * text_mult
+    text = " ".join(_sentence(rng, lang, int(rng.integers(8, 16))) for _ in range(n_sent))
     if rng.random() < 0.15:  # planted PII / toxicity (orthogonal to keep)
         snippet = _PII_SNIPPETS[int(rng.integers(len(_PII_SNIPPETS)))].format(i=i)
         text = text + " " + snippet
@@ -98,11 +100,11 @@ def _make_transcript(rng: np.random.Generator, i: int) -> str:
 
 
 def _make_audio(
-    rng: np.random.Generator, i: int
+    rng: np.random.Generator, i: int, dur_range: tuple[int, int] = (200, 3000)
 ) -> tuple[bytes, int, int, str]:
     """→ (payload, declared sr_hz, declared dur_ms, codec), defects planted."""
     sr = int(_SRS[int(rng.integers(len(_SRS)))])
-    dur_ms = int(rng.integers(200, 3000))
+    dur_ms = int(rng.integers(*dur_range))
     n = int(sr * dur_ms / 1000)
     t = np.arange(n, dtype=np.float32) / sr
     f0 = 80.0 + float(rng.random()) * 600.0
@@ -147,12 +149,32 @@ def _encode(samples: np.ndarray, sr: int, codec: str) -> bytes:
     return audio.encode_pcm_s16le(samples)
 
 
-def generate_rows(n: int, seed: int = 42, start: int = 0, skew_hot_frac: float = 0.05):
+# Generation profiles. "default" matches the original fixture distribution
+# (golden tests depend on it byte-for-byte); "text_heavy" is the scaling
+# bench profile: short audio, 3x transcripts — per-row CPU dominates I/O.
+PROFILES: dict[str, dict] = {
+    "default": {"dur_range": (200, 3000), "text_mult": 1},
+    # Scaling-bench profile: short audio + 6x transcripts. Rationale: the
+    # sandbox's toy langid/LM/scrub are 10-50x cheaper per row than the real
+    # fastText + KenLM models the north rule names, so a compute-heavier mix
+    # is the honest proxy for per-row cost at production scale.
+    "text_heavy": {"dur_range": (50, 150), "text_mult": 6},
+}
+
+
+def generate_rows(
+    n: int,
+    seed: int = 42,
+    start: int = 0,
+    skew_hot_frac: float = 0.05,
+    profile: str = "default",
+):
     """Yield row dicts [start, start+n). ``skew_hot_frac`` of clip_ids share a
     hot prefix bucket — exercises the salted repartition (north rule)."""
+    p = PROFILES[profile]
     for i in range(start, start + n):
         rng = _rng(seed, i)
-        payload, sr, dur, codec = _make_audio(rng, i)
+        payload, sr, dur, codec = _make_audio(rng, i, dur_range=p["dur_range"])
         hot = rng.random() < skew_hot_frac
         cid = f"hot_{i % 7:01d}_{i:010d}" if hot else f"clip_{i:010d}"
         yield {
@@ -161,24 +183,47 @@ def generate_rows(n: int, seed: int = 42, start: int = 0, skew_hot_frac: float =
             "sr_hz": sr,
             "dur_ms": dur,
             "codec": codec,
-            "transcript": _make_transcript(rng, i),
+            "transcript": _make_transcript(rng, i, text_mult=p["text_mult"]),
         }
 
 
-def generate_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
-    rows = list(generate_rows(n, seed=seed, start=start))
+def generate_table(
+    n: int, seed: int = 42, start: int = 0, profile: str = "default"
+) -> pa.Table:
+    rows = list(generate_rows(n, seed=seed, start=start, profile=profile))
     return pa.Table.from_pylist(rows, schema=SCHEMA)
 
 
+def _write_chunk(args: tuple) -> str:
+    path, part, start, count, seed, profile = args
+    chunk = generate_table(count, seed=seed, start=start, profile=profile)
+    fqn = os.path.join(path, f"part-{part:05d}.parquet")
+    pq.write_table(chunk, fqn)
+    return fqn
+
+
 def write_clips_parquet(
-    path: str, n: int, seed: int = 42, rows_per_file: int = 25_000
+    path: str,
+    n: int,
+    seed: int = 42,
+    rows_per_file: int = 25_000,
+    profile: str = "default",
+    workers: int = 1,
 ) -> str:
     """Write the clips table as a multi-file parquet dataset (so Spark gets
-    parallel input splits even before the salted repartition)."""
+    parallel input splits even before the salted repartition). Generation is
+    per-row counter-seeded, so parallel workers produce identical bytes."""
     os.makedirs(path, exist_ok=True)
-    part = 0
-    for start in range(0, n, rows_per_file):
-        chunk = generate_table(min(rows_per_file, n - start), seed=seed, start=start)
-        pq.write_table(chunk, os.path.join(path, f"part-{part:05d}.parquet"))
-        part += 1
+    jobs = [
+        (path, part, start, min(rows_per_file, n - start), seed, profile)
+        for part, start in enumerate(range(0, n, rows_per_file))
+    ]
+    if workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(_write_chunk, jobs))
+    else:
+        for job in jobs:
+            _write_chunk(job)
     return path

@@ -146,6 +146,13 @@ def _build_model() -> np.ndarray:
 _LOGPROB: np.ndarray = _build_model()
 
 
+def buckets_batch(texts: list[str | None]) -> list[np.ndarray | None]:
+    """Per-text trigram buckets, computed once and shared by langid AND the
+    perplexity LM (operators/text_stage.py) — hashing is ~30% of the text
+    stage, so the fused pipeline pays it once."""
+    return [_trigram_buckets(t) if t else None for t in texts]
+
+
 def predict_batch(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
     """Batch langid → (lang codes as object array, confidence float32 array).
 
@@ -153,25 +160,37 @@ def predict_batch(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
     characters; the outer loop is per *row of the Arrow batch* (exactly how
     fastText's own C loop works), never per-character Python.
     """
-    n = len(texts)
+    return predict_from_buckets(buckets_batch(texts))
+
+
+def predict_from_buckets(
+    bucket_list: list[np.ndarray | None],
+) -> tuple[np.ndarray, np.ndarray]:
+    n = len(bucket_list)
     langs = np.empty(n, dtype=object)
     confs = np.zeros(n, dtype=np.float32)
-    for i, t in enumerate(texts):
-        if not t:
+    # mean log-likelihood per trigram (length-normalized) per row, then one
+    # vectorized softmax over the whole batch (the per-row tail ops were
+    # ~40% of this function's cost)
+    ll = np.zeros((n, len(LANGS)), dtype=np.float32)
+    valid = np.zeros(n, dtype=bool)
+    for i, b in enumerate(bucket_list):
+        if b is None or len(b) == 0:
             langs[i] = "und"
             continue
-        b = _trigram_buckets(t)
-        if len(b) == 0:
-            langs[i] = "und"
-            continue
-        # mean log-likelihood per trigram (length-normalized), softmax conf
-        ll = _LOGPROB[:, b].mean(axis=1)
-        ll = ll - ll.max()
-        p = np.exp(ll * _SOFTMAX_TEMP)
-        p /= p.sum()
-        k = int(np.argmax(p))
-        langs[i] = LANGS[k]
-        confs[i] = float(p[k])
+        ll[i] = _LOGPROB[:, b].mean(axis=1)
+        valid[i] = True
+    if valid.any():
+        lv = ll[valid]
+        lv = lv - lv.max(axis=1, keepdims=True)
+        p = np.exp(lv * _SOFTMAX_TEMP)
+        p /= p.sum(axis=1, keepdims=True)
+        ks = np.argmax(p, axis=1)
+        cv = p[np.arange(len(ks)), ks].astype(np.float32)
+        idx = np.nonzero(valid)[0]
+        for j, i in enumerate(idx):
+            langs[i] = LANGS[int(ks[j])]
+        confs[idx] = cv
     return langs, confs
 
 

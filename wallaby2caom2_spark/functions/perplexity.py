@@ -1,4 +1,4 @@
-"""Hashed character-bigram language model → per-transcript perplexity.
+"""Hashed character-trigram language model → per-transcript perplexity.
 
 KenLM-style in spirit (hashed n-gram table, add-k smoothing), tiny in
 practice: the LM is built at import time from the langid seed corpora of the
@@ -32,13 +32,17 @@ _LOGP: np.ndarray = _build_lm()
 
 def perplexity_batch(texts: list[str | None]) -> np.ndarray:
     """exp(-mean log p(trigram)) per text; inf-free (caps at exp(32))."""
-    out = np.zeros(len(texts), dtype=np.float64)
-    for i, t in enumerate(texts):
-        if not t:
-            out[i] = float(np.exp(32.0))
-            continue
-        b = _trigram_buckets(t)
-        if len(b) == 0:
+    from .langid import buckets_batch
+
+    return ppl_from_buckets(buckets_batch(texts))
+
+
+def ppl_from_buckets(bucket_list: list) -> np.ndarray:
+    """Same scores from precomputed trigram buckets (shared with langid in
+    the fused text stage — hashing paid once per text)."""
+    out = np.zeros(len(bucket_list), dtype=np.float64)
+    for i, b in enumerate(bucket_list):
+        if b is None or len(b) == 0:
             out[i] = float(np.exp(32.0))
             continue
         nll = -float(_LOGP[b].mean())

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..operators import cascade, decode, langid_stage, partitioning, scrub_stage
+from ..operators import cascade, decode, partitioning, text_stage
 
 RESULT_COLUMNS = [
     "clip_id",
@@ -60,10 +60,10 @@ def quality_filter(
         n = num_partitions or clips.sparkSession.sparkContext.defaultParallelism * 2
         df = partitioning.salted_repartition(df, n)
     df = (
-        df.transform(langid_stage.with_langid)
+        df.transform(text_stage.with_text_models)
         .transform(cascade.with_transcript_stats)
         .transform(lambda d: cascade.with_keep_drop(d, cfg))
-        .transform(scrub_stage.with_scrub)
+        .transform(text_stage.mask_scrub)
     )
     return df.select(*RESULT_COLUMNS)
 

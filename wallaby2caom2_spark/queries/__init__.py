@@ -12,9 +12,17 @@ the oracle SQL; floating aggregates are rounded in BOTH so value-hashes match.
 
 from __future__ import annotations
 
-from . import clips_flagship, dedup, relational, similarity, textstats
+from . import (
+    analytics,
+    clips_flagship,
+    dedup,
+    nested,
+    relational,
+    similarity,
+    textstats,
+)
 
-_MODULES = (relational, dedup, similarity, textstats, clips_flagship)
+_MODULES = (relational, nested, analytics, dedup, similarity, textstats, clips_flagship)
 
 ALL_QUERIES = {}
 ALL_ORACLE = {}

@@ -237,11 +237,67 @@ FROM e GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding near-dup — LSH bucket candidates verified by exact cosine
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_COS = 0.3
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding near-dup detection: candidate pairs come
+    from an equi-join on the LSH bucket (no quadratic blow-up), then exact
+    cosine verifies. At 10^12 rows the bucket is the shuffle/partition key."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", _to_double(F.col("embedding"))
+    )
+    bucket = F.lit(0)
+    for h in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in PLANES[h]])
+        bucket = bucket + F.when(_dot(F.col("e"), plane) > 0, 1 << h).otherwise(0)
+    b = emb.select("vec_id", "e", bucket.cast("int").alias("bucket"))
+    left = b.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "bucket"
+    )
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _NEAR_DUP_COS)
+    )
+
+
+def _neardup_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_sql_plane_literal(h)}) > 0 "
+        f"THEN {1 << h} ELSE 0 END)"
+        for h in range(N_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, ({terms})::INTEGER AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         round(list_dot_product(a.e, b2.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b2.e, b2.e))), 4) AS cos_sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_NEAR_DUP_COS}
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf_assign": ann_ivf_assign,
     "embedding_norm_stats": embedding_norm_stats,
+    "dedup_embedding_neardup": dedup_embedding_neardup,
 }
 
 ORACLE = {
@@ -249,4 +305,5 @@ ORACLE = {
     "ann_lsh_buckets": _lsh_buckets_sql(),
     "ann_ivf_assign": _IVF_SQL,
     "embedding_norm_stats": _NORM_STATS_SQL,
+    "dedup_embedding_neardup": _neardup_sql(),
 }

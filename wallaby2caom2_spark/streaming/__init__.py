@@ -1,1 +1,1 @@
-from . import stream, windows  # noqa: F401
+from . import stateful, stream, windows  # noqa: F401

@@ -115,16 +115,16 @@ FROM per_session GROUP BY user_id
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.5)") + 1e-9, 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)") + 1e-9, 4).alias("p95"),
         F.count("*").alias("n"),
     )
 
 
 _PERCENTILES_SQL = """
 SELECT event_type,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+       round(quantile_cont(value, 0.95) + 1e-9, 4) AS p95,
        count(*)::BIGINT AS n
 FROM events GROUP BY event_type
 """

@@ -184,7 +184,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = common / union
     return (
         joined.select(
-            "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+            "doc_a", "doc_b", F.round(jac + 1e-9, 4).alias("jaccard")
         )
         .filter(F.col("jaccard") >= _JACCARD_MIN)
     )
@@ -199,7 +199,7 @@ probes AS (SELECT doc_id AS doc_a, wset AS wa FROM w WHERE doc_id % 50 = 0),
 pairs AS (
   SELECT doc_a, doc_id AS doc_b,
          len(list_intersect(wa, wset))::DOUBLE
-           / (len(wa) + len(wset) - len(list_intersect(wa, wset))) AS j
+           / (len(wa) + len(wset) - len(list_intersect(wa, wset))) + 1e-9 AS j
   FROM w JOIN probes ON doc_id > doc_a
 )
 SELECT doc_a, doc_b, round(j, 4) AS jaccard

@@ -61,7 +61,7 @@ def doc_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("outcome")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_chars") + 1e-9, 4).alias("avg_chars"),
         )
     )
 
@@ -80,7 +80,7 @@ SELECT CASE WHEN n_chars < 100 THEN 'too_short'
             WHEN rep > 0.65 THEN 'repetition'
             ELSE 'kept' END AS outcome,
        count(*)::BIGINT AS n_docs,
-       round(avg(n_chars), 4) AS avg_chars
+       round(avg(n_chars) + 1e-9, 4) AS avg_chars
 FROM c GROUP BY 1
 """
 
@@ -99,8 +99,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
             F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
             F.sum(_cents(disc_price)).alias("sum_disc_price_cents"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_quantity") + 1e-9, 4).alias("avg_qty"),
+            F.round(F.avg("l_discount") + 1e-9, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -112,8 +112,8 @@ SELECT l_returnflag, l_linestatus,
        sum(round(l_extendedprice*100, 0)::BIGINT)::BIGINT AS sum_base_price_cents,
        sum(round(l_extendedprice*(1-l_discount)*100, 0)::BIGINT)::BIGINT
            AS sum_disc_price_cents,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+       round(avg(l_discount) + 1e-9, 4) AS avg_disc,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

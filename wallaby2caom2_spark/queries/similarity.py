@@ -79,7 +79,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("pe")) * _norm(F.col("ne"))
     )
     scored = joined.select(
-        "probe_id", "neighbor_id", F.round(cos, 4).alias("cos_sim")
+        "probe_id", "neighbor_id", F.round(cos + 1e-9, 4).alias("cos_sim")
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -97,8 +97,8 @@ probes AS (SELECT vec_id AS probe_id, e AS pe FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT probe_id, vec_id AS neighbor_id,
          round(list_dot_product(pe, e)
-               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))),
-               4) AS cos_sim
+               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e)))
+               + 1e-9, 4) AS cos_sim
   FROM e JOIN probes ON vec_id != probe_id
 )
 SELECT probe_id, neighbor_id, cos_sim,
@@ -167,7 +167,7 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = emb.join(F.broadcast(cents), F.col("vec_id") >= F.lit(N_CENTROIDS))
     cos = _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce")))
     scored = joined.select(
-        "vec_id", "label", "centroid_id", F.round(cos, 4).alias("cos_sim")
+        "vec_id", "label", "centroid_id", F.round(cos + 1e-9, 4).alias("cos_sim")
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("centroid_id").asc()
@@ -177,7 +177,7 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("centroid_id").agg(
         F.count("*").alias("n_assigned"),
-        F.round(F.avg("cos_sim"), 4).alias("avg_cos"),
+        F.round(F.avg("cos_sim") + 1e-9, 4).alias("avg_cos"),
     )
 
 
@@ -187,8 +187,8 @@ cents AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROI
 scored AS (
   SELECT vec_id, centroid_id,
          round(list_dot_product(e, ce)
-               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))),
-               4) AS cos_sim
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce)))
+               + 1e-9, 4) AS cos_sim
   FROM e CROSS JOIN cents
   WHERE vec_id >= {N_CENTROIDS}
 ),
@@ -200,7 +200,7 @@ assigned AS (
   ) WHERE rn = 1
 )
 SELECT centroid_id, count(*)::BIGINT AS n_assigned,
-       round(avg(cos_sim), 4) AS avg_cos
+       round(avg(cos_sim) + 1e-9, 4) AS avg_cos
 FROM assigned GROUP BY centroid_id
 """
 
@@ -214,12 +214,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e", _to_double(F.col("embedding"))
     )
     return (
-        emb.withColumn("nrm", F.round(_norm(F.col("e")), 4))
+        emb.withColumn("nrm", F.round(_norm(F.col("e")) + 1e-9, 4))
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.min("nrm"), 4).alias("min_norm"),
-            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.round(F.min("nrm") + 1e-9, 4).alias("min_norm"),
+            F.round(F.max("nrm") + 1e-9, 4).alias("max_norm"),
         )
     )
 
@@ -227,12 +227,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_STATS_SQL = """
 WITH e AS (
   SELECT label, round(sqrt(list_dot_product(embedding::DOUBLE[],
-                                            embedding::DOUBLE[])), 4) AS nrm
+                                            embedding::DOUBLE[])) + 1e-9, 4) AS nrm
   FROM embeddings
 )
 SELECT label, count(*)::BIGINT AS n_vectors,
-       round(min(nrm), 4) AS min_norm,
-       round(max(nrm), 4) AS max_norm
+       round(min(nrm) + 1e-9, 4) AS min_norm,
+       round(max(nrm) + 1e-9, 4) AS max_norm
 FROM e GROUP BY label
 """
 
@@ -267,7 +267,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("ea")) * _norm(F.col("eb"))
     )
     return (
-        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+        pairs.select("id_a", "id_b", F.round(cos + 1e-9, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= _NEAR_DUP_COS)
     )
 
@@ -285,7 +285,7 @@ pairs AS (
   SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
          round(list_dot_product(a.e, b2.e)
                / (sqrt(list_dot_product(a.e, a.e))
-                  * sqrt(list_dot_product(b2.e, b2.e))), 4) AS cos_sim
+                  * sqrt(list_dot_product(b2.e, b2.e))) + 1e-9, 4) AS cos_sim
   FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 )
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_NEAR_DUP_COS}

@@ -51,7 +51,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("ws_tokens").alias("sum_ws_tokens"),
         F.sum("re_tokens").alias("sum_re_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("n_chars") + 1e-9, 4).alias("avg_chars"),
     )
 
 
@@ -59,7 +59,7 @@ _TOKEN_STATS_SQL = f"""
 SELECT source, count(*)::BIGINT AS n_docs,
        sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS sum_ws_tokens,
        sum(len(regexp_extract_all(text, '{TOKEN_RE}')))::BIGINT AS sum_re_tokens,
-       round(avg(n_chars), 4) AS avg_chars
+       round(avg(n_chars) + 1e-9, 4) AS avg_chars
 FROM documents GROUP BY source
 """
 
@@ -84,8 +84,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(score >= 0.4, F.lit("medium"))
         .otherwise(F.lit("low"))
     )
+    # +1e-9 before rounding: component rationals (k/400, k/n_words) can land
+    # EXACTLY on a .xxxx5 boundary, where Spark (decimal HALF_UP on the
+    # shortest repr) and DuckDB (binary-scaled round) disagree; the epsilon
+    # pushes off the boundary identically in both engines
     return docs.select(
-        "doc_id", F.round(score, 4).alias("quality"), bucket.alias("quality_bucket")
+        "doc_id",
+        F.round(score + 1e-9, 4).alias("quality"),
+        bucket.alias("quality_bucket"),
     )
 
 
@@ -104,7 +110,7 @@ WITH w AS (
               * 10.0, 1.0)) AS score
   FROM w
 )
-SELECT doc_id, round(score, 4) AS quality,
+SELECT doc_id, round(score + 1e-9, 4) AS quality,
        CASE WHEN score >= 0.55 THEN 'high'
             WHEN score >= 0.4 THEN 'medium'
             ELSE 'low' END AS quality_bucket

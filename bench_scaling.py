@@ -33,7 +33,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LEVELS = (8, 32)
+# N and 4N parallelism pair; BENCH_LEVELS="4,16" measures the smaller pair
+# (useful because this VM saturates memory bandwidth near 32 busy cores)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("BENCH_LEVELS", "8,32").split(",")
+)
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 RUNS_PER_ROUND = int(os.environ.get("BENCH_RUNS", "3"))
 

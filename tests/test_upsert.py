@@ -1,0 +1,68 @@
+"""Merge/upsert tests (J2/S8 analog: read-modify-write of existing records,
+``wallaby2caom2/tests/test_caom_gen_visit.py:109-117``)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wallaby2caom2_spark import datagen
+from wallaby2caom2_spark.operators.partitioning import with_bucket
+from wallaby2caom2_spark.operators.upsert import merge_upsert
+from wallaby2caom2_spark.plans.pipeline import quality_filter
+
+
+@pytest.fixture()
+def target(spark, tmp_path):
+    inp = str(tmp_path / "clips")
+    datagen.write_clips_parquet(inp, 300, seed=21, rows_per_file=150)
+    result = with_bucket(quality_filter(spark.read.parquet(inp)), 8)
+    path = str(tmp_path / "results")
+    result.write.partitionBy("bucket").parquet(path)
+    return path
+
+
+def test_upsert_updates_and_inserts(spark, target):
+    before = spark.read.parquet(target)
+    n0 = before.count()
+    # updates: 20 existing rows get re-labeled + 10 brand-new clip ids
+    upd_existing = (
+        before.orderBy("clip_id")
+        .limit(20)
+        .drop("bucket")
+        .withColumn("drop_reason", F.lit("requarantined"))
+        .withColumn("keep", F.lit(False))
+    )
+    fresh = upd_existing.limit(10).withColumn(
+        "clip_id", F.concat(F.lit("new_"), F.col("clip_id"))
+    )
+    updates = upd_existing.unionByName(fresh)
+    summary = merge_upsert(spark, target, updates, n_buckets=8)
+    assert summary["inserted"] == 10
+    assert summary["updated"] == 20
+
+    after = spark.read.parquet(target)
+    assert after.count() == n0 + 10
+    assert after.select("clip_id").distinct().count() == n0 + 10
+    # updated rows took the new values
+    got = after.filter(F.col("drop_reason") == "requarantined").count()
+    assert got == 30  # 20 updated + 10 inserted copies
+
+
+def test_upsert_prunes_untouched_buckets(spark, target):
+    before = spark.read.parquet(target)
+    n_before = before.count()
+    one = before.filter(F.col("bucket") == before.select("bucket").first()[0])
+    # materialize the update row BEFORE the merge rewrites the files its
+    # lazy plan points at
+    row_df = spark.createDataFrame(
+        one.drop("bucket").limit(1).withColumn("scrub_edits", F.lit(999)).collect(),
+        schema=one.drop("bucket").schema,
+    )
+    summary = merge_upsert(spark, target, row_df, n_buckets=8)
+    assert len(summary["touched_buckets"]) == 1
+    after = spark.read.parquet(target)
+    assert after.filter(F.col("scrub_edits") == 999).count() == 1
+    assert after.count() == n_before

@@ -1,0 +1,79 @@
+"""Keyed merge/upsert into a partitioned parquet results table.
+
+Reference analog (J2/S8): read the existing observation record, augment it,
+write it back (``wallaby2caom2/tests/test_caom_gen_visit.py:109-117``,
+``_caom2_read`` → ``_caom2_store``). On Iceberg this is literally
+``MERGE INTO target USING updates ON t.clip_id = s.clip_id``; the runtime
+here has no Iceberg jars, so this module implements the same semantics on a
+bucket-partitioned parquet table:
+
+    1. bucket the updates by the deterministic clip_id hash;
+    2. read ONLY the target partitions those buckets touch (partition
+       pruning — untouched buckets are never read or rewritten);
+    3. latest-wins dedup inside each touched bucket;
+    4. dynamic-partition-overwrite the touched buckets atomically-enough
+       (same idempotence contract as the wave runner).
+
+At 10^12 rows the touched-bucket read is the whole trick: a 0.1% update
+batch rewrites 0.1% of partitions, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .partitioning import with_bucket
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str = "clip_id",
+    n_buckets: int = 16,
+) -> dict:
+    """Upsert ``updates`` into the bucket-partitioned table at target_path.
+
+    Returns {"touched_buckets": [...], "updated": n, "inserted": n}.
+    """
+    upd = with_bucket(updates, n_buckets, key=key).withColumn(
+        "_is_update", F.lit(True)
+    )
+    touched = [int(r["bucket"]) for r in upd.select("bucket").distinct().collect()]
+
+    target = spark.read.parquet(target_path)
+    existing = target.filter(F.col("bucket").isin(touched)).withColumn(
+        "_is_update", F.lit(False)
+    )
+
+    n_before = existing.count()
+    merged = existing.unionByName(upd)
+    # latest-wins: update rows shadow existing rows with the same key
+    w = Window.partitionBy(key).orderBy(F.col("_is_update").desc())
+    resolved = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_update")
+    )
+    # break lineage to the files being replaced: the merged plan reads the
+    # very partitions the write below overwrites (and the caller's updates
+    # may lazily derive from the target too) — localCheckpoint materializes
+    # the result so the overwrite never races its own input
+    resolved = resolved.localCheckpoint(eager=True)
+    n_after = resolved.count()
+    n_updates = upd.count()
+    inserted = n_after - n_before
+
+    (
+        resolved.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(target_path)
+    )
+    spark.catalog.refreshByPath(target_path)
+    return {
+        "touched_buckets": sorted(touched),
+        "updated": n_updates - inserted,
+        "inserted": inserted,
+    }

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..operators import cascade, decode, partitioning, text_stage
+from ..operators import cascade, decode, fused_stage, partitioning, text_stage
 
 RESULT_COLUMNS = [
     "clip_id",
@@ -49,19 +49,28 @@ def quality_filter(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
     repartition: bool = True,
+    fused: bool = True,
 ) -> DataFrame:
     """clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript) → result rows.
 
-    Column-pruning note: the final projection drops ``bytes`` so no sink or
-    downstream metrics query ever drags payloads through a shuffle.
+    ``fused=True`` (default): ONE mapInPandas crossing computes decode +
+    text-model features per scan split (bytes die inside the worker), then
+    the salted repartition moves only slim feature rows and the cascade runs
+    in codegen. ``fused=False`` keeps the two-stage composition (decode →
+    shuffle → text models) — same semantics, used by the composability
+    tests. Either way no payload byte ever crosses a shuffle.
     """
-    df = clips.transform(decode.with_decode_features).drop("bytes")
+    if fused:
+        df = clips.transform(fused_stage.with_fused_features)
+    else:
+        df = clips.transform(decode.with_decode_features).drop("bytes")
     if repartition:
         n = num_partitions or clips.sparkSession.sparkContext.defaultParallelism * 2
         df = partitioning.salted_repartition(df, n)
+    if not fused:
+        df = df.transform(text_stage.with_text_models)
     df = (
-        df.transform(text_stage.with_text_models)
-        .transform(cascade.with_transcript_stats)
+        df.transform(cascade.with_transcript_stats)
         .transform(lambda d: cascade.with_keep_drop(d, cfg))
         .transform(text_stage.mask_scrub)
     )

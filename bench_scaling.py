@@ -167,7 +167,7 @@ def main() -> None:
     print(json.dumps(out))
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fh:
+    with open(f"BENCH/scaling-{lo}x{hi}.md", "w") as fh:
         fh.write(
             "# BENCH/BASELINE — two-cluster-size scaling evidence\n\n"
             "North rule: throughput scaling efficiency >= 0.8 between N and 4N\n"

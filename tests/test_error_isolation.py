@@ -1,0 +1,33 @@
+"""Error-isolation contract (§2.8): pathological rows never fail the job —
+the reference wraps every item in try/except and logs the failure
+(``wallaby2caom2/main_app.py:256-263``); here bad payloads become
+``pcm_ok=false`` / drop rows and the job always completes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wallaby2caom2_spark.plans.pipeline import quality_filter
+from wallaby2caom2_spark.sources.clips import CLIPS_SCHEMA
+
+
+def test_pathological_rows_flow_through(spark):
+    rows = [
+        ("null_bytes", None, 16000, 500, "wav", "a perfectly normal sentence here"),
+        ("null_transcript", b"\x00\x01", 16000, 500, "pcm_s16le", None),
+        ("empty_everything", b"", 0, 0, "", ""),
+        ("garbage_codec", b"RIFFxxxx", 16000, 500, "mp9", "hello world again"),
+        ("neg_duration", b"\x00\x00" * 100, 8000, -5, "pcm_s16le", "short text ok"),
+    ]
+    df = spark.createDataFrame(rows, schema=CLIPS_SCHEMA)
+    out = {r["clip_id"]: r for r in quality_filter(df).collect()}
+    assert len(out) == 5  # every row survived the job
+    assert not out["null_bytes"]["pcm_ok"]
+    assert out["null_bytes"]["drop_reason"] == "decode_failed"
+    assert out["garbage_codec"]["drop_reason"] == "codec_invalid"
+    assert out["empty_everything"]["drop_reason"] == "codec_invalid"
+    # null transcript: audio decodes, text rules drop it (too_short via 0 chars)
+    assert out["null_transcript"]["keep"] is False
+    for r in out.values():
+        assert r["keep"] is False  # none of these should pass
+        assert r["scrubbed_transcript"] is None

@@ -1,0 +1,66 @@
+"""Skew-kill evidence (north rule: explicit salted repartitioning on clip_id).
+
+The generator plants hot key prefixes (``hot_0``..``hot_6`` share 7 ids
+across ~5% of rows — datagen.py skew_hot_frac). A raw hash repartition on
+clip_id piles every duplicate id onto the same partitions; the salted
+repartition spreads rows near-uniformly regardless of key skew.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wallaby2caom2_spark import datagen
+from wallaby2caom2_spark.operators.partitioning import salted_repartition, with_bucket
+
+N_PARTS = 16
+
+
+@pytest.fixture(scope="module")
+def skewed(spark, tmp_path_factory):
+    """Heavily skewed table: 40% of rows share ONE clip_id value."""
+    path = str(tmp_path_factory.mktemp("skew") / "clips")
+    datagen.write_clips_parquet(path, 2000, seed=13, rows_per_file=1000)
+    df = spark.read.parquet(path).select("clip_id", "sr_hz")
+    hot = df.limit(800).withColumn("clip_id", F.lit("hot_key"))
+    return df.unionByName(hot)
+
+
+def _sizes(df) -> list[int]:
+    rows = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    return [int(r["count"]) for r in rows]
+
+
+def test_raw_key_repartition_is_skewed(spark, skewed):
+    sizes = _sizes(skewed.repartition(N_PARTS, F.col("clip_id")))
+    total = sum(sizes)
+    # the hot key concentrates ≥ 800 of 2800 rows in one partition
+    assert max(sizes) >= 0.28 * total
+
+
+def test_salted_repartition_balances(spark, skewed):
+    sizes = _sizes(salted_repartition(skewed, N_PARTS))
+    total = sum(sizes)
+    assert len(sizes) == N_PARTS
+    # near-uniform despite 40% duplicate keys: no partition above 2x ideal
+    assert max(sizes) <= 2.0 * (total / N_PARTS)
+
+
+def test_bucket_is_deterministic(spark, skewed):
+    a = {
+        (r["clip_id"], r["bucket"])
+        for r in with_bucket(skewed, 8).select("clip_id", "bucket").collect()
+    }
+    b = {
+        (r["clip_id"], r["bucket"])
+        for r in with_bucket(skewed, 8).select("clip_id", "bucket").collect()
+    }
+    assert a == b
+    buckets = {x[1] for x in a}
+    assert buckets <= set(range(8))

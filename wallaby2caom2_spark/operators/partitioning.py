@@ -23,10 +23,27 @@ def salted_repartition(
     salt: int = DEFAULT_SALT,
 ) -> DataFrame:
     """Hash-repartition on a salted key hash. One shuffle — the only one in
-    the quality-filter pipeline — placed BEFORE the UDF stages so Arrow
-    batches are evenly sized regardless of input file layout."""
+    the quality-filter pipeline — placed so Arrow batches are evenly sized
+    regardless of input file layout or key distribution.
+
+    The hash mixes a per-row component (``monotonically_increasing_id`` —
+    deterministic given the input partition layout): a constant salt alone
+    decorrelates from the raw hash clustering but still sends every
+    DUPLICATE of a hot key to one partition (tests/test_partitioning.py
+    proves both halves). Rows need no co-location here — the per-key
+    grouping for sinks uses ``with_bucket`` separately, and keyed
+    aggregations get balance from Spark's partial (map-side) aggregation.
+
+    Streaming inputs: ``monotonically_increasing_id`` is not allowed in a
+    streaming plan, so the salt falls back to (key, salt) — micro-batches
+    are bounded, so residual duplicate-key clustering is bounded with them."""
+    if df.isStreaming:
+        return df.repartition(
+            num_partitions, F.xxhash64(F.col(key), F.lit(salt))
+        )
     return df.repartition(
-        num_partitions, F.xxhash64(F.col(key), F.lit(salt))
+        num_partitions,
+        F.xxhash64(F.col(key), F.lit(salt), F.monotonically_increasing_id()),
     )
 
 

@@ -27,8 +27,9 @@ from ..sources import clips as clips_src
 _CACHE_ROOT = "/tmp/wallaby_clips_cache"
 _GEN_VERSION = "v2"  # v2: 1250 rows/file → ~60MB files, parallel scan splits
 
-# clips per scale-factor directory name (sf0.001 / sf0.01 / sf0.1)
-_N_BY_SF = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 20000}
+# clips per scale-factor directory name (sf0.001 / sf0.01 / sf0.1);
+# sf0.1 is sized so fixed overheads (~2s) don't dominate the clips/sec metric
+_N_BY_SF = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 100000}
 
 
 def clips_path_for(sf_dir: str) -> str:

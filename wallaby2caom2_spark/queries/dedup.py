@@ -83,7 +83,11 @@ def _minhash(shingles: F.Column, seed: int) -> F.Column:
 
 
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # the documents table is one parquet file → one scan split; the md5
+    # shingle work is the dominant cost, so re-split it across cores first
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = _shingles(_words())
     d = docs.withColumn("sh", sh)
     cols = [
@@ -224,7 +228,10 @@ aggregate(
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # single-file input → re-split the per-row hash work (see minhash note)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     wd = F.array_distinct(_words())
     wh = F.transform(
         wd, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")

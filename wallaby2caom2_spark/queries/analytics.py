@@ -188,7 +188,36 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# JSON extraction — typed projection out of a JSON props column
+# ---------------------------------------------------------------------------
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(json_extract_string(props, '$.k')::INTEGER)::BIGINT AS sum_k,
+       min(json_extract_string(props, '$.k')::INTEGER)::INTEGER AS min_k,
+       max(json_extract_string(props, '$.k')::INTEGER)::INTEGER AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "json_props_extract": json_props_extract,
     "rollup_revenue": rollup_revenue,
     "sessionize_events": sessionize_events,
     "value_percentiles": value_percentiles,
@@ -197,6 +226,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "json_props_extract": _JSON_PROPS_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "value_percentiles": _PERCENTILES_SQL,

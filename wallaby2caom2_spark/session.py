@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         # payload-heavy scans: smaller splits → more parallel decode tasks
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # Binary-column scan safety: the default 4096-row columnar batch
+        # materializes ~200 MB of on-heap OnHeapColumnVector per in-flight
+        # task when `bytes` averages ~50 KB; at 32 concurrent scan tasks
+        # that alone exceeds the pinned heap (round-1 driver bench OOM).
+        # 256 rows ≈ 13 MB/task keeps the whole scan wave under ~0.5 GB and
+        # matches the Arrow transfer batch (arrow_max_records_per_batch=512).
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # Same hazard on the vectorized Arrow/pandas conversion path.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "1024")
         # idempotent re-runs overwrite only the partitions they recompute
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")

@@ -65,3 +65,34 @@ def test_bulk_field_rewrite(spark, results_dir):
     assert after.filter(F.col("keep")).filter(
         F.col("drop_reason").isNotNull()
     ).count() == 0
+
+
+def test_rewrite_crash_recovery(spark, tmp_path):
+    """Crash-between-steps: whichever complete copy survives is promoted."""
+    import shutil
+
+    from wallaby2caom2_spark.plans.maintenance import recover_rewrite
+
+    inp = str(tmp_path / "clips")
+    datagen.write_clips_parquet(inp, 100, seed=31, rows_per_file=100)
+    out = str(tmp_path / "out")
+    run_resumable(spark, inp, out, n_buckets=2, n_waves=1)
+    live = os.path.join(out, "results")
+    n = spark.read.parquet(live).count()
+
+    # crash after move-aside, before promote: live missing, .old + .rewrite
+    shutil.copytree(live, live + ".rewrite")
+    shutil.move(live, live + ".old")
+    assert recover_rewrite(live) == "promoted_rewrite"
+    assert spark.read.parquet(live).count() == n
+    assert not os.path.exists(live + ".old")
+
+    # crash before the move-aside: live intact, stale .rewrite left behind
+    shutil.copytree(live, live + ".rewrite")
+    assert recover_rewrite(live) == "live"
+    assert not os.path.exists(live + ".rewrite")
+
+    # crash mid-write of the rewrite: only .old remains usable
+    shutil.move(live, live + ".old")
+    assert recover_rewrite(live) == "restored_old"
+    assert spark.read.parquet(live).count() == n

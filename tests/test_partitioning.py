@@ -22,7 +22,7 @@ def skewed(spark, tmp_path_factory):
     """Heavily skewed table: 40% of rows share ONE clip_id value."""
     path = str(tmp_path_factory.mktemp("skew") / "clips")
     datagen.write_clips_parquet(path, 2000, seed=13, rows_per_file=1000)
-    df = spark.read.parquet(path).select("clip_id", "sr_hz")
+    df = spark.read.parquet(path).select("clip_id", "sr_hz", "transcript")
     hot = df.limit(800).withColumn("clip_id", F.lit("hot_key"))
     return df.unionByName(hot)
 
@@ -50,6 +50,30 @@ def test_salted_repartition_balances(spark, skewed):
     assert len(sizes) == N_PARTS
     # near-uniform despite 40% duplicate keys: no partition above 2x ideal
     assert max(sizes) <= 2.0 * (total / N_PARTS)
+
+
+def test_salted_repartition_is_deterministic(spark, skewed):
+    """Same input → identical partition routing across independent runs.
+
+    The salt must be a pure function of row content (no
+    monotonically_increasing_id / rand): a stage retry after a lost
+    executor re-executes map tasks, and nondeterministic routing there
+    duplicates or drops rows (SPARK-23207 class)."""
+
+    def assignment(df):
+        rows = (
+            salted_repartition(df, N_PARTS)
+            .withColumn("pid", F.spark_partition_id())
+            .select("clip_id", "transcript", "pid")
+            .collect()
+        )
+        return {(r["clip_id"], r["transcript"]): r["pid"] for r in rows}
+
+    # shuffle upstream layout between runs: coalesce changes input split
+    # boundaries, which is exactly what a retry/AQE re-plan can do
+    a = assignment(skewed)
+    b = assignment(skewed.coalesce(3))
+    assert a == b
 
 
 def test_bucket_is_deterministic(spark, skewed):

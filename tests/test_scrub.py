@@ -38,3 +38,17 @@ def test_ssn_wins_over_phone():
     # SSN-shaped digits must not be half-eaten by the phone pattern
     got, n = scrub_one("id 123-45-6789 ok")
     assert got == "id [SSN] ok" and n == 1
+
+
+def test_overlapping_spans_leftmost_wins():
+    """Contract pin: LEFTMOST match wins; listed order only breaks ties at
+    equal start. '99 123-45-6789 99' is both an SSN (at pos 3) and a
+    13-digit card run (at pos 0) — the earlier-starting CARD branch takes
+    the whole span. The text is still fully redacted."""
+    out, n = scrub_one("99 123-45-6789 99")
+    assert out == "[CARD]"
+    assert n == 1
+    # equal-start tie: listed order (SSN before CARD-shaped continuations)
+    out, n = scrub_one("ssn 123-45-6789 ok")
+    assert out == "ssn [SSN] ok"
+    assert n == 1

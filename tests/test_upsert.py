@@ -66,3 +66,29 @@ def test_upsert_prunes_untouched_buckets(spark, target):
     after = spark.read.parquet(target)
     assert after.filter(F.col("scrub_edits") == 999).count() == 1
     assert after.count() == n_before
+
+
+def test_upsert_intra_batch_duplicates_deterministic(spark, target):
+    """One batch, several rows per key: order_col picks the winner, counts
+    collapse to distinct keys, and re-running yields the same survivor."""
+    before = spark.read.parquet(target)
+    n0 = before.count()
+    base = before.orderBy("clip_id").limit(5).drop("bucket")
+    v1 = base.withColumn("scrub_edits", F.lit(101)).withColumn(
+        "dur_ms_meas", F.lit(1)
+    )
+    v2 = base.withColumn("scrub_edits", F.lit(202)).withColumn(
+        "dur_ms_meas", F.lit(2)
+    )
+    updates = v1.unionByName(v2)
+
+    summary = merge_upsert(
+        spark, target, updates, n_buckets=8, order_col="dur_ms_meas"
+    )
+    assert summary["updated"] == 5
+    assert summary["inserted"] == 0
+    after = spark.read.parquet(target)
+    assert after.count() == n0
+    # highest order_col wins for every duplicated key
+    assert after.filter(F.col("scrub_edits") == 202).count() == 5
+    assert after.filter(F.col("scrub_edits") == 101).count() == 0

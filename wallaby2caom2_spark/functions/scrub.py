@@ -6,11 +6,18 @@ Direct analog of the reference's declarative value-repair cache
 Here the table is a flat ordered list of (pattern → replacement token);
 priority order is part of the contract.
 
-Application is a SINGLE left-to-right pass over one combined alternation
-(first-listed pattern wins at equal start positions — same outcome as the
-sequential per-pattern passes for this table, since no replacement token can
-feed a later pattern, at ~5x less regex work). ~0.26 → ~0.06 ms/row on 1 KB
-transcripts, and scrub is the hottest python stage.
+Application is a SINGLE left-to-right pass over one combined alternation.
+The contract is lexer-style: the LEFTMOST match wins; listed order breaks
+ties only at equal start positions. This differs from sequential
+per-pattern passes when spans overlap at different starts — e.g.
+``"99 123-45-6789 99"``: sequentially SSN would fire first giving
+``"99 [SSN] 99"``, but the 13-digit-with-separators run starting at
+position 0 is a CARD match, and leftmost wins → ``"[CARD]"``. Every such
+span is still fully redacted (a coarser label swallows the finer one, never
+the reverse, because each branch is \\b-anchored and at least as long as
+what it covers); tests/test_scrub.py pins the overlap behavior. Single-pass
+is ~5x less regex work (~0.26 → ~0.06 ms/row on 1 KB transcripts), and
+scrub is the hottest python stage.
 
 Shared by the Spark text stage (operators/text_stage.py, compiled once per
 executor worker at import) and the oracle labeler.

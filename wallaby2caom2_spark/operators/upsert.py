@@ -33,13 +33,30 @@ def merge_upsert(
     updates: DataFrame,
     key: str = "clip_id",
     n_buckets: int = 16,
+    order_col: str | None = None,
 ) -> dict:
     """Upsert ``updates`` into the bucket-partitioned table at target_path.
 
-    Returns {"touched_buckets": [...], "updated": n, "inserted": n}.
+    ``order_col`` (e.g. an mtime/sequence column) picks the winner when one
+    batch carries several rows per key — highest value wins; residual ties
+    (and the no-``order_col`` case) break on a content hash so re-runs pick
+    the same row deterministically.
+
+    Returns {"touched_buckets": [...], "updated": n, "inserted": n} with
+    counts over DISTINCT keys (intra-batch duplicates collapse first).
     """
-    upd = with_bucket(updates, n_buckets, key=key).withColumn(
-        "_is_update", F.lit(True)
+    upd = with_bucket(updates, n_buckets, key=key)
+    # collapse intra-batch duplicate keys deterministically before counting
+    content_hash = F.xxhash64(*[F.col(c) for c in updates.columns])
+    order = (
+        [F.col(order_col).desc_nulls_last()] if order_col else []
+    ) + [content_hash.desc()]
+    w_upd = Window.partitionBy(key).orderBy(*order)
+    upd = (
+        upd.withColumn("_rn", F.row_number().over(w_upd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_is_update", F.lit(True))
     )
     touched = [int(r["bucket"]) for r in upd.select("bucket").distinct().collect()]
 
@@ -50,7 +67,7 @@ def merge_upsert(
 
     n_before = existing.count()
     merged = existing.unionByName(upd)
-    # latest-wins: update rows shadow existing rows with the same key
+    # latest-wins: the (now unique) update row shadows the existing row
     w = Window.partitionBy(key).orderBy(F.col("_is_update").desc())
     resolved = (
         merged.withColumn("_rn", F.row_number().over(w))
@@ -63,17 +80,20 @@ def merge_upsert(
     # the result so the overwrite never races its own input
     resolved = resolved.localCheckpoint(eager=True)
     n_after = resolved.count()
-    n_updates = upd.count()
+    n_update_keys = upd.count()
     inserted = n_after - n_before
 
     (
         resolved.write.mode("overwrite")
+        # per-write, not session-level: under the default STATIC mode an
+        # externally-built session would truncate every untouched bucket
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(target_path)
     )
     spark.catalog.refreshByPath(target_path)
     return {
         "touched_buckets": sorted(touched),
-        "updated": n_updates - inserted,
+        "updated": n_update_keys - inserted,
         "inserted": inserted,
     }

@@ -15,6 +15,8 @@ dynamic partition overwrite keeps re-runs safe.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +39,33 @@ def rebucket_job(
     return n_buckets
 
 
+def recover_rewrite(results_path: str) -> str:
+    """Crash recovery for ``bulk_field_rewrite_job``'s staged swap: promote
+    whichever complete copy survives. Returns 'live' | 'promoted_rewrite' |
+    'restored_old'. Safe to call unconditionally before a retry."""
+    import shutil
+
+    rewrite, old = results_path + ".rewrite", results_path + ".old"
+    if os.path.exists(results_path):
+        # live dir intact — drop any stale staging leftovers
+        shutil.rmtree(rewrite, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return "live"
+    if os.path.exists(old) and os.path.exists(rewrite):
+        # crashed between move-aside and promote: the rewrite is complete
+        # (it is written before any move) — finish the swap
+        shutil.move(rewrite, results_path)
+        shutil.rmtree(old)
+        return "promoted_rewrite"
+    if os.path.exists(rewrite):
+        shutil.move(rewrite, results_path)
+        return "promoted_rewrite"
+    if os.path.exists(old):
+        shutil.move(old, results_path)
+        return "restored_old"
+    raise FileNotFoundError(f"no copy of {results_path} to recover")
+
+
 def bulk_field_rewrite_job(
     spark: SparkSession,
     results_path: str,
@@ -49,23 +78,40 @@ def bulk_field_rewrite_job(
 
     Returns the number of rows rewritten.
     """
+    from pyspark.sql import Observation
+
     df = spark.read.parquet(results_path)
     cond = predicate if predicate is not None else F.lit(True)
     patched = df.withColumn(
         field, F.when(cond, F.lit(value)).otherwise(F.col(field))
     )
-    n = patched.filter(cond).count()
+    # observe() rides the write job — rewritten-row count without a second
+    # pass over the table
+    obs = Observation("rewrite_metrics")
+    patched = patched.observe(obs, F.sum(cond.cast("long")).alias("rewritten"))
     writer = patched.write.mode("overwrite")
     if "bucket" in patched.columns:
-        writer = writer.partitionBy("bucket")
-    # parquet has no transactional replace of the SAME directory while
-    # reading from it — stage to a sibling then swap would be the prod path;
-    # here we materialize first (count() above) then overwrite
-    writer.parquet(results_path + ".rewrite")
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+            "bucket"
+        )
+    # Staged swap: write the full rewrite to a sibling dir, move the live
+    # dir aside, promote the rewrite, then delete the old — the
+    # unrecoverable window is a single rename, and a crash at any step
+    # leaves at least one complete copy on disk (test_maintenance.py covers
+    # crash-between-steps recovery). NOTE: the directory renames assume the
+    # driver and storage share a POSIX filesystem — the sandbox stand-in for
+    # Iceberg's atomic snapshot-swap (`CREATE OR REPLACE` / `replace`
+    # commit); on S3/HDFS use that instead.
     import shutil
 
-    shutil.rmtree(results_path)
-    shutil.move(results_path + ".rewrite", results_path)
+    rewrite, old = results_path + ".rewrite", results_path + ".old"
+    shutil.rmtree(rewrite, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    writer.parquet(rewrite)
+    n = int(obs.get["rewritten"] or 0)
+    shutil.move(results_path, old)
+    shutil.move(rewrite, results_path)
+    shutil.rmtree(old)
     # drop the cached file index — the old listing points at deleted files
     spark.catalog.refreshByPath(results_path)
     return n

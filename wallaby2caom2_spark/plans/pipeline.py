@@ -54,27 +54,44 @@ def quality_filter(
     """clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript) → result rows.
 
     ``fused=True`` (default): ONE mapInPandas crossing computes decode +
-    text-model features per scan split (bytes die inside the worker), then
-    the salted repartition moves only slim feature rows and the cascade runs
-    in codegen. ``fused=False`` keeps the two-stage composition (decode →
+    text-model features per scan split (bytes die inside the worker), the
+    transcript stats + rule cascade + scrub mask run in codegen on the SAME
+    narrow stage, and only the final slim result rows cross the one salted
+    exchange — ``transcript`` and the unmasked scrub text never shuffle
+    (dropped rows carry NULL text, so the exchange moves kept-row text
+    only). ``fused=False`` keeps the two-stage composition (decode →
     shuffle → text models) — same semantics, used by the composability
-    tests. Either way no payload byte ever crosses a shuffle.
+    tests; there the repartition must sit BEFORE the text UDFs (that path's
+    skew-kill is about balancing Python work), so transcript crosses.
+    Either way no payload byte ever crosses a shuffle.
     """
+    n = num_partitions or clips.sparkSession.sparkContext.defaultParallelism * 2
     if fused:
         df = clips.transform(fused_stage.with_fused_features)
     else:
         df = clips.transform(decode.with_decode_features).drop("bytes")
-    if repartition:
-        n = num_partitions or clips.sparkSession.sparkContext.defaultParallelism * 2
-        df = partitioning.salted_repartition(df, n)
-    if not fused:
+        if repartition:
+            # deterministic per-row salt: transcript alone is enough entropy
+            # to split duplicate hot clip_ids, and skips re-hashing the
+            # other feature columns in the exchange's hash projection
+            df = partitioning.salted_repartition(df, n, content_cols=("transcript",))
         df = df.transform(text_stage.with_text_models)
     df = (
         df.transform(cascade.with_transcript_stats)
         .transform(lambda d: cascade.with_keep_drop(d, cfg))
         .transform(text_stage.mask_scrub)
+        .select(*RESULT_COLUMNS)
     )
-    return df.select(*RESULT_COLUMNS)
+    if fused and repartition:
+        # the exchange balances output rows for the sink regardless of key
+        # skew / input layout; content-derived salt columns keep routing
+        # deterministic across stage retries while splitting hot clip_ids
+        # (ppl/rms/dur are content hashes in effect; scrubbed text covers
+        # kept rows)
+        df = partitioning.salted_repartition(
+            df, n, content_cols=("scrubbed_transcript", "ppl", "rms", "dur_ms_meas")
+        )
+    return df
 
 
 def run_metrics(result: DataFrame) -> DataFrame:

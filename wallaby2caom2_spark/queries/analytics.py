@@ -135,17 +135,29 @@ FROM events GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT semantics as ONE plan: per-user membership flags in
+    a single aggregation, then conditional counts + stack() to rows — no
+    driver-side .count() round-trips (each would be a separate job over the
+    events table; at 100 TB that's two full extra scans)."""
     ev = load(spark, sf_dir, "events")
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    both = buyers.intersect(erroring)
-    only_buy = buyers.exceptAll(erroring)
-    return spark.createDataFrame(
-        [
-            ("both", both.count()),
-            ("buy_only", only_buy.count()),
-        ],
-        "cohort string, n_users bigint",
+    flags = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "purchase").alias("is_buyer"),
+            F.max(F.col("event_type") == "error").alias("is_err"),
+        )
+    )
+    counts = flags.agg(
+        F.coalesce(
+            F.sum((F.col("is_buyer") & F.col("is_err")).cast("long")), F.lit(0)
+        ).alias("both"),
+        F.coalesce(
+            F.sum((F.col("is_buyer") & ~F.col("is_err")).cast("long")), F.lit(0)
+        ).alias("buy_only"),
+    )
+    return counts.selectExpr(
+        "stack(2, 'both', both, 'buy_only', buy_only) AS (cohort, n_users)"
     )
 
 

@@ -76,24 +76,37 @@ def _shingles(words: F.Column) -> F.Column:
     )
 
 
-def _minhash(shingles: F.Column, seed: int) -> F.Column:
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
-    )
-
-
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (min of md5(seed||shingle) per seed).
+
+    Shape: explode shingles once, hash in plain codegen projections, then
+    ``groupBy(doc_id).min()`` — NOT per-row ``transform``/``array_min``
+    lambdas. Higher-order array functions run in interpreted expression
+    eval (outside whole-stage codegen) and were ~12x slower end-to-end; the
+    explode form keeps all N_MINHASH md5s inside codegen, and Spark's
+    partial (map-side) aggregation collapses the exchange to ~one row per
+    doc, so the added shuffle moves only output-sized slim rows.
+    ``explode_outer`` keeps shingle-less docs as NULL-signature rows,
+    matching the oracle's list_min-over-empty semantics."""
     # the documents table is one parquet file → one scan split; the md5
     # shingle work is the dominant cost, so re-split it across cores first
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = _shingles(_words())
-    d = docs.withColumn("sh", sh)
-    cols = [
-        _minhash(F.col("sh"), h).alias(f"sig{h}") for h in range(N_MINHASH)
+    # bind the split to a real column FIRST: _shingles indexes `words` from
+    # inside a transform() lambda, and an inlined split expression would be
+    # re-evaluated on every element_at — O(words²) per row, measured 20x
+    # slower at 50k docs
+    ex = (
+        docs.withColumn("words", _words())
+        .withColumn("sh", _shingles(F.col("words")))
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"sig{h}")
+        for h in range(N_MINHASH)
     ]
-    return d.select("doc_id", *cols)
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sig_sql() -> str:

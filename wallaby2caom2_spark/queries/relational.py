@@ -300,6 +300,168 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# P9 full — the reference's most intricate naming rule, end to end
+# ---------------------------------------------------------------------------
+
+def product_id_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full P9 (``wallaby2caom2/storage_name.py:145-167`` set_product_id):
+    tokenize on '_', conditionally remove the FIRST 'Kin' token (only when
+    no 'High-Res' token), slice ``[2:-3]`` when a 'prev' token is present
+    else ``[2:-1]``, then prefix by suffix-class ('source_data_' when the
+    file_id carries a _cube/_mom/_chan/_mask/_snr/_spec marker, else
+    'kinematic_model_'); 'SoFiA' names pass through unchanged.
+
+    WALLABY-shaped file_ids are synthesized deterministically from
+    p_partkey (identically in the oracle) so every branch is exercised.
+    Pure codegen — split/slice/array_position higher-order exprs, no UDF."""
+    part = load(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    s = pk.cast("string")
+    file_id = (
+        F.when(pk % 5 == 0, F.concat(F.lit("SoFiA_J"), s, F.lit("_cube")))
+        .when(pk % 5 == 1, F.concat(F.lit("WALLABY_J"), s, F.lit("_Kin_TR2_cube_v02")))
+        .when(
+            pk % 5 == 2,
+            F.concat(F.lit("WALLABY_J"), s, F.lit("_High-Res_Kin_model_v01")),
+        )
+        .when(
+            pk % 5 == 3,
+            F.concat(F.lit("WALLABY_J"), s, F.lit("_Kin_model_prev_256_v01")),
+        )
+        .otherwise(F.concat(F.lit("WALLABY_J"), s, F.lit("_mom0_v03")))
+    )
+    df = part.select("p_partkey", file_id.alias("file_id")).withColumn(
+        "toks0", F.split("file_id", "_")
+    )
+    kin = "array_position(toks0, 'Kin')"
+    df = df.withColumn(
+        "toks",
+        F.expr(
+            f"""CASE WHEN array_contains(toks0, 'Kin')
+                          AND NOT array_contains(toks0, 'High-Res')
+                     THEN concat(slice(toks0, 1, {kin} - 1),
+                                 slice(toks0, {kin} + 1, size(toks0) - {kin}))
+                     ELSE toks0 END"""
+        ),
+    )
+    fans = F.expr(
+        """CASE WHEN array_contains(toks, 'prev')
+                THEN array_join(slice(toks, 3, greatest(size(toks) - 5, 0)), '_')
+                ELSE array_join(slice(toks, 3, greatest(size(toks) - 3, 0)), '_')
+           END"""
+    )
+    is_source = (
+        F.col("file_id").contains("_cube")
+        | F.col("file_id").contains("_mom")
+        | F.col("file_id").contains("_chan")
+        | F.col("file_id").contains("_mask")
+        | F.col("file_id").contains("_snr")
+        | F.col("file_id").contains("_spec")
+    )
+    product_id = F.when(
+        F.col("file_id").contains("SoFiA"), F.col("file_id")
+    ).otherwise(
+        F.concat(
+            F.when(is_source, F.lit("source_data_")).otherwise(
+                F.lit("kinematic_model_")
+            ),
+            fans,
+        )
+    )
+    return df.select("p_partkey", "file_id", product_id.alias("product_id"))
+
+
+_PRODUCT_ID_SQL = """
+WITH base AS (
+  SELECT p_partkey,
+         CASE p_partkey % 5
+           WHEN 0 THEN 'SoFiA_J' || p_partkey::VARCHAR || '_cube'
+           WHEN 1 THEN 'WALLABY_J' || p_partkey::VARCHAR || '_Kin_TR2_cube_v02'
+           WHEN 2 THEN 'WALLABY_J' || p_partkey::VARCHAR || '_High-Res_Kin_model_v01'
+           WHEN 3 THEN 'WALLABY_J' || p_partkey::VARCHAR || '_Kin_model_prev_256_v01'
+           ELSE 'WALLABY_J' || p_partkey::VARCHAR || '_mom0_v03'
+         END AS file_id
+  FROM part
+), tok AS (
+  SELECT *, string_split(file_id, '_') AS toks0 FROM base
+), kin AS (
+  SELECT *,
+         CASE WHEN list_contains(toks0, 'Kin')
+                   AND NOT list_contains(toks0, 'High-Res')
+              THEN toks0[1:list_position(toks0, 'Kin')-1]
+                   || toks0[list_position(toks0, 'Kin')+1:len(toks0)]
+              ELSE toks0 END AS toks
+  FROM tok
+), f AS (
+  SELECT *,
+         CASE WHEN list_contains(toks, 'prev')
+              THEN array_to_string(toks[3:len(toks)-3], '_')
+              ELSE array_to_string(toks[3:len(toks)-1], '_') END AS fans
+  FROM kin
+)
+SELECT p_partkey, file_id,
+       CASE WHEN contains(file_id, 'SoFiA') THEN file_id
+            ELSE (CASE WHEN contains(file_id, '_cube') OR contains(file_id, '_mom')
+                            OR contains(file_id, '_chan') OR contains(file_id, '_mask')
+                            OR contains(file_id, '_snr') OR contains(file_id, '_spec')
+                       THEN 'source_data_' ELSE 'kinematic_model_' END) || fans
+       END AS product_id
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5 — store-if-newer: mtime-compare conditional transfer selection
+# ---------------------------------------------------------------------------
+
+def store_if_newer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (reference ``README.md:39-41``: store a file when the archive copy
+    is missing or older than the local one). Local side = latest activity
+    per user; remote side = the archive's stale view (non-click events).
+    Both aggregations shuffle on user_id, so the left join is co-partitioned
+    — no extra exchange; missing-remote rows surface as 'store_new'."""
+    ev = load(spark, sf_dir, "events")
+    local = ev.groupBy("user_id").agg(F.max("ts").alias("local_mtime"))
+    remote = (
+        ev.filter(F.col("event_type") != "click")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("remote_mtime"))
+    )
+    out = local.join(remote, "user_id", "left").filter(
+        F.col("remote_mtime").isNull()
+        | (F.col("local_mtime") > F.col("remote_mtime"))
+    )
+    return out.select(
+        "user_id",
+        F.date_format("local_mtime", "yyyy-MM-dd HH:mm:ss").alias("local_mtime_s"),
+        F.coalesce(
+            F.date_format("remote_mtime", "yyyy-MM-dd HH:mm:ss"), F.lit("missing")
+        ).alias("remote_mtime_s"),
+        F.when(F.col("remote_mtime").isNull(), F.lit("store_new"))
+        .otherwise(F.lit("store_newer"))
+        .alias("action"),
+    )
+
+
+_STORE_IF_NEWER_SQL = """
+WITH local AS (
+  SELECT user_id, max(ts) AS local_mtime FROM events GROUP BY user_id
+), remote AS (
+  SELECT user_id, max(ts) AS remote_mtime FROM events
+  WHERE event_type <> 'click' GROUP BY user_id
+)
+SELECT l.user_id,
+       strftime(l.local_mtime, '%Y-%m-%d %H:%M:%S') AS local_mtime_s,
+       coalesce(strftime(r.remote_mtime, '%Y-%m-%d %H:%M:%S'), 'missing')
+           AS remote_mtime_s,
+       CASE WHEN r.user_id IS NULL THEN 'store_new' ELSE 'store_newer' END
+           AS action
+FROM local l LEFT JOIN remote r USING (user_id)
+WHERE r.user_id IS NULL OR l.local_mtime > r.remote_mtime
+"""
+
+
+# ---------------------------------------------------------------------------
 # P15 analog — declarative value-repair / scrub chain (ordered regex table)
 # ---------------------------------------------------------------------------
 
@@ -340,6 +502,8 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "hourly_event_rollup": hourly_event_rollup,
     "name_derivation": name_derivation,
+    "product_id_derivation": product_id_derivation,
+    "store_if_newer": store_if_newer,
     "value_repair_scrub": value_repair_scrub,
 }
 
@@ -352,5 +516,7 @@ ORACLE = {
     "latest_event_per_user": _LATEST_EVENT_SQL,
     "hourly_event_rollup": _HOURLY_ROLLUP_SQL,
     "name_derivation": _NAME_DERIVATION_SQL,
+    "product_id_derivation": _PRODUCT_ID_SQL,
+    "store_if_newer": _STORE_IF_NEWER_SQL,
     "value_repair_scrub": _VALUE_REPAIR_SQL,
 }

@@ -25,9 +25,14 @@ CLIPS_SCHEMA = T.StructType(
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """Probe for the Iceberg Spark runtime (absent in this container)."""
+    """Probe for the Iceberg Spark runtime (absent in this container).
+
+    Must actually load the class: bare ``spark._jvm.org...`` attribute
+    access returns a lazy py4j JavaPackage and never raises."""
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # type: ignore[union-attr]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
@@ -43,10 +48,14 @@ def read_clips(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_results(df: DataFrame, path: str, partition_by: str | None = "bucket") -> None:
-    """Idempotent partitioned write: with dynamic partitionOverwriteMode
-    (session.py) a re-run replaces exactly the partitions it recomputes —
-    the Parquet stand-in for Iceberg's ``MERGE INTO`` keyed on clip_id."""
+    """Idempotent partitioned write: with dynamic partitionOverwriteMode a
+    re-run replaces exactly the partitions it recomputes — the Parquet
+    stand-in for Iceberg's ``MERGE INTO`` keyed on clip_id. The mode is set
+    per-write so idempotence holds even under an externally-built session
+    whose default is STATIC (which would truncate untouched partitions)."""
     writer = df.write.mode("overwrite")
     if partition_by and partition_by in df.columns:
-        writer = writer.partitionBy(partition_by)
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+            partition_by
+        )
     writer.parquet(path)

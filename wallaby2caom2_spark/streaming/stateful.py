@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,36 +34,45 @@ _OUT_FIELDS = [
 OUT_SCHEMA = T.StructType(_OUT_FIELDS)
 
 
-def _hash64(s: str) -> int:
-    # deterministic 63-bit FNV-1a — stable across workers and restarts
-    h = 14695981039346656037
-    for b in s.encode():
-        h = ((h ^ b) * 1099511628211) & ((1 << 63) - 1)
-    return h
-
-
 def _dedup_fn(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
-    fresh_ids: list[str] = []
+    # No per-row Python: the 64-bit id hash is computed JVM-side
+    # (xxhash64 in dedup_stream); here it's pure ndarray set algebra.
+    # State is a sorted int64 array — at 10^12 ids swap the array for a
+    # Bloom filter payload, same operator shape.
+    seen = (
+        np.asarray(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.empty(0, dtype=np.int64)
+    )
+    out: list[pd.Series] = []
     for pdf in pdfs:
-        for cid in pdf["clip_id"]:
-            h = _hash64(cid)
-            if h not in seen:
-                seen.add(h)
-                fresh_ids.append(cid)
-    state.update((sorted(seen),))
-    yield pd.DataFrame({"clip_id": fresh_ids, "group_id": [key[0]] * len(fresh_ids)})
+        h = pdf["id_hash"].to_numpy(dtype=np.int64)
+        first_in_batch = ~pd.Index(h).duplicated()
+        fresh = first_in_batch & ~np.isin(h, seen)
+        if fresh.any():
+            out.append(pdf.loc[fresh, "clip_id"])
+            seen = np.union1d(seen, h[fresh])  # stays sorted
+    ids = pd.concat(out) if out else pd.Series([], dtype=object)
+    state.update((seen.tolist(),))
+    yield pd.DataFrame(
+        {
+            "clip_id": ids.to_numpy(),
+            "group_id": np.full(len(ids), key[0], dtype=np.int32),
+        }
+    )
 
 
 def dedup_stream(clips: DataFrame, n_groups: int = 32) -> DataFrame:
     """Streaming DataFrame of clips → first-seen clip_ids only (per run,
     persisted in the query's state store across micro-batches)."""
-    keyed = clips.select("clip_id").withColumn(
-        "group_id", F.pmod(F.xxhash64("clip_id"), F.lit(n_groups)).cast("int")
+    keyed = clips.select(
+        "clip_id",
+        F.xxhash64("clip_id").alias("id_hash"),
+        F.pmod(F.xxhash64("clip_id"), F.lit(n_groups)).cast("int").alias("group_id"),
     )
     return keyed.groupBy("group_id").applyInPandasWithState(
         _dedup_fn,

@@ -68,6 +68,10 @@ def run_stream(
         )
         (
             batch.write.mode("overwrite")
+            # per-write dynamic overwrite: the exactly-once contract must
+            # not depend on who built the session (STATIC would truncate
+            # every earlier batch's partitions)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "bucket")
             .parquet(results_path)
         )
@@ -75,6 +79,7 @@ def run_stream(
             run_metrics(batch.drop("batch_id"))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(metrics_path)
         )

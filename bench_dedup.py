@@ -168,11 +168,13 @@ def main() -> None:
                 for k, v in results.items()
             )
             + f"\nLSH candidate pairs found: {pairs:,}\n\n"
-            "Scale shape: signatures are per-row higher-order array exprs in "
-            "whole-stage codegen (no Python); banding is explode + "
-            "groupBy(band, bucket) — an equi-shuffle on the band hash, never "
-            "an all-pairs product. At 10^12 docs the same plan shards by "
-            "(band_idx, bucket) with AQE skew-split handling hot buckets.\n"
+            "Scale shape: shingles explode once, all md5s run in whole-stage "
+            "codegen, and a map-side-combined groupBy(doc_id) collapses the "
+            "exchange to one slim row per doc (no Python anywhere); banding "
+            "is explode + groupBy(band, bucket) — an equi-shuffle on the "
+            "band hash, never an all-pairs product. At 10^12 docs the same "
+            "plan shards by (band_idx, bucket) with AQE skew-split handling "
+            "hot buckets.\n"
         )
 
 

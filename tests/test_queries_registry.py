@@ -24,6 +24,7 @@ def test_registry_shape():
         "clips_quality_filter",
         "clips_metrics",
         "multimodal_media_meta",
+        "clips_waveform_preview",
     }
     for name, sql in o.items():
         assert sql.strip(), name

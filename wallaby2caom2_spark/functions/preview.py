@@ -1,0 +1,109 @@
+"""Waveform preview/thumbnail generation — a REAL derived binary artifact.
+
+Reference analog (S11): ``wallaby2caom2/preview_augmentation.py:77-97``
+renders a matplotlib plot of the data product and stores
+``<file_id>_prev_256.png`` as a preview artifact
+(``wallaby2caom2/storage_name.py:129-131``). The audio-pipeline analog is a
+waveform-envelope thumbnail of the decoded PCM, encoded as an actual PNG.
+
+No imaging library is needed: PNG encoding of 8-bit grayscale is signature +
+IHDR + zlib-deflated filter-prefixed rows + IEND, all stdlib (``zlib`` /
+``struct``). The decoder below exists for tests (round-trip verification) —
+it only handles what the encoder emits (filter 0, colortype 0, bit depth 8).
+
+Everything is deterministic: same samples → byte-identical PNG.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+THUMB_W = 256  # matches the reference's _prev_256 naming
+THUMB_H = 64
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(img: np.ndarray) -> bytes:
+    """(h, w) uint8 array → 8-bit grayscale PNG bytes."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("expected (h, w) uint8")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
+    # each scanline prefixed with filter byte 0 (None)
+    raw = np.empty((h, w + 1), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_png_gray` (test helper; filter-0 gray only)."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, w, h, idat = len(_PNG_SIG), 0, 0, b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", body)
+            if depth != 8 or ctype != 0:
+                raise ValueError("only 8-bit grayscale supported")
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    rows = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w + 1)
+    if (rows[:, 0] != 0).any():
+        raise ValueError("unexpected PNG filter")
+    return rows[:, 1:].copy()
+
+
+def waveform_envelope(samples: np.ndarray, width: int = THUMB_W) -> np.ndarray:
+    """Per-column peak amplitude in [0, 1]: ``width`` equal sample bins,
+    max(|x|) per bin (the standard audio-editor waveform overview)."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros(width, dtype=np.float64)
+    edges = (np.arange(width + 1, dtype=np.int64) * n) // width
+    absx = np.abs(samples)
+    env = np.maximum.reduceat(absx, np.minimum(edges[:-1], n - 1))
+    # reduceat yields garbage for empty bins (start == next start); zero them
+    empty = edges[1:] == edges[:-1]
+    env[empty] = 0.0
+    return np.clip(env.astype(np.float64), 0.0, 1.0)
+
+
+def waveform_thumbnail(
+    samples: np.ndarray | None, width: int = THUMB_W, height: int = THUMB_H
+) -> bytes | None:
+    """Decoded PCM → white-on-black waveform PNG, vertically symmetric
+    around the midline. None (undecodable clip) → None (no artifact),
+    matching the reference's skip-on-failure preview behavior."""
+    if samples is None or len(samples) == 0:
+        return None
+    env = waveform_envelope(samples, width)
+    half = height // 2
+    bar = np.rint(env * (half - 1)).astype(np.int64)  # rows above/below mid
+    rows = np.arange(height).reshape(height, 1)
+    mask = np.abs(rows - half) <= bar.reshape(1, width)
+    img = np.where(mask, np.uint8(255), np.uint8(0)).astype(np.uint8)
+    return encode_png_gray(img)

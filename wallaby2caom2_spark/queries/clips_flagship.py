@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
-from ..operators import multimodal
+from ..operators import multimodal, preview
 from ..plans.pipeline import quality_filter, run_metrics
 from ..sources import clips as clips_src
 
@@ -66,10 +66,31 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 real preview generation: decoded PCM → waveform-thumbnail PNG
+    binary column (operators/preview.py), summarized so the driver's
+    rows-only check sees stable values. Per-artifact verification (PNG
+    round-trip, determinism, oracle pcm_ok agreement) lives in
+    tests/test_preview.py."""
+    prev = preview.with_previews(load_clips(spark, sf_dir))
+    return (
+        prev.groupBy("prev_ok")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.coalesce(F.length("thumb_png"), F.lit(0))).alias(
+                "thumb_bytes"
+            ),
+            F.countDistinct("thumb_name").alias("n_names"),
+        )
+        .orderBy("prev_ok")
+    )
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
     "multimodal_media_meta": multimodal_media_meta,
+    "clips_waveform_preview": clips_waveform_preview,
 }
 
 ORACLE: dict[str, str] = {}

@@ -8,13 +8,14 @@ division, so value-hashes match bit-for-bit.
 
 Scale notes (100 TB design):
 - exact dedup: hash-groupBy on md5(text) — one shuffle on a uniform key.
-- MinHash: signatures are computed per-row with higher-order array functions
-  (whole-stage codegen, no explode, no Python); LSH banding turns the
-  quadratic pair problem into an equi-join on (band, bucket) — the shuffle
-  key is the band hash, uniform by construction.
-- SimHash: per-row bit-majority over word hashes, again pure codegen.
-- n-gram Jaccard: exact verify step, only run on LSH candidates at scale
-  (here demonstrated query-side with a broadcast probe set).
+- MinHash: shingles exploded once, hashed in whole-stage codegen, min'd by
+  a map-side-combined groupBy (no Python, no per-element lambdas in the hot
+  path); LSH banding turns the quadratic pair problem into an equi-join on
+  (band, bucket) — the shuffle key is the band hash, uniform by construction.
+- SimHash: per-row bit-majority over word hashes, pure codegen.
+- n-gram Jaccard: exact verify step; `dedup_lsh_verified_pairs` composes the
+  real scale path (LSH candidates → verify), `dedup_ngram_jaccard` keeps the
+  broadcast-probe variant for targeted verification.
 """
 
 from __future__ import annotations
@@ -133,17 +134,20 @@ SELECT doc_id, {sigs} FROM s
 # LSH banding — bucket-size accounting per band (the scale path's shuffle key)
 # ---------------------------------------------------------------------------
 
-def dedup_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = dedup_minhash_signature(spark, sf_dir)
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """signature rows → (doc_id, band_idx, bucket): each band hashes two
+    adjacent signature rows; the bucket id is the LSH shuffle/join key."""
     bands = F.array(
         *[
             F.md5(F.concat_ws("|", F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")))
             for b in range(N_MINHASH // 2)
         ]
     )
-    exploded = sig.select(
-        "doc_id", F.posexplode(bands).alias("band_idx", "bucket")
-    )
+    return sig.select("doc_id", F.posexplode(bands).alias("band_idx", "bucket"))
+
+
+def dedup_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = _band_buckets(dedup_minhash_signature(spark, sf_dir))
     buckets = exploded.groupBy("band_idx", "bucket").agg(
         F.count("*").alias("sz")
     )
@@ -177,6 +181,85 @@ SELECT band_idx::INTEGER AS band_idx,
        sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi_buckets,
        (sum(sz * (sz - 1) / 2))::BIGINT AS n_candidate_pairs
 FROM buckets GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# full near-dup pipeline — LSH candidates → exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+_VERIFY_JACCARD = 0.7
+
+
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed at-scale dedup path: MinHash signatures → LSH banding →
+    candidate pairs via EQUI-JOIN on (band_idx, bucket) (never an all-pairs
+    product) → distinct pairs → exact word-set Jaccard computed ONLY for
+    candidates. This is the shape that holds at 10^12 docs: both the
+    bucket self-join and the two word-set lookups are hash-partitioned
+    equi-joins; the quadratic work is confined to rows that already share
+    a bucket, and AQE skew-join splits any hot bucket."""
+    sig = dedup_minhash_signature(spark, sf_dir)
+    b = _band_buckets(sig)
+    cand = (
+        b.select(F.col("doc_id").alias("doc_a"), "band_idx", "bucket")
+        .join(
+            b.select(F.col("doc_id").alias("doc_b"), "band_idx", "bucket"),
+            ["band_idx", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    w = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_words()).alias("wset")
+    )
+    joined = cand.join(
+        w.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa")),
+        "doc_a",
+    ).join(
+        w.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb")),
+        "doc_b",
+    )
+    common = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    jac = common / (F.size("wa") + F.size("wb") - common)
+    return joined.select(
+        "doc_a", "doc_b", F.round(jac + 1e-9, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= _VERIFY_JACCARD)
+
+
+def _lsh_verified_sql() -> str:
+    band_exprs = ", ".join(
+        f"md5(sig{2 * b} || '|' || sig{2 * b + 1})" for b in range(N_MINHASH // 2)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS bucket,
+         unnest(generate_series(0, {N_MINHASH // 2 - 1})) AS band_idx
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+),
+w AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS wset
+  FROM documents
+),
+j AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(wa.wset, wb.wset))::DOUBLE
+           / (len(wa.wset) + len(wb.wset)
+              - len(list_intersect(wa.wset, wb.wset))) + 1e-9 AS jr
+  FROM cand
+  JOIN w wa ON wa.doc_id = doc_a
+  JOIN w wb ON wb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, round(jr, 4) AS jaccard
+FROM j WHERE round(jr, 4) >= {_VERIFY_JACCARD}
 """
 
 
@@ -280,6 +363,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_lsh_bands": dedup_lsh_bands,
+    "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
 }
@@ -288,6 +372,7 @@ ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_signature": _minhash_sig_sql(),
     "dedup_lsh_bands": _lsh_bands_sql(),
+    "dedup_lsh_verified_pairs": _lsh_verified_sql(),
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_simhash": _SIMHASH_SQL,
 }

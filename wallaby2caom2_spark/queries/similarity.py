@@ -206,6 +206,103 @@ FROM assigned GROUP BY centroid_id
 
 
 # ---------------------------------------------------------------------------
+# IVF search — assign to inverted lists, probe only the query's own list
+# ---------------------------------------------------------------------------
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-style ANN search (assign + probe, nprobe=1): every vector
+    joins its nearest centroid's inverted list; each probe vector searches
+    ONLY its own list via an equi-join on centroid_id, then exact cosine +
+    windowed top-k. The scale shape: candidate generation is a
+    hash-partitioned equi-join on the centroid key (at 10^12 vectors the
+    table is partitioned BY centroid so probing is shuffle-free), and the
+    quadratic work is confined to one inverted list per probe — never the
+    full table (that's `similarity_topk_bruteforce`'s baseline role)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", _to_double(F.col("embedding"))
+    )
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    data = emb.filter(F.col("vec_id") >= N_CENTROIDS)
+    cos_c = _dot(F.col("e"), F.col("ce")) / (
+        _norm(F.col("e")) * _norm(F.col("ce"))
+    )
+    scored = data.join(F.broadcast(cents)).select(
+        "vec_id", "e", "centroid_id", F.round(cos_c + 1e-9, 4).alias("cos_c")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "centroid_id")
+    )
+    probes = assigned.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "centroid_id"
+    )
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos_q = _dot(F.col("qe"), F.col("e")) / (
+        _norm(F.col("qe")) * _norm(F.col("e"))
+    )
+    pairs = cand.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos_q + 1e-9, 4).alias("cos_sim"),
+    )
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+_IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT vec_id, e, centroid_id,
+         round(list_dot_product(e, ce)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce)))
+               + 1e-9, 4) AS cos_c
+  FROM e CROSS JOIN cents
+  WHERE vec_id >= {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, e AS qe, centroid_id FROM assigned WHERE vec_id % 101 = 0
+),
+pairs AS (
+  SELECT q_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(qe, a.e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(a.e, a.e)))
+               + 1e-9, 4) AS cos_sim
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, neighbor_id, cos_sim, rank::INTEGER AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # norm sanity stats (cheap cardinality/health counters, A5 analog)
 # ---------------------------------------------------------------------------
 
@@ -296,6 +393,7 @@ QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf_assign": ann_ivf_assign,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "dedup_embedding_neardup": dedup_embedding_neardup,
 }
@@ -304,6 +402,7 @@ ORACLE = {
     "similarity_topk_bruteforce": _TOPK_SQL,
     "ann_lsh_buckets": _lsh_buckets_sql(),
     "ann_ivf_assign": _IVF_SQL,
+    "ann_ivf_topk": _IVF_TOPK_SQL,
     "embedding_norm_stats": _NORM_STATS_SQL,
     "dedup_embedding_neardup": _neardup_sql(),
 }

@@ -171,7 +171,11 @@ def predict_from_buckets(
     confs = np.zeros(n, dtype=np.float32)
     # mean log-likelihood per trigram (length-normalized) per row, then one
     # vectorized softmax over the whole batch (the per-row tail ops were
-    # ~40% of this function's cost)
+    # ~40% of this function's cost). NOTE: a fully-batched gather+reduceat
+    # variant measured the same steady-state speed (the gather dominates,
+    # not call overhead) while adding a large per-batch temp that this VM's
+    # hypervisor punishes on first touch — per-row gathers are the better
+    # memory-bandwidth citizens at 32 busy cores.
     ll = np.zeros((n, len(LANGS)), dtype=np.float32)
     valid = np.zeros(n, dtype=bool)
     for i, b in enumerate(bucket_list):

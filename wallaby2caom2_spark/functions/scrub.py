@@ -69,11 +69,62 @@ def scrub_one(text: str | None) -> tuple[str | None, int]:
     return _COMBINED.sub(_repl, text), edits
 
 
-def scrub_batch(texts: list[str | None]) -> tuple[list[str | None], list[int]]:
-    out_t: list[str | None] = []
-    out_n: list[int] = []
-    for t in texts:
-        s, n = scrub_one(t)
-        out_t.append(s)
-        out_n.append(n)
+def _scrub_hit(text: str) -> tuple[str, int]:
+    """The substitution pass alone (caller already ran the prescan)."""
+    edits = 0
+
+    def _repl(m: re.Match[str]) -> str:
+        nonlocal edits
+        edits += 1
+        return _REPLACEMENTS[int(m.lastgroup[1:])]  # type: ignore[index]
+
+    return _COMBINED.sub(_repl, text), edits
+
+
+# RE2/Java version of _PRESCAN (same hit set: the char class is caseless
+# already; the lexicon stems carry an inline (?i) group). Used both by the
+# Arrow fast path below and as a JVM `rlike` column in the fused stage —
+# the cheapest place to pay the gate is whole-stage codegen, where the text
+# is already in flight and only one boolean crosses to Python.
+_PRESCAN_RE2 = r"[0-9@]|(?i:frakking|scuzzbucket|damnwort|gorramit)"
+PRESCAN_PATTERN = _PRESCAN_RE2
+
+try:  # pyarrow is a hard dep of the pipeline, soft dep of the oracle
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    # one executor core == one python worker: Arrow's own kernel thread
+    # pool must not multiply that (32 workers x default-32-thread pools
+    # oversubscribe the host and fight the JVM for cores)
+    _pa.set_cpu_count(1)
+except ImportError:  # pragma: no cover
+    _pa = None
+
+
+def scrub_batch(
+    texts: list[str | None], hits: list[bool] | None = None
+) -> tuple[list[str | None], list[int]]:
+    """Batch scrub, identical per-row semantics to :func:`scrub_one`.
+
+    ``hits``: optional precomputed prescan mask (the fused stage computes it
+    JVM-side as an ``rlike(PRESCAN_PATTERN)`` codegen column — the text is
+    already in flight there and only one boolean crosses to Python, so the
+    gate is effectively free). Without it, the prescan runs vectorized
+    through Arrow's RE2 kernel (~27x faster than Python ``re``; the prescan,
+    not the substitution, dominated scrub since ~85% of rows are clean) —
+    but note the pa.array conversion copies every string, which costs real
+    memory bandwidth at high core counts; prefer passing ``hits``. Python
+    ``re`` remains the no-pyarrow fallback. Only hits pay the substitution."""
+    if hits is None:
+        if _pa is None:
+            pairs = [scrub_one(t) for t in texts]
+            return [p[0] for p in pairs], [p[1] for p in pairs]
+        hits = _pc.match_substring_regex(
+            _pa.array(texts, type=_pa.string()), _PRESCAN_RE2
+        ).to_pylist()
+    out_t: list[str | None] = list(texts)
+    out_n: list[int] = [0] * len(texts)
+    for i, hit in enumerate(hits):
+        if hit:
+            out_t[i], out_n[i] = _scrub_hit(texts[i])  # type: ignore[arg-type]
     return out_t, out_n

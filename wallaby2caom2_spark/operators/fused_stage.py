@@ -20,6 +20,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 FUSED_SCHEMA = T.StructType(
@@ -66,7 +67,9 @@ def fused_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buckets = langid.buckets_batch(texts)  # hash once, score twice
         langs, confs = langid.predict_from_buckets(buckets)
         ppls = perplexity.ppl_from_buckets(buckets)
-        out_t, out_n = scrub.scrub_batch(texts)
+        # prescan mask came from JVM codegen (rlike) — null text → no hit
+        hits = [bool(h) for h in pdf["scrub_hit"].fillna(False).to_numpy()]
+        out_t, out_n = scrub.scrub_batch(texts, hits=hits)
 
         yield pd.DataFrame(
             {
@@ -91,6 +94,14 @@ def fused_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def with_fused_features(df: DataFrame) -> DataFrame:
     """(clip_id, bytes, sr_hz, dur_ms, codec, transcript) → slim feature rows
-    (bytes never returns to the JVM)."""
+    (bytes never returns to the JVM). The scrub prescan gate rides along as
+    a whole-stage-codegen ``rlike`` boolean — the JVM already streams the
+    text into the Arrow batch, so the gate adds one byte per row instead of
+    a second regex pass (or an extra Arrow copy) inside Python."""
+    from ..functions.scrub import PRESCAN_PATTERN
+
     cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
-    return df.select(*cols).mapInPandas(fused_features, FUSED_SCHEMA)
+    gated = df.select(
+        *cols, F.col("transcript").rlike(PRESCAN_PATTERN).alias("scrub_hit")
+    )
+    return gated.mapInPandas(fused_features, FUSED_SCHEMA)

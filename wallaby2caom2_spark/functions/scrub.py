@@ -81,13 +81,9 @@ def _scrub_hit(text: str) -> tuple[str, int]:
     return _COMBINED.sub(_repl, text), edits
 
 
-# RE2/Java version of _PRESCAN (same hit set: the char class is caseless
-# already; the lexicon stems carry an inline (?i) group). Used both by the
-# Arrow fast path below and as a JVM `rlike` column in the fused stage —
-# the cheapest place to pay the gate is whole-stage codegen, where the text
-# is already in flight and only one boolean crosses to Python.
+# RE2 version of _PRESCAN (same hit set: the char class is caseless
+# already; the lexicon stems carry an inline (?i) group).
 _PRESCAN_RE2 = r"[0-9@]|(?i:frakking|scuzzbucket|damnwort|gorramit)"
-PRESCAN_PATTERN = _PRESCAN_RE2
 
 try:  # pyarrow is a hard dep of the pipeline, soft dep of the oracle
     import pyarrow as _pa
@@ -106,15 +102,13 @@ def scrub_batch(
 ) -> tuple[list[str | None], list[int]]:
     """Batch scrub, identical per-row semantics to :func:`scrub_one`.
 
-    ``hits``: optional precomputed prescan mask (the fused stage computes it
-    JVM-side as an ``rlike(PRESCAN_PATTERN)`` codegen column — the text is
-    already in flight there and only one boolean crosses to Python, so the
-    gate is effectively free). Without it, the prescan runs vectorized
-    through Arrow's RE2 kernel (~27x faster than Python ``re``; the prescan,
-    not the substitution, dominated scrub since ~85% of rows are clean) —
-    but note the pa.array conversion copies every string, which costs real
-    memory bandwidth at high core counts; prefer passing ``hits``. Python
-    ``re`` remains the no-pyarrow fallback. Only hits pay the substitution."""
+    The prescan runs vectorized through Arrow's RE2 kernel (~2 us/row —
+    27x faster than Python ``re``, and ~28x faster than the same pattern as
+    a JVM ``rlike`` codegen column, java.util.regex being a backtracking
+    engine; the prescan, not the substitution, dominated scrub since ~85%
+    of rows are clean). ``hits`` lets a caller supply a precomputed mask;
+    Python ``re`` remains the no-pyarrow fallback. Only hits pay the
+    substitution."""
     if hits is None:
         if _pa is None:
             pairs = [scrub_one(t) for t in texts]

@@ -190,11 +190,100 @@ FROM n
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling — hash-gated, single pass
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MOD = 20  # 5% per stratum
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic 1/``_SAMPLE_MOD`` sample via an md5 hash
+    gate — the training-data way to subsample 10^12 rows reproducibly:
+    ``rand()`` is partition-layout-dependent (a retry resamples differently)
+    while the content hash picks the SAME rows on any cluster, any engine.
+    Sample membership + stratum totals come out of ONE aggregation pass
+    (conditional agg), not a sample-then-join."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(
+        "conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
+    ).cast("bigint")
+    in_sample = (h % _SAMPLE_MOD) == 0
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(in_sample.cast("long")).alias("n_sampled"),
+        F.round(
+            F.avg(F.when(in_sample, F.col("n_chars"))) + 1e-9, 4
+        ).alias("sample_avg_chars"),
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT source,
+       count(*)::BIGINT AS n_total,
+       sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                     % {_SAMPLE_MOD} = 0 THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       round(avg(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % {_SAMPLE_MOD} = 0 THEN n_chars END) + 1e-9, 4)
+           AS sample_avg_chars
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# token top-k per language — vocabulary head, the BPE-training precursor
+# ---------------------------------------------------------------------------
+
+_TOPK_TOKENS = 5
+
+
+def token_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent whitespace tokens per language: explode → partial-agg
+    count (map-side combine collapses the token exchange to distinct tokens
+    per partition) → windowed top-k over the small aggregate. The shape a
+    tokenizer-training corpus scan uses at 100 TB."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(_words()).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK_TOKENS)
+        .select("lang", "token", "n", "rank")
+    )
+
+
+_TOKEN_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT lang, token, count(*)::BIGINT AS n FROM tok
+  WHERE len(token) > 0 GROUP BY 1, 2
+)
+SELECT lang, token, n, rank::INTEGER AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY n DESC, token ASC) AS rank
+  FROM c
+)
+WHERE rank <= {_TOPK_TOKENS}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid_heuristic": text_langid_heuristic,
     "doc_fingerprint": doc_fingerprint,
+    "sample_stratified": sample_stratified,
+    "token_topk_per_lang": token_topk_per_lang,
 }
 
 ORACLE = {
@@ -202,4 +291,6 @@ ORACLE = {
     "text_quality_score": _QUALITY_SQL,
     "text_langid_heuristic": _LANGID_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
+    "sample_stratified": _SAMPLE_SQL,
+    "token_topk_per_lang": _TOKEN_TOPK_SQL,
 }

@@ -25,6 +25,7 @@ def test_registry_shape():
         "clips_metrics",
         "multimodal_media_meta",
         "clips_waveform_preview",
+        "audio_fingerprint_neardup",
     }
     for name, sql in o.items():
         assert sql.strip(), name

@@ -144,3 +144,45 @@ def decode_features(
     rms = float(np.sqrt(np.mean(np.square(samples, dtype=np.float64))))
     clip_rate = float(np.mean(np.abs(samples) >= 32766.0 / _FULL_SCALE))
     return True, sr, dur_ms, rms, clip_rate
+
+
+# ---------------------------------------------------------------------------
+# spectral band fingerprint (audio content identity)
+# ---------------------------------------------------------------------------
+
+_FP_SEGMENTS = 4  # time segments
+_FP_BANDS = 16  # frequency bands per segment → 15 deltas → 60 bits total
+
+
+def band_fingerprint(samples: np.ndarray | None) -> tuple[bool, int]:
+    """60-bit audio-content fingerprint: 4 time segments x sign of the
+    15 log-band-energy deltas (16 equal-width FFT bands, DC excluded).
+
+    Gain-invariant by construction — scaling the signal by g multiplies every
+    band energy by g^2, which cancels in the log-energy *differences* — so a
+    re-encoded or re-levelled copy of the same recording maps to the same (or
+    hamming-near) fingerprint while unrelated clips differ in ~30 bits.
+    The audio analog of SimHash (queries/dedup.py): content identity without
+    trusting ``clip_id``. Reference analog: checksum-based store-if-newer
+    gating (``README.md:39-41``) — identity from content, not name.
+    """
+    if samples is None:
+        return False, 0
+    seg_len = len(samples) // _FP_SEGMENTS
+    if seg_len < 2 * _FP_BANDS + 2:
+        return False, 0
+    # Silence carries no content identity — without this gate every
+    # near-silent clip lands in one degenerate fingerprint bucket, the
+    # classic LSH hot key (C(n,2) pairs) at corpus scale.
+    if float(np.max(np.abs(samples))) < 1e-4:
+        return False, 0
+    bits = 0
+    for s in range(_FP_SEGMENTS):
+        seg = samples[s * seg_len : (s + 1) * seg_len]
+        spec = np.abs(np.fft.rfft(seg))[1:]  # drop DC
+        edges = np.linspace(0, len(spec), _FP_BANDS, endpoint=False).astype(int)
+        bands = np.add.reduceat(spec * spec, edges)
+        deltas = np.diff(np.log(bands + 1e-20))
+        for up in deltas > 0:
+            bits = (bits << 1) | int(bool(up))
+    return True, bits

@@ -1,0 +1,123 @@
+"""Audio-content fingerprint + LSH-banded near-dup join.
+
+The audio analog of the text SimHash/MinHash dedup family
+(queries/dedup.py): identify re-delivered or re-encoded copies of the same
+recording by CONTENT, independent of ``clip_id``. Reference analog: the
+store-if-newer / known-rejected gating (``README.md:39-41``,
+``config/config.yml:56-60``) keys work off identity, not name.
+
+Scale shape (the part that must survive 100 TB):
+
+- fingerprint extraction is one Arrow-batched pandas UDF over ``bytes``
+  (same crossing budget as the decode stage; the payload dies in the
+  worker — only an int64 leaves);
+- candidate generation is NOT all-pairs: the 60-bit fingerprint is split
+  into 4 15-bit bands and near-dups (hamming ≤ 3 across 60 bits) must
+  collide on ≥1 whole band → equi-join on ``(band_idx, band_bits)``,
+  identical to the text LSH banding;
+- verification is JVM-side ``bit_count(fp_a ^ fp_b)`` — no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import audio
+
+N_BANDS = 4
+BAND_BITS = 15  # 4 x 15 = 60 fingerprint bits
+
+FP_SCHEMA = T.StructType(
+    [
+        T.StructField("fp_ok", T.BooleanType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(FP_SCHEMA)
+def fingerprint_udf(
+    batches: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.DataFrame]:
+    """(bytes, codec) → (fp_ok, fp). Undecodable / too-short payloads yield
+    ``fp_ok=false`` and flow on (error containment, never fail the batch)."""
+    for payload, codec in batches:
+        n = len(payload)
+        ok = np.zeros(n, dtype=bool)
+        fps = np.zeros(n, dtype=np.int64)
+        codec_v = codec.to_numpy()
+        for i, raw in enumerate(payload.to_numpy()):
+            samples, _sr = audio.decode_clip(
+                bytes(raw) if raw is not None else None, codec_v[i]
+            )
+            o, f = audio.band_fingerprint(samples)
+            ok[i], fps[i] = o, f
+        yield pd.DataFrame({"fp_ok": ok, "fp": fps})
+
+
+def with_fingerprint(df: DataFrame) -> DataFrame:
+    """Append ``fp_ok``/``fp``; keeps every row (containment stage)."""
+    return (
+        df.withColumn("_fp", fingerprint_udf(F.col("bytes"), F.col("codec")))
+        .select("*", "_fp.*")
+        .drop("_fp")
+    )
+
+
+def banded_neardup_pairs(
+    fp_df: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup clip pairs via LSH banding over the 60-bit fingerprint.
+
+    Input needs columns ``clip_id, fp_ok, fp``. Pairs within hamming
+    ``max_hamming`` (< N_BANDS guarantees a shared band by pigeonhole) are
+    found by exploding each fingerprint into 4 ``(band_idx, band_bits)``
+    keys, equi-joining on the band key, then verifying the full hamming
+    distance with JVM ``bit_count`` — all codegen after the one UDF stage.
+    """
+    base = fp_df.filter(F.col("fp_ok")).select("clip_id", "fp")
+    bands = base.select(
+        "clip_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("fp"), i * BAND_BITS)
+                            % F.lit(1 << BAND_BITS)
+                        ).alias("band_bits"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("clip_id", "fp", "b.band_idx", "b.band_bits")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_bits") == F.col("r.band_bits"))
+            & (F.col("l.clip_id") < F.col("r.clip_id")),
+        )
+        .select(
+            F.col("l.clip_id").alias("clip_a"),
+            F.col("r.clip_id").alias("clip_b"),
+            F.col("l.fp").alias("fp_a"),
+            F.col("r.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["clip_a", "clip_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
-from ..operators import multimodal, preview
+from ..operators import audio_fp, multimodal, preview
 from ..plans.pipeline import quality_filter, run_metrics
 from ..sources import clips as clips_src
 
@@ -86,11 +86,36 @@ def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-identity dedup over AUDIO (operators/audio_fp.py): every 20th
+    clip is re-delivered under a new ``clip_id`` (byte-identical payload —
+    the upstream-redelivery case the stateful stream dedup also handles),
+    then fingerprint → banded LSH join → JVM hamming verify finds the pairs
+    without ever comparing ``clip_id``. Summarized by hamming distance so
+    the driver's rows-only check sees a small stable relation; pair-level
+    assertions live in tests/test_audio_fp.py."""
+    clips = load_clips(spark, sf_dir)
+    redelivered = (
+        clips.filter(F.xxhash64("clip_id") % 20 == 0)
+        .withColumn("clip_id", F.concat(F.lit("redeliver-"), F.col("clip_id")))
+    )
+    both = clips.unionByName(redelivered)
+    pairs = audio_fp.banded_neardup_pairs(
+        audio_fp.with_fingerprint(both), max_hamming=3
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
     "multimodal_media_meta": multimodal_media_meta,
     "clips_waveform_preview": clips_waveform_preview,
+    "audio_fingerprint_neardup": audio_fingerprint_neardup,
 }
 
 ORACLE: dict[str, str] = {}

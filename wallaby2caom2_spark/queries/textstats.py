@@ -277,6 +277,145 @@ WHERE rank <= {_TOPK_TOKENS}
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination — eval-set n-gram overlap scan
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # words per n-gram (real pipelines use 8-13; 5 fits the corpus)
+_DECON_MOD = 29  # doc_id % MOD == 0 plays the role of the held-out eval set
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: flag training documents that share any
+    word ``_DECON_N``-gram with a held-out eval set (here: every 29th doc).
+
+    Scale shape: eval n-grams are a small distinct set (eval suites are
+    thousands of docs, not billions) → ``broadcast`` hash join against the
+    exploded training n-grams, so the only wide op is the per-doc hit count
+    (partial agg). At 100 TB the gram strings would be ``xxhash64``-ed before
+    the join to shrink the probe side; kept as strings here so the DuckDB
+    oracle matches byte-for-byte. Reference analog: the rejected-known-
+    failures exclusion (J3, ``config/config.yml:56-60``) — membership in a
+    curated side list gates the row."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _words().alias("toks")
+    )
+    idx = F.when(
+        F.size("toks") >= _DECON_N,
+        F.sequence(F.lit(1), F.size("toks") - (_DECON_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i, _DECON_N)
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+
+
+_DECON_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - {_DECON_N - 1}, 0) + 1),
+           i -> array_to_string(toks[i:i + {_DECON_N - 1}], ' '))) AS gram
+  FROM t
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0)
+SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_hits
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id % {_DECON_MOD} <> 0
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling — distributed prefix-sum "take until N tokens"
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 15_000
+_BUDGET_BUCKET = 64  # doc_ids per prefix-sum bucket
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sampling: take documents in ``doc_id`` order until
+    the cumulative token count reaches ``_TOKEN_BUDGET`` — how a training run
+    carves a fixed-token subcorpus from a larger pool.
+
+    A naive ``Window.orderBy(doc_id)`` is a single-partition sort — the
+    classic global-cumsum trap at 100 TB. Implemented instead as the
+    two-pass distributed prefix sum: (1) within-bucket cumsum, parallel over
+    ``floor(doc_id/{bucket})`` buckets; (2) bucket totals (one tiny shuffle
+    of n_buckets rows) → prefix offsets, broadcast back. The only global
+    ordering work is over the bucket-totals table, which is ~rows/64 and at
+    real scale would be ~n_partitions rows."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(_words()).cast("long").alias("tok"),
+    )
+    from pyspark.sql.window import Window
+
+    d = docs.withColumn(
+        "bucket", F.floor(F.col("doc_id") / _BUDGET_BUCKET)
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("cum_in", F.sum("tok").over(w_in))
+    totals = d.groupBy("bucket").agg(F.sum("tok").alias("btot"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "boff", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    ).select("bucket", "boff")
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.col("cum_in") + F.col("boff"))
+        .filter(F.col("cum") <= _TOKEN_BUDGET)
+        .select("doc_id", "source", "tok", "cum")
+    )
+
+
+_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, tok,
+         sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, tok, cum FROM c WHERE cum <= {_TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -284,6 +423,8 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "sample_stratified": sample_stratified,
     "token_topk_per_lang": token_topk_per_lang,
+    "decontaminate_ngram": decontaminate_ngram,
+    "sample_token_budget": sample_token_budget,
 }
 
 ORACLE = {
@@ -293,4 +434,6 @@ ORACLE = {
     "doc_fingerprint": _FINGERPRINT_SQL,
     "sample_stratified": _SAMPLE_SQL,
     "token_topk_per_lang": _TOKEN_TOPK_SQL,
+    "decontaminate_ngram": _DECON_SQL,
+    "sample_token_budget": _BUDGET_SQL,
 }

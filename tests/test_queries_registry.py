@@ -26,6 +26,7 @@ def test_registry_shape():
         "multimodal_media_meta",
         "clips_waveform_preview",
         "audio_fingerprint_neardup",
+        "audio_segment_stats",
     }
     for name, sql in o.items():
         assert sql.strip(), name

@@ -186,3 +186,22 @@ def band_fingerprint(samples: np.ndarray | None) -> tuple[bool, int]:
         for up in deltas > 0:
             bits = (bits << 1) | int(bool(up))
     return True, bits
+
+
+def resample_linear(
+    samples: np.ndarray, sr_in: int, sr_out: int
+) -> np.ndarray:
+    """Linear-interpolation resample (vectorized ``np.interp``). Training
+    pipelines normalize heterogeneous corpora to one rate before windowing;
+    linear interp is the dependency-free stand-in for a polyphase filter
+    (same signature — swap in ``scipy.signal.resample_poly`` where allowed).
+    """
+    if sr_in == sr_out or len(samples) == 0:
+        return samples
+    n_out = int(round(len(samples) * sr_out / sr_in))
+    if n_out <= 0:
+        return samples[:0]
+    t_out = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    return np.interp(
+        t_out, np.arange(len(samples), dtype=np.float64), samples
+    ).astype(np.float32)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
-from ..operators import audio_fp, multimodal, preview
+from ..operators import audio_fp, multimodal, preview, segment
 from ..plans.pipeline import quality_filter, run_metrics
 from ..sources import clips as clips_src
 
@@ -110,12 +110,35 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-filter fan-out stage: kept clips → fixed 250 ms training
+    segments at a normalized 16 kHz (operators/segment.py, one→many
+    mapInPandas). Summarized per segment-duration class so the driver's
+    rows-only check sees a small stable relation; sample-exact
+    reconstruction is pinned in tests/test_segment.py."""
+    kept = quality_filter(load_clips(spark, sf_dir)).filter(F.col("keep"))
+    clips = load_clips(spark, sf_dir).join(
+        kept.select("clip_id"), "clip_id", "left_semi"
+    )
+    segs = segment.segment_clips(clips, window_ms=250, sr_out=16000)
+    return (
+        segs.groupBy((F.col("seg_dur_ms") == 250).alias("is_full_window"))
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.countDistinct("clip_id").alias("n_clips"),
+            F.sum(F.length("seg_bytes")).alias("payload_bytes"),
+        )
+        .orderBy("is_full_window")
+    )
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
     "multimodal_media_meta": multimodal_media_meta,
     "clips_waveform_preview": clips_waveform_preview,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
+    "audio_segment_stats": audio_segment_stats,
 }
 
 ORACLE: dict[str, str] = {}

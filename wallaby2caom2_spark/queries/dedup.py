@@ -359,6 +359,103 @@ FROM bits GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# connected components — near-dup pair graph → canonical survivor per group
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 15
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the dedup family: LSH-verified near-dup PAIRS →
+    duplicate GROUPS, so each group keeps one canonical survivor
+    (``component`` = min ``doc_id`` reachable through the pair graph).
+
+    Iterative min-label propagation — the distributed-CC shape that scales:
+    each round is one equi-join (edges ⋈ labels) + partial-agg min, labels
+    ``localCheckpoint``-ed per round so the lineage (and thus the plan) stays
+    O(1) deep instead of O(iters); on a real cluster this is
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``. Converges in
+    O(graph diameter) rounds — near-dup components are shallow (dozens of
+    members), so the ``_CC_MAX_ITERS`` cap is generous; the driver-side
+    convergence probe is one tiny count per round, the accepted pattern for
+    iterative algorithms (not a per-row collect). Reference analog: the
+    plane re-homing regroup J1 (``fix_product_id_visit.py:80-107``) —
+    records re-keyed to a canonical group id."""
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("component").alias("dst_comp"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                nbr_min.select(F.col("src").alias("doc_id"), "nbr_min"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "component")
+
+
+def _cc_sql() -> str:
+    # A CTE body may carry its own WITH chain, so the verified-pairs query
+    # nests verbatim — the oracle provably walks the same pair graph.
+    return f"""
+WITH RECURSIVE p AS (
+{_lsh_verified_sql()}
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
@@ -366,6 +463,7 @@ QUERIES = {
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_connected_components": dedup_connected_components,
 }
 
 ORACLE = {
@@ -375,4 +473,5 @@ ORACLE = {
     "dedup_lsh_verified_pairs": _lsh_verified_sql(),
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_simhash": _SIMHASH_SQL,
+    "dedup_connected_components": _cc_sql(),
 }

@@ -59,3 +59,98 @@ def test_state_survives_restart(spark, tmp_path):
     out2: list = []
     _run_once(spark, in_dir, out2, ckpt)
     assert out2 == ["z"]
+
+
+# ---------------------------------------------------------------------------
+# session assembly (event-time timeout)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+import pandas as _pd
+
+from wallaby2caom2_spark.streaming.stateful import session_stream
+
+_EV_SCHEMA = "clip_id string, source_id string, event_ts timestamp"
+
+
+def _write_events(path: str, name: str, rows: list[tuple]) -> None:
+    os.makedirs(path, exist_ok=True)
+    pdf = _pd.DataFrame(rows, columns=["clip_id", "source_id", "event_ts"])
+    # Spark reads timestamp as µs; pyarrow defaults to ns — pin the schema
+    schema = pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("source_id", pa.string()),
+            ("event_ts", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        os.path.join(path, name),
+    )
+
+
+def _run_sessions(spark, in_dir: str, out: list, ckpt: str) -> None:
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        session_stream(stream, gap_minutes=30)
+        .writeStream.foreachBatch(
+            lambda df, _id: out.extend(
+                (r["source_id"], r["n_clips"], r["start_ms"], r["end_ms"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ts(h: int, m: int = 0) -> _dt.datetime:
+    return _dt.datetime(2024, 1, 1, h, m)
+
+
+def test_session_closed_by_event_time_not_arrival(spark, tmp_path):
+    """s1's session closes when the WATERMARK passes its last event + gap —
+    triggered by s2's later events arriving in the next micro-batch."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    _write_events(in_dir, "f1.parquet", [
+        ("c1", "s1", _ts(10, 0)),
+        ("c2", "s1", _ts(10, 5)),
+    ])
+    _write_events(in_dir, "f2.parquet", [
+        ("c3", "s2", _ts(12, 0)),  # watermark jumps past 10:05 + 30min
+    ])
+    out: list = []
+    _run_sessions(spark, in_dir, out, ckpt)
+    assert out == [
+        ("s1", 2, int(_ts(10, 0).timestamp() * 1000), int(_ts(10, 5).timestamp() * 1000))
+    ]
+    # s2 still open; a later event in a NEW run flushes it via the
+    # checkpointed state store (state survives restart)
+    _write_events(in_dir, "f3.parquet", [("c4", "s3", _ts(14, 0))])
+    out2: list = []
+    _run_sessions(spark, in_dir, out2, ckpt)
+    assert out2 == [
+        ("s2", 1, int(_ts(12, 0).timestamp() * 1000), int(_ts(12, 0).timestamp() * 1000))
+    ]
+
+
+def test_session_gap_keeps_one_session_open(spark, tmp_path):
+    """Events within the gap extend the same session instead of closing it."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    _write_events(in_dir, "f1.parquet", [("c1", "s1", _ts(9, 0))])
+    _write_events(in_dir, "f2.parquet", [("c2", "s1", _ts(9, 20))])  # < 30min gap
+    _write_events(in_dir, "f3.parquet", [("c3", "s2", _ts(13, 0))])  # closes s1
+    out: list = []
+    _run_sessions(spark, in_dir, out, ckpt)
+    assert out == [
+        ("s1", 2, int(_ts(9, 0).timestamp() * 1000), int(_ts(9, 20).timestamp() * 1000))
+    ]

@@ -155,13 +155,18 @@ _FP_BANDS = 16  # frequency bands per segment → 15 deltas → 60 bits total
 
 
 def band_fingerprint(samples: np.ndarray | None) -> tuple[bool, int]:
-    """60-bit audio-content fingerprint: 4 time segments x sign of the
-    15 log-band-energy deltas (16 equal-width FFT bands, DC excluded).
+    """60-bit audio-content fingerprint: 4 time segments x 15 band-energy
+    comparisons (16 equal-width FFT bands, DC excluded).
 
     Gain-invariant by construction — scaling the signal by g multiplies every
-    band energy by g^2, which cancels in the log-energy *differences* — so a
+    band energy by g^2, which cancels in the energy *ratios* — so a
     re-encoded or re-levelled copy of the same recording maps to the same (or
     hamming-near) fingerprint while unrelated clips differ in ~30 bits.
+    Each bit is ``E[i+1] > E[i] * (1 + margin)``: the relative margin is
+    itself scale-invariant and classifies exactly-tied bands (degenerate
+    spectra — found by hypothesis) as 0 on both sides of a gain change,
+    where a raw sign-of-delta comparison flips on float rounding. Energies
+    accumulate in float64 so the remaining rounding is far inside the margin.
     The audio analog of SimHash (queries/dedup.py): content identity without
     trusting ``clip_id``. Reference analog: checksum-based store-if-newer
     gating (``README.md:39-41``) — identity from content, not name.
@@ -173,17 +178,26 @@ def band_fingerprint(samples: np.ndarray | None) -> tuple[bool, int]:
         return False, 0
     # Silence carries no content identity — without this gate every
     # near-silent clip lands in one degenerate fingerprint bucket, the
-    # classic LSH hot key (C(n,2) pairs) at corpus scale.
-    if float(np.max(np.abs(samples))) < 1e-4:
+    # classic LSH hot key (C(n,2) pairs) at corpus scale. Gate on AC
+    # energy (std), not peak: a pure DC offset has no audio content either
+    # (all its band energies are rounding noise — hypothesis-found).
+    if float(np.std(samples.astype(np.float64))) < 1e-4:
         return False, 0
     bits = 0
     for s in range(_FP_SEGMENTS):
-        seg = samples[s * seg_len : (s + 1) * seg_len]
+        seg = samples[s * seg_len : (s + 1) * seg_len].astype(np.float64)
+        seg = seg - seg.mean()  # DC-offset invariance
+        # a segment without real AC content would derive its bits from FFT
+        # rounding noise (nondeterministic under re-encode — found by
+        # hypothesis on constant signals); emit deterministic zero bits
+        if float(np.sqrt(np.mean(seg * seg))) < 1e-4:
+            bits <<= _FP_BANDS - 1
+            continue
         spec = np.abs(np.fft.rfft(seg))[1:]  # drop DC
         edges = np.linspace(0, len(spec), _FP_BANDS, endpoint=False).astype(int)
         bands = np.add.reduceat(spec * spec, edges)
-        deltas = np.diff(np.log(bands + 1e-20))
-        for up in deltas > 0:
+        ups = bands[1:] > bands[:-1] * (1.0 + 1e-6)
+        for up in ups:
             bits = (bits << 1) | int(bool(up))
     return True, bits
 

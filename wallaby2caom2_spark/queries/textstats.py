@@ -416,6 +416,53 @@ SELECT doc_id, source, tok, cum FROM c WHERE cum <= {_TOKEN_BUDGET}
 """
 
 
+# ---------------------------------------------------------------------------
+# mixture-quota sampling — per-source quotas (training-data "data mixing")
+# ---------------------------------------------------------------------------
+
+
+def sample_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a training mixture: each source contributes a configured quota
+    of documents, chosen by a deterministic content-hash ranking (not
+    ``rand()`` — a task retry or a different engine must select the SAME
+    rows). Here the per-source quota derives from the source id
+    (``2 + src_id % 5``); in a real run it is a broadcast weight table.
+
+    Scale shape: ``row_number`` over ``partitionBy(source)`` — one shuffle,
+    parallel across sources; skewed sources are still a single partition
+    each, so at 10^12 rows the ranking would switch to a per-source
+    threshold on the hash value (quantile of md5 space ≈ quota/n_source),
+    which needs no global sort at all; the windowed form is exact and is
+    what the oracle checks."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    src_id = F.substring("source", 4, 10).cast("int")
+    quota = (F.lit(2) + src_id % 5).alias("quota")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", quota)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", "rk")
+    )
+
+
+_MIXTURE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         2 + (substr(source, 4)::INT % 5) AS quota,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk::INTEGER AS rk FROM r WHERE rk <= quota
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -425,6 +472,7 @@ QUERIES = {
     "token_topk_per_lang": token_topk_per_lang,
     "decontaminate_ngram": decontaminate_ngram,
     "sample_token_budget": sample_token_budget,
+    "sample_mixture_quota": sample_mixture_quota,
 }
 
 ORACLE = {
@@ -436,4 +484,5 @@ ORACLE = {
     "token_topk_per_lang": _TOKEN_TOPK_SQL,
     "decontaminate_ngram": _DECON_SQL,
     "sample_token_budget": _BUDGET_SQL,
+    "sample_mixture_quota": _MIXTURE_SQL,
 }

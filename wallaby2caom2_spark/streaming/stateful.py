@@ -81,3 +81,98 @@ def dedup_stream(clips: DataFrame, n_groups: int = 32) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# session assembly with event-time timeout
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_ids", T.ArrayType(T.StringType())),
+        T.StructField("t_min_ms", T.LongType()),
+        T.StructField("t_max_ms", T.LongType()),
+    ]
+)
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.StringType()),
+        T.StructField("n_clips", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+    ]
+)
+
+
+def session_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Assemble per-source recording sessions from a clip event stream:
+    clips from one ``source_id`` accumulate in state until no new clip
+    arrives within ``gap_minutes`` of EVENT time, then ONE assembled session
+    row is emitted and the state is dropped.
+
+    This is the full custom-stateful surface the quality-filter stream
+    needs beyond dedup: ``applyInPandasWithState`` with
+    ``GroupStateTimeout.EventTimeTimeout`` — the timeout fires when the
+    WATERMARK (not the wall clock) passes ``last_event + gap``, so replays
+    and backfills produce byte-identical sessions regardless of processing
+    speed. State per key is a bounded id list + two longs; at 10^12 clips
+    the id list becomes a count + rolling hash (same operator shape).
+    Reference analog: the time-boxed work interval of
+    ``config/config.yml:67-71`` — work is closed out by data time, not by
+    arrival order.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def _session_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            clip_ids, t_min, t_max = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "source_id": [key[0]],
+                    "n_clips": np.array([len(clip_ids)], dtype=np.int32),
+                    "start_ms": np.array([t_min], dtype=np.int64),
+                    "end_ms": np.array([t_max], dtype=np.int64),
+                }
+            )
+            return
+        clip_ids, t_min, t_max = (
+            state.get if state.exists else ([], None, None)
+        )
+        clip_ids = list(clip_ids)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_ms = (
+                pdf["event_ts"]
+                .astype("datetime64[ns]")  # pin unit: Arrow may hand back us
+                .astype("int64")
+                .to_numpy()
+                // 1_000_000
+            )
+            clip_ids.extend(pdf["clip_id"].tolist())
+            lo, hi = int(ts_ms.min()), int(ts_ms.max())
+            t_min = lo if t_min is None else min(t_min, lo)
+            t_max = hi if t_max is None else max(t_max, hi)
+        if t_max is not None:
+            state.update((clip_ids, t_min, t_max))
+            state.setTimeoutTimestamp(t_max + gap_ms)
+
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy("source_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -96,6 +96,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from wallaby2caom2_spark.queries.dedup import (
+        dedup_connected_components,
         dedup_lsh_bands,
         dedup_minhash_signature,
     )
@@ -121,9 +122,26 @@ def main() -> None:
     def force_bands():
         return dedup_lsh_bands(spark, sf_dir).collect()
 
+    cc_stats = {}
+
+    def force_cc():
+        # full composed path: signatures → banding → candidate pairs →
+        # exact-Jaccard verify → iterative min-label connected components
+        out = dedup_connected_components(spark, sf_dir)
+        agg = out.agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+        ).collect()[0]
+        cc_stats["docs_in_components"] = agg["n_docs"]
+        cc_stats["n_components"] = agg["n_components"]
+
     results: dict[str, dict] = {}
     pairs = None
-    for name, fn in (("minhash_signature", force_sig), ("lsh_bands", force_bands)):
+    for name, fn in (
+        ("minhash_signature", force_sig),
+        ("lsh_bands", force_bands),
+        ("connected_components", force_cc),
+    ):
         fn()  # warm-up
         samples = []
         for _ in range(N_RUNS):
@@ -148,6 +166,7 @@ def main() -> None:
         "corpus_mb": round(corpus_bytes / 1e6, 1),
         "parallelism": CPUS,
         "candidate_pairs": pairs,
+        "cc": cc_stats,
         "queries": results,
     }
     print(json.dumps(payload))
@@ -167,7 +186,11 @@ def main() -> None:
                 f"{v['samples_sec']} |\n"
                 for k, v in results.items()
             )
-            + f"\nLSH candidate pairs found: {pairs:,}\n\n"
+            + f"\nLSH candidate pairs found: {pairs:,}; connected components: "
+            f"{cc_stats.get('docs_in_components', 0):,} docs collapse into "
+            f"{cc_stats.get('n_components', 0):,} duplicate groups (full "
+            "signatures → banding → Jaccard verify → iterative min-label "
+            "propagation path).\n\n"
             "Scale shape: shingles explode once, all md5s run in whole-stage "
             "codegen, and a map-side-combined groupBy(doc_id) collapses the "
             "exchange to one slim row per doc (no Python anywhere); banding "

@@ -41,6 +41,25 @@ def test_fingerprint_separates_distinct_content():
     assert bin(f1 ^ f2).count("1") >= 10  # unrelated ≈ 30/60 bits differ
 
 
+def test_fingerprint_sample_rate_invariant():
+    """The same recording delivered at different sample rates carries the
+    same identity: both decimate to the fixed analysis rate first."""
+    dur = 1.0
+    # structured multi-tone content (what carries identity in real audio);
+    # broadband noise at the analysis Nyquist is where the linear-interp
+    # decimator — a stand-in for a polyphase filter — legitimately differs
+    tones = ((523.0, 0.3), (880.0, 0.2), (247.0, 0.25), (1319.0, 0.1))
+    fps = {}
+    for sr in (16000, 44100):
+        t = np.arange(int(dur * sr)) / sr
+        sig = np.zeros_like(t)
+        for freq, amp in tones:
+            sig = sig + amp * np.sin(2 * np.pi * freq * t)
+        ok, fps[sr] = audio.band_fingerprint(sig.astype(np.float32), sr)
+        assert ok
+    assert bin(fps[16000] ^ fps[44100]).count("1") <= 6
+
+
 def test_fingerprint_containment_short_and_none():
     assert audio.band_fingerprint(None) == (False, 0)
     assert audio.band_fingerprint(np.zeros(8, dtype=np.float32)) == (False, 0)
@@ -73,7 +92,8 @@ def test_with_fingerprint_spark(fp_clips):
     local = audio.band_fingerprint(
         audio.decode_clip(
             audio.encode_wav(_tone(300.0, seed=10), 16000), "wav"
-        )[0]
+        )[0],
+        16000,
     )[1]
     assert out["clip-0"][1] == local
 

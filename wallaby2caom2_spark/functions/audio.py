@@ -152,9 +152,12 @@ def decode_features(
 
 _FP_SEGMENTS = 4  # time segments
 _FP_BANDS = 16  # frequency bands per segment → 15 deltas → 60 bits total
+_FP_ANALYSIS_SR = 4000  # fixed analysis rate: decimate before the FFT
 
 
-def band_fingerprint(samples: np.ndarray | None) -> tuple[bool, int]:
+def band_fingerprint(
+    samples: np.ndarray | None, sr_hz: int = 0
+) -> tuple[bool, int]:
     """60-bit audio-content fingerprint: 4 time segments x 15 band-energy
     comparisons (16 equal-width FFT bands, DC excluded).
 
@@ -170,9 +173,19 @@ def band_fingerprint(samples: np.ndarray | None) -> tuple[bool, int]:
     The audio analog of SimHash (queries/dedup.py): content identity without
     trusting ``clip_id``. Reference analog: checksum-based store-if-newer
     gating (``README.md:39-41``) — identity from content, not name.
+
+    When ``sr_hz`` is known, the signal is first resampled to the fixed
+    ``_FP_ANALYSIS_SR`` analysis rate: this makes the identity
+    sample-RATE-invariant (the same recording delivered at 16 kHz and
+    44.1 kHz maps to hamming-near fingerprints) and cuts the FFT cost ~10x
+    on hi-rate audio — the 100k-clip bench went from full-bandwidth FFTs to
+    a bounded analysis band. ``sr_hz=0`` (unknown, e.g. raw PCM without a
+    declared rate) analyzes as-is.
     """
     if samples is None:
         return False, 0
+    if sr_hz and sr_hz > _FP_ANALYSIS_SR:
+        samples = resample_linear(samples, int(sr_hz), _FP_ANALYSIS_SR)
     seg_len = len(samples) // _FP_SEGMENTS
     if seg_len < 2 * _FP_BANDS + 2:
         return False, 0

@@ -43,20 +43,24 @@ FP_SCHEMA = T.StructType(
 
 @F.pandas_udf(FP_SCHEMA)
 def fingerprint_udf(
-    batches: Iterator[tuple[pd.Series, pd.Series]],
+    batches: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
 ) -> Iterator[pd.DataFrame]:
-    """(bytes, codec) → (fp_ok, fp). Undecodable / too-short payloads yield
-    ``fp_ok=false`` and flow on (error containment, never fail the batch)."""
-    for payload, codec in batches:
+    """(bytes, codec, sr_hz) → (fp_ok, fp). Undecodable / too-short payloads
+    yield ``fp_ok=false`` and flow on (error containment, never fail the
+    batch). The measured rate (container header) wins over the declared
+    column; either way the signal is decimated to the fixed analysis rate
+    inside ``band_fingerprint`` — sample-rate-invariant identity."""
+    for payload, codec, sr in batches:
         n = len(payload)
         ok = np.zeros(n, dtype=bool)
         fps = np.zeros(n, dtype=np.int64)
         codec_v = codec.to_numpy()
+        sr_v = sr.to_numpy()
         for i, raw in enumerate(payload.to_numpy()):
-            samples, _sr = audio.decode_clip(
+            samples, sr_meas = audio.decode_clip(
                 bytes(raw) if raw is not None else None, codec_v[i]
             )
-            o, f = audio.band_fingerprint(samples)
+            o, f = audio.band_fingerprint(samples, sr_meas or int(sr_v[i]))
             ok[i], fps[i] = o, f
         yield pd.DataFrame({"fp_ok": ok, "fp": fps})
 
@@ -64,7 +68,10 @@ def fingerprint_udf(
 def with_fingerprint(df: DataFrame) -> DataFrame:
     """Append ``fp_ok``/``fp``; keeps every row (containment stage)."""
     return (
-        df.withColumn("_fp", fingerprint_udf(F.col("bytes"), F.col("codec")))
+        df.withColumn(
+            "_fp",
+            fingerprint_udf(F.col("bytes"), F.col("codec"), F.col("sr_hz")),
+        )
         .select("*", "_fp.*")
         .drop("_fp")
     )

@@ -228,6 +228,146 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# as-of join — each purchase picks the most recent prior click, per user
+# ---------------------------------------------------------------------------
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark has no native form of): for every
+    ``purchase`` event, the most recent strictly-prior ``click`` of the same
+    user.
+
+    Implemented as the SINGLE-PASS union+window formulation, not a join at
+    all: both event types flow through one window partitioned by ``user_id``
+    and the purchase row reads ``last(click_ts) ignorenulls`` over the
+    preceding frame. One shuffle on the user key, no join build side, no
+    skew amplification — the shape that beats a sort-merge band join at
+    10^12 rows. Ties broken on (ts, event_id) in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → UTC instant
+        .filter(F.col("event_type").isin("click", "purchase"))
+    )
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        ev.withColumn("asof_click_us", F.last(click_us, ignorenulls=True).over(w))
+        .withColumn("asof_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("asof_click_us").isNotNull()
+        )
+    )
+    gap_s = (F.unix_micros(F.col("ts")) - F.col("asof_click_us")) / F.lit(
+        1_000_000.0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_id").cast("bigint").alias("asof_click_id"),
+        F.round(gap_s + 1e-9, 3).alias("gap_s"),
+    )
+
+
+_ASOF_SQL = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+  SELECT event_id, ts, user_id, event_type,
+         last_value(click_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_us,
+         last_value(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_id
+  FROM ev
+)
+SELECT event_id, user_id, asof_click_id::BIGINT AS asof_click_id,
+       round((epoch_us(ts) - asof_click_us) / 1000000.0 + 1e-9, 3) AS gap_s
+FROM w
+WHERE event_type = 'purchase' AND asof_click_us IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# range join — clicks within 5 minutes after each error, via bucket join
+# ---------------------------------------------------------------------------
+
+_RANGE_S = 300  # window width in seconds (= bucket width)
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — another operator Spark lacks natively: for
+    each ``error`` event, count the ``click`` events anywhere in
+    ``[t, t + 300 s)``.
+
+    A naive theta join is a cartesian product the optimizer cannot save.
+    The scale shape used here is the TIME-BUCKET join: bucket width equals
+    the range width, every left row explodes into its 2 candidate buckets
+    (floor(t/δ) and +1 — any right row inside the range must sit in one of
+    them), the right side keys by its own bucket, and the product collapses
+    to an EQUI-join on the bucket id with the exact predicate applied after.
+    Work per bucket is O(events-per-δ²) locally instead of O(N²) globally;
+    skewed buckets split under AQE like any hot equi-key."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.unix_micros(F.col("ts")).alias("c_us"),
+    )
+    bucket_us = _RANGE_S * 1_000_000
+    # exact integer division — double division can misround at bucket
+    # boundaries and route a row to the wrong bucket
+    left = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"t_us div {bucket_us}"),
+                F.expr(f"t_us div {bucket_us}") + 1,
+            )
+        ),
+    )
+    right = clicks.withColumn("bucket", F.expr(f"c_us div {bucket_us}"))
+    return (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("c_us") >= F.col("t_us"))
+            & (F.col("c_us") < F.col("t_us") + bucket_us)
+        )
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_clicks_5min"))
+    )
+
+
+_RANGE_SQL = f"""
+WITH e AS (
+  SELECT event_id AS error_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'error'
+),
+c AS (SELECT epoch_us(ts) AS c_us FROM events WHERE event_type = 'click')
+SELECT error_id, count(*)::BIGINT AS n_clicks_5min
+FROM e JOIN c ON c_us >= t_us AND c_us < t_us + {_RANGE_S * 1_000_000}
+GROUP BY error_id
+"""
+
+
 QUERIES = {
     "json_props_extract": json_props_extract,
     "rollup_revenue": rollup_revenue,
@@ -235,6 +375,8 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "cohort_setops": cohort_setops,
     "cardinality_stats": cardinality_stats,
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
 }
 
 ORACLE = {
@@ -244,4 +386,6 @@ ORACLE = {
     "value_percentiles": _PERCENTILES_SQL,
     "cohort_setops": _COHORT_SQL,
     "cardinality_stats": _CARDINALITY_SQL,
+    "events_asof_join": _ASOF_SQL,
+    "events_range_join": _RANGE_SQL,
 }

@@ -154,3 +154,56 @@ def test_session_gap_keeps_one_session_open(spark, tmp_path):
     assert out == [
         ("s1", 2, int(_ts(9, 0).timestamp() * 1000), int(_ts(9, 20).timestamp() * 1000))
     ]
+
+
+# ---------------------------------------------------------------------------
+# per-source quota (Spark 4 transformWithStateInPandas)
+# ---------------------------------------------------------------------------
+
+from wallaby2caom2_spark.streaming.stateful import quota_stream
+
+
+def _write_quota(path: str, name: str, rows: list[tuple]) -> None:
+    os.makedirs(path, exist_ok=True)
+    pdf = _pd.DataFrame(rows, columns=["clip_id", "source_id"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(path, name),
+    )
+
+
+def _run_quota(spark, in_dir: str, out: list, ckpt: str, quota: int) -> None:
+    stream = (
+        spark.readStream.schema("clip_id string, source_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        quota_stream(stream, quota=quota)
+        .writeStream.foreachBatch(
+            lambda df, _id: out.extend(
+                (r["clip_id"], r["source_id"], r["n_before"], r["admitted"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_quota_enforced_across_batches(spark, tmp_path):
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    _write_quota(in_dir, "f1.parquet", [("a1", "s1"), ("a2", "s1"), ("b1", "s2")])
+    _write_quota(in_dir, "f2.parquet", [("a3", "s1"), ("a4", "s1"), ("b2", "s2")])
+    out: list = []
+    _run_quota(spark, in_dir, out, ckpt, quota=3)
+    by_clip = {c: (n, adm) for c, _s, n, adm in out}
+    assert len(out) == 6  # every row gets a decision — nothing silently dropped
+    # s1: a1, a2 admitted in batch 1; a3 takes the last slot in batch 2
+    assert by_clip["a1"][1] and by_clip["a2"][1] and by_clip["a3"][1]
+    assert not by_clip["a4"][1]  # over quota
+    assert by_clip["a4"][0] == 3  # running count carried across batches
+    assert by_clip["b1"][1] and by_clip["b2"][1]  # s2 well under quota

@@ -176,3 +176,71 @@ def session_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+# ---------------------------------------------------------------------------
+# per-source ingest quota
+# ---------------------------------------------------------------------------
+
+QUOTA_STATE_SCHEMA = T.StructType([T.StructField("n_admitted", T.LongType())])
+
+QUOTA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("source_id", T.StringType()),
+        T.StructField("n_before", T.LongType()),
+        T.StructField("admitted", T.BooleanType()),
+    ]
+)
+
+
+def quota_stream(clips: DataFrame, quota: int = 3) -> DataFrame:
+    """Per-source ingest quota: admit at most ``quota`` clips per source
+    across ALL micro-batches, emitting an ``admitted`` decision per row —
+    rows beyond the quota flow on marked ``admitted=false`` (audit trail,
+    reference-style containment — never silently dropped).
+
+    The training-data use: cap any single source's contribution so one
+    crawler bug cannot flood the mixture (the streaming dual of
+    ``sample_mixture_quota``). State per key is ONE long. Implemented with
+    ``applyInPandasWithState``; Spark 4's ``transformWithStateInPandas``
+    (typed ValueState) is the drop-in successor, but its Python driver
+    worker requires ``google.protobuf``, which this container does not
+    ship, so the stable API is used.
+
+    Ordering caveat at scale: WHICH rows win the last quota slots within
+    one micro-batch follows partition arrival order; if admission must be
+    replay-deterministic, sort each batch by a content hash upstream (cheap
+    — the quota key already co-locates the group).
+    """
+
+    def _quota_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = int(state.get[0]) if state.exists else 0
+        for pdf in pdfs:
+            k = len(pdf)
+            if not k:
+                continue
+            take = max(0, min(quota - n, k))
+            admitted = np.zeros(k, dtype=bool)
+            admitted[:take] = True
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].to_numpy(),
+                    "source_id": np.repeat(str(key[0]), k),
+                    "n_before": np.arange(n, n + k, dtype=np.int64),
+                    "admitted": admitted,
+                }
+            )
+            n += take
+        state.update((n,))
+
+    return clips.groupBy("source_id").applyInPandasWithState(
+        _quota_fn,
+        outputStructType=QUOTA_OUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

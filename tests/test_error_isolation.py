@@ -31,3 +31,36 @@ def test_pathological_rows_flow_through(spark):
     for r in out.values():
         assert r["keep"] is False  # none of these should pass
         assert r["scrubbed_transcript"] is None
+
+
+def test_null_fields_are_contained(spark):
+    """Poison rows with NULL transcript/bytes/codec flow through the full
+    pipeline with a drop reason — never an exception (north rule: one bad
+    row must not fail a 10^9-row batch)."""
+    import numpy as np
+
+    from wallaby2caom2_spark.functions import audio
+    from wallaby2caom2_spark.plans.pipeline import quality_filter
+
+    t = np.arange(16000) / 16000.0
+    good = audio.encode_wav(
+        (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), 16000
+    )
+    rows = [
+        ("null-transcript", good, 16000, 1000, "wav", None),
+        ("null-bytes", None, 16000, 1000, "wav", "transcript, no audio"),
+        ("null-codec", good, 16000, 1000, None, "transcript, null codec"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    out = {
+        r["clip_id"]: (r["keep"], r["drop_reason"])
+        for r in quality_filter(df).collect()
+    }
+    assert len(out) == 3  # every poison row produced a decision
+    assert out["null-transcript"] == (False, "too_short")
+    assert out["null-bytes"] == (False, "decode_failed")
+    assert out["null-codec"] == (False, "decode_failed")

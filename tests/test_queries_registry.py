@@ -42,6 +42,12 @@ def test_registry_shape():
         "similarity_topk_bruteforce",
         "nested_order_assembly",
         "text_quality_score",
+        "dedup_connected_components",
+        "decontaminate_ngram",
+        "sample_token_budget",
+        "sample_mixture_quota",
+        "events_asof_join",
+        "events_range_join",
     ],
 )
 def test_spot_oracle_match(spark, name):

@@ -389,6 +389,101 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_NEAR_DUP_COS}
 """
 
 
+# ---------------------------------------------------------------------------
+# product quantization — per-block nearest-centroid code assignment
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # sub-vector blocks (64 dims → 4 x 16)
+PQ_SUB = DIM // PQ_M
+PQ_K = 4        # centroids per block (codebook = first PQ_K vectors' slices)
+
+
+def embedding_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``PQ_M``
+    sub-vectors, assign each to its nearest codebook centroid (squared L2,
+    deterministic tie-break), pack the per-block codes into one small int.
+
+    The compressed-ANN scale path: at 10^12 vectors the 64-dim float payload
+    (256 B) collapses to a 1-byte code per block; candidate scan becomes a
+    table-lookup over codes. Codebook is tiny (PQ_M x PQ_K rows) and
+    broadcast — the only wide op is the per-(vector, block) argmin window,
+    partitioned by vec_id (uniform keys, no skew).
+    """
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", _to_double(F.col("embedding"))
+    )
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub_expr = F.slice(
+        F.col("e"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("c_id"), "e")
+        .select("c_id", blocks, "e")
+        .select("c_id", "m", sub_expr.alias("ce"))
+    )
+    sub = (
+        emb.filter(F.col("vec_id") >= PQ_K)
+        .select("vec_id", blocks, "e")
+        .select("vec_id", "m", sub_expr.alias("se"))
+    )
+    # same algebraic form as the oracle (dot expansions) so doubles match
+    d = F.round(
+        _dot(F.col("se"), F.col("se"))
+        - 2.0 * _dot(F.col("se"), F.col("ce"))
+        + _dot(F.col("ce"), F.col("ce"))
+        + 1e-9,
+        4,
+    )
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "c_id", d.alias("d")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d").asc(), F.col("c_id").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(F.col("c_id") * F.pow(F.lit(float(PQ_K)), 3 - F.col("m")))
+        .cast("int")
+        .alias("pq_code"),
+        F.round(F.sum("d") + 1e-9, 4).alias("q_err"),
+    )
+
+
+_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+blocks AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+cb AS (
+  SELECT m, e.vec_id AS c_id,
+         list_slice(e.e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS ce
+  FROM e, blocks WHERE e.vec_id < {PQ_K}
+),
+sub AS (
+  SELECT vec_id, m, list_slice(e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS se
+  FROM e, blocks WHERE vec_id >= {PQ_K}
+),
+scored AS (
+  SELECT vec_id, sub.m AS m, c_id,
+         round(list_dot_product(se, se) - 2*list_dot_product(se, ce)
+               + list_dot_product(ce, ce) + 1e-9, 4) AS d
+  FROM sub JOIN cb ON sub.m = cb.m
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, c_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       sum(c_id * pow({PQ_K}, 3 - m))::INTEGER AS pq_code,
+       round(sum(d) + 1e-9, 4) AS q_err
+FROM best GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -396,6 +491,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "dedup_embedding_neardup": dedup_embedding_neardup,
+    "embedding_pq_code": embedding_pq_code,
 }
 
 ORACLE = {
@@ -405,4 +501,5 @@ ORACLE = {
     "ann_ivf_topk": _IVF_TOPK_SQL,
     "embedding_norm_stats": _NORM_STATS_SQL,
     "dedup_embedding_neardup": _neardup_sql(),
+    "embedding_pq_code": _PQ_SQL,
 }

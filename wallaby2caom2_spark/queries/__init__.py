@@ -15,6 +15,7 @@ from __future__ import annotations
 from . import (
     analytics,
     clips_flagship,
+    corpus,
     dedup,
     nested,
     relational,
@@ -22,7 +23,16 @@ from . import (
     textstats,
 )
 
-_MODULES = (relational, nested, analytics, dedup, similarity, textstats, clips_flagship)
+_MODULES = (
+    relational,
+    nested,
+    analytics,
+    dedup,
+    similarity,
+    textstats,
+    corpus,
+    clips_flagship,
+)
 
 ALL_QUERIES = {}
 ALL_ORACLE = {}

@@ -1,0 +1,318 @@
+"""Corpus-level statistics for tokenizer training and data mixing.
+
+Training-data-pipeline operators over the ``documents`` table that look at
+the corpus as a whole rather than per-document: BPE merge-pair counting
+(the inner loop of tokenizer training), per-document TF-IDF keyterms,
+temperature-scaled source mixture weights (the "data mixing" knob), and
+pairwise vocabulary overlap between sources.
+
+All pure Catalyst column expressions with DuckDB oracles. Reference analog:
+the aggregation layer of SURVEY.md §2.4 (the reference's only corpus-wide
+ops are its distinct-key containers, ``wallaby2caom2/composable.py``
+progress counters); everything here is the LLM-pipeline extension the brief
+asks for.
+
+Float determinism: scores use identical expression trees in both engines
+and are rounded after a +1e-9 nudge, the convention shared by the other
+query modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._tables import load
+
+# lowercased letter runs — the word alphabet for BPE / TF-IDF / vocab ops
+WORD_RE = "[a-z]+"
+
+TOP_PAIRS = 20          # bpe_pair_counts: merge candidates returned
+TOP_TERMS = 3           # tfidf_top_terms: keyterms per document
+MIX_ALPHA = 0.5         # source_temperature_weights: p^alpha temperature
+MIX_BUDGET = 10_000     # source_temperature_weights: total sample budget
+
+
+def _words_col() -> F.Column:
+    return F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting — one step of the tokenizer-training inner loop
+# ---------------------------------------------------------------------------
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count adjacent character pairs across the corpus, weighted by word
+    frequency — the statistic a BPE tokenizer trainer maximizes each merge
+    step. Returns the ``TOP_PAIRS`` best merge candidates.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (groupBy word,
+    partial aggregation map-side), so the expensive pair explosion runs over
+    |vocab| rows, not |corpus| — at 10^12 docs the word aggregation is the
+    only big shuffle and the pair table is vocabulary-sized (Heaps' law:
+    ~10^6-10^7 rows). Top-k is a TakeOrdered over the tiny pair aggregate,
+    with a total order (count desc, pair asc) so the cut is deterministic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wfreq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "wfreq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wfreq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(TOP_PAIRS)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            ),
+        )
+    )
+
+
+_BPE_SQL = f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word, count(*)::BIGINT AS wfreq FROM w
+  WHERE len(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, wfreq
+  FROM vocab, unnest(generate_series(1, len(word) - 1)) AS t(i)
+),
+agg AS (
+  SELECT pair, sum(wfreq)::BIGINT AS pair_count
+  FROM pairs GROUP BY pair
+  ORDER BY pair_count DESC, pair ASC LIMIT {TOP_PAIRS}
+)
+SELECT pair, pair_count,
+       row_number() OVER (ORDER BY pair_count DESC, pair ASC)::INTEGER AS rk
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyterms — top terms per document
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``TOP_TERMS`` terms by TF-IDF.
+
+    Scale shape: one shuffle to (doc_id, term) counts — partial aggregation
+    collapses in-doc repeats map-side — then the document-frequency table
+    (vocabulary-sized) re-aggregates from the tf table and joins BACK by
+    term. At 10^12 docs df is a broadcast-sized dimension only for head
+    terms; the join stays an equi-join on term either way and the final
+    per-doc top-k window partitions on doc_id (uniform keys, no skew).
+    The corpus size N enters as a scalar aggregate crossed in, not a
+    driver-side ``.count()``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_corpus"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_corpus") + 1.0) / (F.col("df") + 1.0))
+                + 1e-9,
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_corpus FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln((n_corpus + 1.0) / (df + 1.0)) + 1e-9, 4) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df, score,
+       rk::INTEGER AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= {TOP_TERMS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixture weights — the "data mixing" knob
+# ---------------------------------------------------------------------------
+
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights under temperature ``MIX_ALPHA``:
+    ``w_s ∝ p_s^alpha`` renormalized (alpha<1 upweights small sources — the
+    multilingual-corpus mixing rule), plus the expected sample count for a
+    ``MIX_BUDGET`` draw.
+
+    Scale shape: a full aggregation down to |sources| rows (tiny), then the
+    two corpus-level normalizers (total docs, sum of tempered shares) come
+    from an unpartitioned window over that tiny aggregate — no driver
+    round-trip, no second scan of the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    raw = F.pow(p, MIX_ALPHA)
+    weight = raw / F.sum(raw).over(w_all)
+    return per_src.select(
+        "source",
+        "n_docs",
+        F.round(p + 1e-9, 4).alias("p_share"),
+        F.round(weight + 1e-9, 4).alias("mix_weight"),
+        F.round(weight * MIX_BUDGET + 1e-9, 1).alias("expected_samples"),
+    )
+
+
+_MIX_TEMP_SQL = f"""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, n_docs,
+         n_docs / sum(n_docs) OVER () AS p,
+         pow(n_docs / sum(n_docs) OVER (), {MIX_ALPHA}) AS raw
+  FROM s
+)
+SELECT source, n_docs,
+       round(p + 1e-9, 4) AS p_share,
+       round(raw / sum(raw) OVER () + 1e-9, 4) AS mix_weight,
+       round(raw / sum(raw) OVER () * {MIX_BUDGET} + 1e-9, 1)
+           AS expected_samples
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# pairwise vocabulary overlap between sources
+# ---------------------------------------------------------------------------
+
+def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity between the vocabularies of every source pair —
+    the corpus-dedup diagnostic ("are these two crawls the same content?").
+
+    Scale shape: the corpus first collapses to DISTINCT (source, term) —
+    so each term contributes at most |sources| rows no matter how hot it is
+    (Zipf head is capped by construction) — then a self-equi-join on term
+    with ``source_a < source_b`` counts intersections. Vocab sizes join in
+    broadcast (|sources| rows). No all-pairs document comparison anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(_words_col()).alias("term"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("v"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("v").alias("v_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("v").alias("v_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_common"))
+                + 1e-9,
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_VOCAB_JACCARD_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+  FROM documents
+),
+sizes AS (SELECT source, count(*)::BIGINT AS v FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_common
+  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       round(n_common / (sa.v + sb.v - n_common)::DOUBLE + 1e-9, 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+"""
+
+
+QUERIES = {
+    "bpe_pair_counts": bpe_pair_counts,
+    "tfidf_top_terms": tfidf_top_terms,
+    "source_temperature_weights": source_temperature_weights,
+    "vocab_jaccard_sources": vocab_jaccard_sources,
+}
+
+ORACLE = {
+    "bpe_pair_counts": _BPE_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
+    "source_temperature_weights": _MIX_TEMP_SQL,
+    "vocab_jaccard_sources": _VOCAB_JACCARD_SQL,
+}

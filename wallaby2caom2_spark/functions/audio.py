@@ -66,8 +66,13 @@ def encode_flac_stub(samples: np.ndarray, sr_hz: int) -> bytes:
 # decode
 # ---------------------------------------------------------------------------
 
-def decode_clip(payload: bytes | None, codec: str) -> tuple[np.ndarray | None, int]:
+def decode_clip(payload, codec: str) -> tuple[np.ndarray | None, int]:
     """Decode one clip → (float32 samples in [-1,1], measured sr_hz).
+
+    ``payload`` is any bytes-like buffer — ``bytes`` or a zero-copy
+    ``memoryview`` into an Arrow batch (the fused mapInArrow stage passes
+    views so payloads are never copied out of the batch); slicing,
+    ``struct.unpack_from`` and ``np.frombuffer`` all read it in place.
 
     Returns (None, 0) when the payload cannot be decoded (truncated,
     wrong magic, odd byte count …). sr is 0 when the codec carries no

@@ -1,16 +1,28 @@
 """Single-crossing UDF stage: decode + langid + perplexity + scrub in ONE
-mapInPandas pass.
+mapInArrow pass.
 
-Why: chained pandas UDFs (decode → text models) each round-trip every batch
-JVM→Arrow→Python→Arrow→JVM. On a bandwidth-bound host the extra memcpy is
-the difference between 3x and 4x scaling at 32 cores — and at 10^12 rows it
-is pure waste. This stage reads each Arrow batch once, computes every
-python-side feature, and returns slim rows WITHOUT the payload bytes (the
-binary column dies inside the worker, so it never crosses back or shuffles).
+Why one crossing: chained pandas UDFs (decode → text models) each round-trip
+every batch JVM→Arrow→Python→Arrow→JVM. On a bandwidth-bound host the extra
+memcpy is the difference between 3x and 4x scaling at 32 cores — and at
+10^12 rows it is pure waste. This stage reads each Arrow batch once,
+computes every python-side feature, and returns slim rows WITHOUT the
+payload bytes (the binary column dies inside the worker, so it never
+crosses back or shuffles).
+
+Why mapInArrow rather than mapInPandas: the Arrow→pandas conversion of the
+binary column materializes one Python ``bytes`` object per clip — a ~50 KB
+allocation + memcpy per row that measured ~2.0s of a 6.1s sf0.1/local[32]
+pipeline run (profiled via a no-op mapInPandas over ``bytes`` vs the same
+scan JVM-side). Operating on the raw Arrow RecordBatch instead lets decode
+read each payload as a ZERO-COPY memoryview into the batch's data buffer
+(offsets sliced from the offsets buffer), and the passthrough columns
+(clip_id, codec, transcript, declared sr/dur) are re-emitted as the input's
+own Arrow arrays — no conversion in either direction. Only the computed
+feature vectors are newly allocated.
 
 Semantics are identical to operators/decode.py + operators/text_stage.py
 (shared functions/ modules); the split stages remain for composability and
-are covered by the same golden tests.
+are covered by the same golden tests (tests/test_fused_equivalence.py).
 """
 
 from __future__ import annotations
@@ -19,6 +31,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,6 +55,100 @@ FUSED_SCHEMA = T.StructType(
         T.StructField("scrub_edits_all", T.IntegerType()),
     ]
 )
+
+
+def _binary_views(arr: pa.Array) -> list:
+    """Per-row zero-copy memoryviews into a (Large)BinaryArray's data buffer
+    (None for nulls). The payloads are never copied out of the Arrow batch —
+    decode reads them in place (np.frombuffer / struct.unpack_from accept
+    any buffer). Falls back to ``to_pylist`` (one copy) for exotic layouts.
+    """
+    if not isinstance(arr, (pa.BinaryArray, pa.LargeBinaryArray)):
+        return arr.to_pylist()
+    n = len(arr)
+    off_dtype = np.int64 if isinstance(arr, pa.LargeBinaryArray) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype, offset=0)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    base = arr.offset
+    if arr.null_count == 0:
+        return [data[offs[base + i] : offs[base + i + 1]] for i in range(n)]
+    valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    return [
+        data[offs[base + i] : offs[base + i + 1]] if valid[i] else None
+        for i in range(n)
+    ]
+
+
+_OUT_PA_SCHEMA = pa.schema(
+    [
+        pa.field("clip_id", pa.string()),
+        pa.field("sr_hz", pa.int32()),
+        pa.field("dur_ms", pa.int32()),
+        pa.field("codec", pa.string()),
+        pa.field("transcript", pa.string()),
+        pa.field("pcm_ok", pa.bool_()),
+        pa.field("sr_meas", pa.int32()),
+        pa.field("dur_ms_meas", pa.int32()),
+        pa.field("rms", pa.float64()),
+        pa.field("clip_rate", pa.float64()),
+        pa.field("lang", pa.string()),
+        pa.field("lang_conf", pa.float32()),
+        pa.field("ppl", pa.float64()),
+        pa.field("scrubbed_all", pa.string()),
+        pa.field("scrub_edits_all", pa.int32()),
+    ]
+)
+
+
+def fused_features_arrow(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    # worker-side imports: models/tables built once per python worker process
+    from ..functions import audio, langid, perplexity, scrub
+
+    for batch in batches:
+        cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        srm = np.zeros(n, dtype=np.int32)
+        dur = np.zeros(n, dtype=np.int32)
+        rms = np.zeros(n, dtype=np.float64)
+        clip = np.zeros(n, dtype=np.float64)
+        codec_v = cols["codec"].to_pylist()
+        # fill_null(0): a NULL declared rate must land as "no rate" (decode
+        # fails sanity anyway), not as a NaN that breaks the int() cast
+        sr_v = cols["sr_hz"].fill_null(0).to_numpy(zero_copy_only=False)
+        for i, view in enumerate(_binary_views(cols["bytes"])):
+            o, s, d, r, c = audio.decode_features(view, codec_v[i], int(sr_v[i]))
+            ok[i], srm[i], dur[i], rms[i], clip[i] = o, s, d, r, c
+
+        texts = cols["transcript"].to_pylist()
+        buckets = langid.buckets_batch(texts)  # hash once, score twice
+        langs, confs = langid.predict_from_buckets(buckets)
+        ppls = perplexity.ppl_from_buckets(buckets)
+        out_t, out_n = scrub.scrub_batch(texts)
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                cols["clip_id"],
+                cols["sr_hz"],
+                cols["dur_ms"],
+                cols["codec"],
+                cols["transcript"],
+                pa.array(ok),
+                pa.array(srm),
+                pa.array(dur),
+                pa.array(rms),
+                pa.array(clip),
+                pa.array(langs.tolist(), type=pa.string()),
+                pa.array(confs),
+                pa.array(ppls),
+                pa.array(out_t, type=pa.string()),
+                pa.array(out_n, type=pa.int32()),
+            ],
+            schema=_OUT_PA_SCHEMA,
+        )
 
 
 def fused_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,4 +204,4 @@ def with_fused_features(df: DataFrame) -> DataFrame:
     ~56 us/row for the same pattern as a JVM ``rlike`` codegen column
     (java.util.regex backtracking) and ~65 us/row for Python ``re``."""
     cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
-    return df.select(*cols).mapInPandas(fused_features, FUSED_SCHEMA)
+    return df.select(*cols).mapInArrow(fused_features_arrow, FUSED_SCHEMA)

@@ -456,6 +456,67 @@ FROM orders GROUP BY CUBE (year(o_orderdate), o_orderpriority)
 """
 
 
+# ---------------------------------------------------------------------------
+# snapshot diff — incremental-rollup delta between two table snapshots
+# ---------------------------------------------------------------------------
+
+_SNAP_T1 = "2024-01-01 12:00:00"
+_SNAP_T2 = "2024-01-20"
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta between per-user rollups at two snapshot cutoffs — the
+    Iceberg-snapshot incremental-maintenance shape: what a consumer that
+    materialized the aggregate at T1 must apply to reach T2 (insert / update
+    per key, with old and new values).
+
+    Scale shape: both snapshots aggregate from ONE scan (conditional
+    aggregation on the cutoff timestamps — no second pass, no self-join of
+    raw events); the per-key diff is then a filter over the single
+    aggregate, so the only shuffle is the groupBy on the uniform user key.
+    At a real Iceberg table the T1..T2 slice would come from the snapshot
+    log instead of a predicate — semantics identical.
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    t1, t2 = F.lit(_SNAP_T1).cast("timestamp"), F.lit(_SNAP_T2).cast("timestamp")
+    agg = (
+        ev.filter(F.col("ts") < t2)
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("ts") < t1).cast("long")).alias("n_a"),
+            F.count("*").alias("n_b"),
+        )
+    )
+    return (
+        agg.filter(F.col("n_b") != F.col("n_a"))
+        .select(
+            "user_id",
+            "n_a",
+            "n_b",
+            F.when(F.col("n_a") == 0, F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+        )
+    )
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH agg AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '{_SNAP_T1}' THEN 1 ELSE 0 END)::BIGINT
+             AS n_a,
+         count(*)::BIGINT AS n_b
+  FROM events WHERE ts < TIMESTAMP '{_SNAP_T2}'
+  GROUP BY user_id
+)
+SELECT user_id, n_a, n_b,
+       CASE WHEN n_a = 0 THEN 'insert' ELSE 'update' END AS change_type
+FROM agg WHERE n_b != n_a
+"""
+
+
 QUERIES = {
     "json_props_extract": json_props_extract,
     "rollup_revenue": rollup_revenue,
@@ -467,6 +528,7 @@ QUERIES = {
     "events_range_join": events_range_join,
     "events_rolling_avg": events_rolling_avg,
     "cube_revenue": cube_revenue,
+    "snapshot_diff": snapshot_diff,
 }
 
 ORACLE = {
@@ -480,4 +542,5 @@ ORACLE = {
     "events_range_join": _RANGE_SQL,
     "events_rolling_avg": _ROLLING_SQL,
     "cube_revenue": _CUBE_SQL,
+    "snapshot_diff": _SNAPSHOT_DIFF_SQL,
 }

@@ -166,35 +166,13 @@ def predict_batch(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
 def predict_from_buckets(
     bucket_list: list[np.ndarray | None],
 ) -> tuple[np.ndarray, np.ndarray]:
-    n = len(bucket_list)
-    langs = np.empty(n, dtype=object)
-    confs = np.zeros(n, dtype=np.float32)
-    # mean log-likelihood per trigram (length-normalized) per row, then one
-    # vectorized softmax over the whole batch (the per-row tail ops were
-    # ~40% of this function's cost). NOTE: a fully-batched gather+reduceat
-    # variant measured the same steady-state speed (the gather dominates,
-    # not call overhead) while adding a large per-batch temp that this VM's
-    # hypervisor punishes on first touch — per-row gathers are the better
-    # memory-bandwidth citizens at 32 busy cores.
-    ll = np.zeros((n, len(LANGS)), dtype=np.float32)
-    valid = np.zeros(n, dtype=bool)
-    for i, b in enumerate(bucket_list):
-        if b is None or len(b) == 0:
-            langs[i] = "und"
-            continue
-        ll[i] = _LOGPROB[:, b].mean(axis=1)
-        valid[i] = True
-    if valid.any():
-        lv = ll[valid]
-        lv = lv - lv.max(axis=1, keepdims=True)
-        p = np.exp(lv * _SOFTMAX_TEMP)
-        p /= p.sum(axis=1, keepdims=True)
-        ks = np.argmax(p, axis=1)
-        cv = p[np.arange(len(ks)), ks].astype(np.float32)
-        idx = np.nonzero(valid)[0]
-        for j, i in enumerate(idx):
-            langs[i] = LANGS[int(ks[j])]
-        confs[idx] = cv
+    # Single implementation lives in textscore.score_from_buckets (fused
+    # row-major gather shared with the perplexity LM — see that module's
+    # docstring for the cache-line analysis); this wrapper keeps the split
+    # API for the oracle labeler and the composable langid_stage.
+    from .textscore import score_from_buckets
+
+    langs, confs, _ = score_from_buckets(bucket_list)
     return langs, confs
 
 

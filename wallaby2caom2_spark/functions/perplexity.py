@@ -39,15 +39,13 @@ def perplexity_batch(texts: list[str | None]) -> np.ndarray:
 
 def ppl_from_buckets(bucket_list: list) -> np.ndarray:
     """Same scores from precomputed trigram buckets (shared with langid in
-    the fused text stage — hashing paid once per text)."""
-    out = np.zeros(len(bucket_list), dtype=np.float64)
-    for i, b in enumerate(bucket_list):
-        if b is None or len(b) == 0:
-            out[i] = float(np.exp(32.0))
-            continue
-        nll = -float(_LOGP[b].mean())
-        out[i] = float(np.exp(min(nll, 32.0)))
-    return out
+    the fused text stage — hashing paid once per text). Delegates to the
+    fused row-major gather in textscore (single implementation for pipeline
+    AND oracle)."""
+    from .textscore import score_from_buckets
+
+    _, _, ppls = score_from_buckets(bucket_list)
+    return ppls
 
 
 def perplexity_one(text: str | None) -> float:

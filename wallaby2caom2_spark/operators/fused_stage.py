@@ -105,7 +105,7 @@ def fused_features_arrow(
     batches: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
     # worker-side imports: models/tables built once per python worker process
-    from ..functions import audio, langid, perplexity, scrub
+    from ..functions import audio, scrub, textscore
 
     for batch in batches:
         cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
@@ -124,9 +124,7 @@ def fused_features_arrow(
             ok[i], srm[i], dur[i], rms[i], clip[i] = o, s, d, r, c
 
         texts = cols["transcript"].to_pylist()
-        buckets = langid.buckets_batch(texts)  # hash once, score twice
-        langs, confs = langid.predict_from_buckets(buckets)
-        ppls = perplexity.ppl_from_buckets(buckets)
+        langs, confs, ppls = textscore.score_batch(texts)  # hash+gather once
         out_t, out_n = scrub.scrub_batch(texts)
 
         yield pa.RecordBatch.from_arrays(
@@ -153,7 +151,7 @@ def fused_features_arrow(
 
 def fused_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # worker-side imports: models/tables built once per python worker process
-    from ..functions import audio, langid, perplexity, scrub
+    from ..functions import audio, scrub, textscore
 
     for pdf in batches:
         n = len(pdf)
@@ -171,9 +169,7 @@ def fused_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ok[i], srm[i], dur[i], rms[i], clip[i] = o, s, d, r, c
 
         texts = [t if isinstance(t, str) else None for t in pdf["transcript"].to_numpy()]
-        buckets = langid.buckets_batch(texts)  # hash once, score twice
-        langs, confs = langid.predict_from_buckets(buckets)
-        ppls = perplexity.ppl_from_buckets(buckets)
+        langs, confs, ppls = textscore.score_batch(texts)  # hash+gather once
         out_t, out_n = scrub.scrub_batch(texts)
 
         yield pd.DataFrame(

@@ -31,12 +31,11 @@ LANGID_SCHEMA = T.StructType(
 @F.pandas_udf(LANGID_SCHEMA)
 def langid_ppl_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     # import inside: executed on the executor python worker, once per process
-    from ..functions import langid, perplexity
+    from ..functions import textscore
 
     for transcripts in batches:
         texts = [t if isinstance(t, str) else None for t in transcripts.to_numpy()]
-        langs, confs = langid.predict_batch(texts)
-        ppls = perplexity.perplexity_batch(texts)
+        langs, confs, ppls = textscore.score_batch(texts)
         yield pd.DataFrame({"lang": langs, "lang_conf": confs, "ppl": ppls})
 
 

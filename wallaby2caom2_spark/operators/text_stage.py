@@ -35,13 +35,11 @@ TEXT_SCHEMA = T.StructType(
 def text_models_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     # imports run on the executor python worker, once per process (iterator
     # form = model tables touched once per worker, not per batch)
-    from ..functions import langid, perplexity, scrub
+    from ..functions import scrub, textscore
 
     for transcripts in batches:
         texts = [t if isinstance(t, str) else None for t in transcripts.to_numpy()]
-        buckets = langid.buckets_batch(texts)  # hash once, score twice
-        langs, confs = langid.predict_from_buckets(buckets)
-        ppls = perplexity.ppl_from_buckets(buckets)
+        langs, confs, ppls = textscore.score_batch(texts)  # hash+gather once
         out_t, out_n = scrub.scrub_batch(texts)
         yield pd.DataFrame(
             {

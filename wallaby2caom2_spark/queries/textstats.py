@@ -576,6 +576,96 @@ FROM wded JOIN sded USING (doc_id)
 """
 
 
+def doc_crossdoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-segment removal — the C4 rule ("discard any
+    span that occurs more than once in the corpus") at ``SEG_W``-word
+    granularity: a segment whose total occurrence count across ALL
+    documents exceeds 1 is boilerplate and is cut from every document;
+    survivors are reassembled in original order.
+
+    Scale shape (the part that matters at 10^12 docs): segment counting is
+    a map-side-combined ``groupBy(segment)`` — one shuffle of (segment,
+    partial count) pairs; membership is then an equi-join of the exploded
+    segments against the count table (sort-merge at scale, AQE-broadcast
+    when the boilerplate set is small), never an all-pairs comparison; the
+    reassembly shuffles one slim (doc_id, pos, seg) row per surviving
+    segment. Reference analog: the rejected-known-failures exclusion J3
+    (``config/config.yml:56-60``) — corpus-derived exclusion list applied
+    as a join, here derived from the data itself.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    n_seg = F.ceil(F.size(words) / F.lit(SEG_W)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * SEG_W + 1, SEG_W)),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(segs).alias("pos", "seg")
+    )
+    seg_counts = exploded.groupBy("seg").agg(F.count("*").alias("n_occ"))
+    kept = exploded.join(
+        seg_counts.filter(F.col("n_occ") == 1).select("seg"), "seg", "inner"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        docs.select("doc_id", n_seg.alias("n_segs"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+_CROSSDOC_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+segidx AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0,
+             CAST(ceil(len(words) / {SEG_W}.0) AS INT) - 1)) AS s
+  FROM d
+),
+seg AS (
+  SELECT doc_id, s AS pos,
+         array_to_string(list_slice(words, s*{SEG_W}+1, s*{SEG_W}+{SEG_W}), ' ')
+           AS seg
+  FROM segidx
+),
+counts AS (SELECT seg, count(*) AS n_occ FROM seg GROUP BY seg),
+kept AS (
+  SELECT seg.doc_id, seg.pos, seg.seg
+  FROM seg JOIN counts USING (seg) WHERE counts.n_occ = 1
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+),
+nseg AS (
+  SELECT doc_id, CAST(ceil(len(words) / {SEG_W}.0) AS INT) AS n_segs FROM d
+)
+SELECT nseg.doc_id, nseg.n_segs,
+       COALESCE(rebuilt.n_kept, 0)::INTEGER AS n_kept,
+       COALESCE(rebuilt.cleaned_text, '') AS cleaned_text
+FROM nseg LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -587,6 +677,7 @@ QUERIES = {
     "sample_token_budget": sample_token_budget,
     "sample_mixture_quota": sample_mixture_quota,
     "doc_intradoc_dedup": doc_intradoc_dedup,
+    "doc_crossdoc_dedup": doc_crossdoc_dedup,
 }
 
 ORACLE = {
@@ -600,4 +691,5 @@ ORACLE = {
     "sample_token_budget": _BUDGET_SQL,
     "sample_mixture_quota": _MIXTURE_SQL,
     "doc_intradoc_dedup": _INTRADOC_SQL,
+    "doc_crossdoc_dedup": _CROSSDOC_SQL,
 }

@@ -34,6 +34,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; clips/multimodal entries are omitted
-    (pandas-UDF stages, non-SQL-expressible → driver rows-only check)."""
-    return dict(ALL_ORACLE)
+    """DuckDB-equivalent SQL per query. Most clips entries are omitted (the
+    pandas-UDF decode/langid/scrub stages are not SQL-expressible → driver
+    rows-only check + golden pytest), but ``multimodal_media_meta`` IS
+    oracle-checked: its sniff + stub geometry are pure arithmetic, so DuckDB
+    recomputes it from the same cached clips parquet (path baked in at
+    sf0.01 — the driver's comparison scale; generated here if absent)."""
+    from wallaby2caom2_spark.queries.clips_flagship import media_meta_oracle
+
+    out = dict(ALL_ORACLE)
+    out["multimodal_media_meta"] = media_meta_oracle("/root/testdata/sf0.01")
+    return out

@@ -51,6 +51,13 @@ def main() -> int:
     only = set(sys.argv[1:])
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if SF_DIR != "/root/testdata/sf0.01":
+        # the entry contract bakes the clips-parquet oracle path at the
+        # driver's comparison scale (sf0.01); re-derive it for local runs
+        # at other scales so both engines read the same cache
+        from wallaby2caom2_spark.queries.clips_flagship import media_meta_oracle
+
+        oracles["multimodal_media_meta"] = media_meta_oracle(SF_DIR)
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in (

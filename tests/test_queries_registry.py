@@ -23,7 +23,6 @@ def test_registry_shape():
     assert rows_only == {
         "clips_quality_filter",
         "clips_metrics",
-        "multimodal_media_meta",
         "clips_waveform_preview",
         "audio_fingerprint_neardup",
         "audio_segment_stats",

@@ -66,6 +66,42 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_meta_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``multimodal_media_meta``: the magic-byte sniff and
+    the deterministic stub geometry are pure arithmetic, so the whole
+    mapInPandas stage is SQL-checkable — DuckDB reads the SAME cached clips
+    parquet (``clips_path_for`` generates it if absent, so calling this from
+    ``oracle_sql()`` is self-contained on the driver). Byte-prefix matching
+    uses ``left(hex(bytes), k)`` because DuckDB has no BLOB starts_with."""
+    path = clips_path_for(sf_dir)
+    return f"""
+WITH c AS (
+  SELECT octet_length(bytes) AS n,
+    CASE
+      WHEN bytes IS NULL OR octet_length(bytes) = 0 THEN 'empty'
+      WHEN left(hex(bytes), 8) = '52494646' THEN 'wav'
+      WHEN left(hex(bytes), 8) = '664C6143' THEN 'flac'
+      WHEN left(hex(bytes), 8) = '89504E47' THEN 'png'
+      WHEN left(hex(bytes), 6) = 'FFD8FF' THEN 'jpeg'
+      ELSE 'raw'
+    END AS kind
+  FROM read_parquet('{path}/*.parquet')
+),
+m AS (
+  SELECT kind, n,
+    (kind NOT IN ('empty', 'raw') AND n > 12) AS ok,
+    CASE WHEN NOT (kind NOT IN ('empty', 'raw') AND n > 12) THEN 0
+         WHEN kind IN ('png', 'jpeg') THEN 1
+         ELSE greatest(1, n // 3200) END AS frames
+  FROM c
+)
+SELECT kind, count(*)::BIGINT AS n_clips, sum(n)::BIGINT AS total_bytes,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+       sum(frames)::BIGINT AS total_frames
+FROM m GROUP BY kind ORDER BY kind
+"""
+
+
 def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 real preview generation: decoded PCM → waveform-thumbnail PNG
     binary column (operators/preview.py), summarized so the driver's

@@ -47,6 +47,7 @@ def test_registry_shape():
         "sample_mixture_quota",
         "events_asof_join",
         "events_range_join",
+        "kmeans_train",
     ],
 )
 def test_spot_oracle_match(spark, name):

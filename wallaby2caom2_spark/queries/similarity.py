@@ -484,6 +484,132 @@ FROM best GROUP BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# iterative k-means training (Lloyd's algorithm, broadcast-centroid pattern)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _sq_l2_to(lit_centroid: list[float]) -> F.Column:
+    """Squared L2 distance from column ``e`` to a centroid literal, summed
+    left-to-right in whole-stage codegen (no Python)."""
+    c = F.array(*[F.lit(float(v)) for v in lit_centroid])
+    return F.aggregate(
+        F.zip_with(F.col("e"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _kmeans_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment with centroids inlined as literals: a
+    map-only projection — ZERO shuffle, the shape that matters at 10^12
+    rows (Spark MLlib's KMeans does the same broadcast-and-scan per
+    iteration). Distances are rounded (4 dp, +1e-9 nudge — the repo's
+    cross-engine convention) and ties break to the lowest cluster id via
+    array_position's first-match semantics, mirroring the oracle's
+    ``ORDER BY dist, cid`` window."""
+    dists = F.array(*[F.round(_sq_l2_to(c) + 1e-9, 4) for c in cents])
+    return emb.withColumn("dists", dists).select(
+        "vec_id",
+        "label",
+        "e",
+        (F.expr("array_position(dists, array_min(dists))") - 1)
+        .cast("int")
+        .alias("cluster_id"),
+    )
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative Lloyd's k-means over the embeddings table — the
+    "iterative algorithm" category of the training-data-pipeline brief,
+    expressed Spark-first: per iteration, assignment is a broadcast-literal
+    map-only projection (no shuffle) and the centroid update is ONE partial
+    (map-side-combined) aggregation of K x DIM cells; only the K updated
+    centroids (tiny) return to the driver between iterations. Deterministic
+    end-to-end: init = the K lowest-vec_id vectors, per-dim means rounded in
+    the PLAN (F.round, 6 dp) before becoming next-iteration literals, so a
+    re-run — or the DuckDB oracle, which replays the same 3 iterations as a
+    CTE chain — reproduces identical assignments. Output is integer-only
+    (cluster x true-label contingency) so the value-hash is rounding-proof.
+
+    Reference analog: the reference has no iterative op; this extends the
+    IVF centroid-assignment family (``ann_ivf_assign``) into training.
+    """
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    )
+    init_rows = emb.orderBy("vec_id").limit(KMEANS_K).select("e").collect()
+    cents = [list(r["e"]) for r in init_rows]
+
+    assigned = _kmeans_assign(emb, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        upd = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("e").getItem(d)) + 1e-9, 6).alias(f"m{d}")
+                    for d in range(DIM)
+                ]
+            )
+            .collect()
+        )
+        by_cid = {r["cluster_id"]: [r[f"m{d}"] for d in range(DIM)] for r in upd}
+        # empty clusters keep their previous centroid (standard Lloyd)
+        cents = [by_cid.get(cid, cents[cid]) for cid in range(KMEANS_K)]
+        assigned = _kmeans_assign(emb, cents)
+
+    return (
+        assigned.groupBy("cluster_id", "label")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cluster_id", "label")
+    )
+
+
+def _kmeans_sql() -> str:
+    """Oracle: the same 3 Lloyd iterations as a DuckDB CTE chain (assign via
+    dist/cid-ordered window, update via unnest+generate_subscripts per-dim
+    avg, empty clusters carried through a left join)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+  FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+),""",
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, label, e, cid FROM (
+    SELECT e.vec_id, e.label, e.e, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.e, c.ce) ^ 2 + 1e-9, 4) ASC,
+                      c.cid ASC) AS rn
+    FROM e CROSS JOIN c{it} c
+  ) WHERE rn = 1
+),""")
+        if it < KMEANS_ITERS - 1:
+            parts.append(f"""u{it} AS (
+  SELECT cid, list(m ORDER BY dim) AS ce FROM (
+    SELECT cid, dim, round(avg(v) + 1e-9, 6) AS m FROM (
+      SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS dim FROM a{it}
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+),""")
+            parts.append(f"""c{it + 1} AS (
+  SELECT c.cid, COALESCE(u.ce, c.ce) AS ce
+  FROM c{it} c LEFT JOIN u{it} u USING (cid)
+),""")
+    final = KMEANS_ITERS - 1
+    parts.append(f"""sel AS (SELECT 1)
+SELECT cid AS cluster_id, label, count(*)::BIGINT AS n_vecs
+FROM a{final} GROUP BY 1, 2 ORDER BY 1, 2""")
+    return "\n".join(parts)
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -492,9 +618,11 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "dedup_embedding_neardup": dedup_embedding_neardup,
     "embedding_pq_code": embedding_pq_code,
+    "kmeans_train": kmeans_train,
 }
 
 ORACLE = {
+    "kmeans_train": _kmeans_sql(),
     "similarity_topk_bruteforce": _TOPK_SQL,
     "ann_lsh_buckets": _lsh_buckets_sql(),
     "ann_ivf_assign": _IVF_SQL,

@@ -26,6 +26,7 @@ def test_registry_shape():
         "clips_waveform_preview",
         "audio_fingerprint_neardup",
         "audio_segment_stats",
+        "audio_normalize_stats",
     }
     for name, sql in o.items():
         assert sql.strip(), name

@@ -517,6 +517,97 @@ FROM agg WHERE n_b != n_a
 """
 
 
+# ---------------------------------------------------------------------------
+# lag/lead inter-arrival deltas — per-user event-gap profile
+# ---------------------------------------------------------------------------
+
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window over (user, time): inter-event gaps per user, reduced to an
+    integer-only profile (microsecond gaps — no float rounding to drift
+    between engines). Orders on (ts, event_id) so same-timestamp ties are
+    deterministic. Scale: one shuffle on user_id for the window, then the
+    groupBy reuses the same partitioning (no second exchange)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            (F.count("*") + 1).alias("n_events"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.sum((F.col("gap_us") > 3_600_000_000).cast("long")).alias(
+                "n_big_gaps"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_LAG_DELTA_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, (count(*) + 1)::BIGINT AS n_events,
+       max(gap_us)::BIGINT AS max_gap_us,
+       sum(gap_us)::BIGINT AS sum_gap_us,
+       sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)::BIGINT
+           AS n_big_gaps
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot — per-user event-type contingency as columns
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — without it Spark runs a separate
+    distinct job over the full table just to discover the columns (a silent
+    extra scan at 100 TB). Counts are integer-only; absent cells coalesce
+    to 0 in both engines."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
+_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(
+           f"count(*) FILTER (event_type = '{t}')::BIGINT AS n_{t}"
+           for t in _PIVOT_TYPES
+       )}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "json_props_extract": json_props_extract,
     "rollup_revenue": rollup_revenue,
@@ -529,9 +620,13 @@ QUERIES = {
     "events_rolling_avg": events_rolling_avg,
     "cube_revenue": cube_revenue,
     "snapshot_diff": snapshot_diff,
+    "events_lag_delta": events_lag_delta,
+    "events_pivot_by_type": events_pivot_by_type,
 }
 
 ORACLE = {
+    "events_lag_delta": _LAG_DELTA_SQL,
+    "events_pivot_by_type": _PIVOT_SQL,
     "json_props_extract": _JSON_PROPS_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "sessionize_events": _SESSIONIZE_SQL,

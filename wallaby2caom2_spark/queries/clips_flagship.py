@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
-from ..operators import audio_fp, multimodal, preview, segment
+from ..operators import audio_fp, multimodal, normalize, preview, segment
 from ..plans.pipeline import quality_filter, run_metrics
 from ..sources import clips as clips_src
 
@@ -168,6 +168,26 @@ def audio_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness normalization (operators/normalize.py) over the clips table,
+    summarized by (norm_ok, peak_limited) so the driver's rows-only check
+    sees a small stable relation; per-sample gain/limiter/decode-back
+    assertions live in tests/test_normalize.py."""
+    norm = normalize.normalize_clips(load_clips(spark, sf_dir))
+    return (
+        norm.groupBy("norm_ok", "peak_limited")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.coalesce(F.length("norm_bytes"), F.lit(0))).alias(
+                "payload_bytes"
+            ),
+            F.round(F.avg("gain_db") + 1e-9, 3).alias("avg_gain_db"),
+            F.round(F.avg("out_rms_dbfs") + 1e-9, 3).alias("avg_out_rms_dbfs"),
+        )
+        .orderBy("norm_ok", "peak_limited")
+    )
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
@@ -175,6 +195,7 @@ QUERIES = {
     "clips_waveform_preview": clips_waveform_preview,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
     "audio_segment_stats": audio_segment_stats,
+    "audio_normalize_stats": audio_normalize_stats,
 }
 
 ORACLE: dict[str, str] = {}

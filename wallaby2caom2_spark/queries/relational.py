@@ -493,6 +493,88 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# top unshipped orders — the shipping-priority shape (multi-join + agg + top-k)
+# ---------------------------------------------------------------------------
+
+_SHIP_CUTOFF = "1998-06-15"
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-filtered customer ⋈ orders ⋈ lineitem, revenue per order over
+    lines still unshipped at the cutoff, top 10 by revenue (ties broken on
+    o_orderkey so LIMIT is deterministic cross-engine). Scale shape: both
+    date filters sit ON the scans (pushed to parquet row groups); customer
+    is the small side and broadcasts so the only shuffle is the final
+    per-order aggregation. Revenue in integer cents, the repo's exact-money
+    convention."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_SHIP_CUTOFF).cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_SHIP_CUTOFF).cast("timestamp")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_TOP_UNSHIPPED_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       sum(round(l_extendedprice * (1 - l_discount) * 100, 0))::BIGINT
+           AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_SHIP_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{_SHIP_CUTOFF}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# two-phase distinct aggregation — the skew-safe shape for COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+def distinct_users_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT user) per event_type, written as the explicit
+    two-phase plan: dedupe on (event_type, user_id) FIRST — a combine-able
+    aggregation whose map side shrinks each partition to its local distinct
+    set — then count per type. A direct ``countDistinct`` over a hot key
+    ships every raw row of that key to one reducer (the classic skew
+    collapse at 10^12 rows); the pre-aggregation bounds the final shuffle at
+    one row per (type, user) pair regardless of per-key row counts. Same
+    result, skew-proof plan."""
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_TWO_PHASE_DISTINCT_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_users
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "doc_rule_cascade": doc_rule_cascade,
     "pricing_summary": pricing_summary,
@@ -505,9 +587,13 @@ QUERIES = {
     "product_id_derivation": product_id_derivation,
     "store_if_newer": store_if_newer,
     "value_repair_scrub": value_repair_scrub,
+    "top_unshipped_orders": top_unshipped_orders,
+    "distinct_users_two_phase": distinct_users_two_phase,
 }
 
 ORACLE = {
+    "top_unshipped_orders": _TOP_UNSHIPPED_SQL,
+    "distinct_users_two_phase": _TWO_PHASE_DISTINCT_SQL,
     "doc_rule_cascade": _DOC_RULE_CASCADE_SQL,
     "pricing_summary": _PRICING_SUMMARY_SQL,
     "rejected_anti_join": _REJECTED_ANTI_JOIN_SQL,

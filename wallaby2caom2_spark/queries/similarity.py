@@ -68,16 +68,24 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "e", _to_double(F.col("embedding"))
     )
+    # norms are computed ONCE per side before the pair join — per-pair work
+    # is a single dot-product fold. Recomputing norms inside the join would
+    # be O(Q x N) redundant 64-element folds (higher-order functions are
+    # interpreted, not codegen — the dominant cost of this query).
     probes = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        _norm(F.col("e")).alias("pn"),
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        _norm(F.col("e")).alias("nn"),
+    )
     joined = cand.join(
         F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id")
     )
-    cos = _dot(F.col("pe"), F.col("ne")) / (
-        _norm(F.col("pe")) * _norm(F.col("ne"))
-    )
+    cos = _dot(F.col("pe"), F.col("ne")) / (F.col("pn") * F.col("nn"))
     scored = joined.select(
         "probe_id", "neighbor_id", F.round(cos + 1e-9, 4).alias("cos_sim")
     )
@@ -162,10 +170,16 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e", _to_double(F.col("embedding"))
     )
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        _norm(F.col("e")).alias("cn"),
     )
-    joined = emb.join(F.broadcast(cents), F.col("vec_id") >= F.lit(N_CENTROIDS))
-    cos = _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce")))
+    # per-side norms precomputed before the fan-out join (see
+    # similarity_topk_bruteforce) — per-pair work is one fold, not three
+    joined = emb.withColumn("en", _norm(F.col("e"))).join(
+        F.broadcast(cents), F.col("vec_id") >= F.lit(N_CENTROIDS)
+    )
+    cos = _dot(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))
     scored = joined.select(
         "vec_id", "label", "centroid_id", F.round(cos + 1e-9, 4).alias("cos_sim")
     )
@@ -222,14 +236,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e", _to_double(F.col("embedding"))
     )
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        _norm(F.col("e")).alias("cn"),
     )
-    data = emb.filter(F.col("vec_id") >= N_CENTROIDS)
-    cos_c = _dot(F.col("e"), F.col("ce")) / (
-        _norm(F.col("e")) * _norm(F.col("ce"))
+    data = emb.filter(F.col("vec_id") >= N_CENTROIDS).withColumn(
+        "en", _norm(F.col("e"))
     )
+    cos_c = _dot(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))
     scored = data.join(F.broadcast(cents)).select(
-        "vec_id", "e", "centroid_id", F.round(cos_c + 1e-9, 4).alias("cos_c")
+        "vec_id", "e", "en", "centroid_id", F.round(cos_c + 1e-9, 4).alias("cos_c")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("centroid_id").asc()
@@ -237,17 +253,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "centroid_id")
+        .select("vec_id", "e", "en", "centroid_id")
     )
     probes = assigned.filter(F.col("vec_id") % 101 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "centroid_id"
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("en").alias("qn"),
+        "centroid_id",
     )
     cand = probes.join(assigned, "centroid_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    cos_q = _dot(F.col("qe"), F.col("e")) / (
-        _norm(F.col("qe")) * _norm(F.col("e"))
-    )
+    cos_q = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))
     pairs = cand.select(
         "q_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -352,17 +369,27 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in range(N_PLANES):
         plane = F.array(*[F.lit(v) for v in PLANES[h]])
         bucket = bucket + F.when(_dot(F.col("e"), plane) > 0, 1 << h).otherwise(0)
-    b = emb.select("vec_id", "e", bucket.cast("int").alias("bucket"))
+    b = emb.select(
+        "vec_id",
+        "e",
+        bucket.cast("int").alias("bucket"),
+        # norm computed once per row, not once per candidate pair
+        _norm(F.col("e")).alias("nrm"),
+    )
     left = b.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
     )
     right = b.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
     )
     pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        _norm(F.col("ea")) * _norm(F.col("eb"))
-    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos + 1e-9, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= _NEAR_DUP_COS)

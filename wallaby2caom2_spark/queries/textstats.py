@@ -666,6 +666,85 @@ FROM nseg LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# hashed linear text classifier — fastText-style scoring fully JVM-side
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 64
+
+
+def _clf_weights() -> list[float]:
+    """Deterministic pseudo-random weight vector (md5-derived, like the LSH
+    hyperplanes) — inlined as literals into BOTH engines, so the only
+    model artifact is the plan itself."""
+    import hashlib
+
+    return [
+        round(
+            int(hashlib.md5(f"clfw_{b}".encode()).hexdigest()[:8], 16) / 2**31
+            - 1.0,
+            6,
+        )
+        for b in range(CLF_BUCKETS)
+    ]
+
+
+_CLF_W = _clf_weights()
+
+
+def text_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-shaped linear scorer WITHOUT leaving the JVM: hashed
+    bag-of-words (md5 → 32-bit bucket, the "hashing trick") → mean of
+    per-bucket weights → sign as the label. This is the scale path for
+    model-based quality scoring when the model is linear: at 10^12 docs the
+    whole scorer is a per-row projection — no Python workers, no shuffle,
+    no broadcast bigger than the weight literal — where the pipeline's
+    pandas-UDF scorers (functions/langid.py) are the path for models that
+    need real inference. Cross-engine: md5 is bit-identical in both
+    engines; weights are 6-dp literals; the score rounds at 4 dp."""
+    words = _words()
+    wl = F.array(*[F.lit(w) for w in _CLF_W])
+    contrib = F.transform(
+        words,
+        lambda w: F.element_at(
+            wl,
+            (
+                F.conv(F.substring(F.md5(F.lower(w)), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % CLF_BUCKETS
+                + 1
+            ).cast("int"),
+        ),
+    )
+    score = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x) / F.size(words)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(score + 1e-9, 4).alias("score"),
+        (score > 0).alias("pred_keep"),
+    )
+
+
+_CLF_SQL = f"""
+WITH w AS (SELECT {_CLF_W}::DOUBLE[] AS wl),
+d AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         list_sum(list_transform(words, t ->
+           wl[(('0x' || left(md5(lower(t)), 8))::BIGINT % {CLF_BUCKETS} + 1)::INT]
+         )) / len(words) AS raw
+  FROM d, w
+)
+SELECT doc_id, lang, round(raw + 1e-9, 4) AS score, raw > 0 AS pred_keep
+FROM scored
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -677,6 +756,7 @@ QUERIES = {
     "sample_token_budget": sample_token_budget,
     "sample_mixture_quota": sample_mixture_quota,
     "doc_intradoc_dedup": doc_intradoc_dedup,
+    "text_linear_classifier": text_linear_classifier,
     "doc_crossdoc_dedup": doc_crossdoc_dedup,
 }
 
@@ -691,5 +771,6 @@ ORACLE = {
     "sample_token_budget": _BUDGET_SQL,
     "sample_mixture_quota": _MIXTURE_SQL,
     "doc_intradoc_dedup": _INTRADOC_SQL,
+    "text_linear_classifier": _CLF_SQL,
     "doc_crossdoc_dedup": _CROSSDOC_SQL,
 }

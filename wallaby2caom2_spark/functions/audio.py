@@ -99,7 +99,8 @@ def decode_clip(payload, codec: str) -> tuple[np.ndarray | None, int]:
     return None, 0
 
 
-def _decode_wav(payload: bytes) -> tuple[np.ndarray | None, int]:
+def _parse_wav(payload: bytes) -> tuple[bytes | None, int]:
+    """WAV container parse → (raw data chunk, sr); no sample conversion."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None, 0
     pos, sr, data = 12, 0, None
@@ -117,17 +118,59 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray | None, int]:
         pos += clen
     if data is None or sr == 0 or len(data) % 2:
         return None, 0
+    return data, sr
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray | None, int]:
+    data, sr = _parse_wav(payload)
+    if data is None:
+        return None, 0
     return np.frombuffer(data, dtype="<i2").astype(np.float32) / _FULL_SCALE, sr
 
 
-def _decode_flac_stub(payload: bytes) -> tuple[np.ndarray | None, int]:
+def _parse_flac_stub(payload: bytes) -> tuple[bytes | None, int]:
     if len(payload) < 12 or payload[:4] != _FAKE_FLAC_MAGIC:
         return None, 0
     sr, n = struct.unpack_from("<II", payload, 4)
     data = payload[12:]
     if len(data) != 2 * n or sr == 0:
         return None, 0
+    return data, sr
+
+
+def _decode_flac_stub(payload: bytes) -> tuple[np.ndarray | None, int]:
+    data, sr = _parse_flac_stub(payload)
+    if data is None:
+        return None, 0
     return np.frombuffer(data, dtype="<i2").astype(np.float32) / _FULL_SCALE, sr
+
+
+def decode_clip_i16(payload, codec: str) -> tuple[np.ndarray | None, int]:
+    """Zero-copy decode → (int16 sample VIEW into the payload buffer, sr).
+
+    The memory-bandwidth-lean path for feature extraction: no float32
+    conversion, no [-1,1] scaling — the view reads the payload in place
+    (2 bytes/sample of traffic instead of ~17 with the float pipeline's
+    astype + divide + float64 squares). Callers that need waveform samples
+    (segmentation, normalization, FFT fingerprint) use ``decode_clip``.
+    Returns (None, 0) on undecodable input; real-library flac (absent in
+    this container) has no int16 view — callers fall back to the float
+    path there."""
+    if payload is None or len(payload) == 0:
+        return None, 0
+    if codec == "pcm_s16le":
+        if len(payload) % 2:
+            return None, 0
+        return np.frombuffer(payload, dtype="<i2"), 0
+    if codec == "wav":
+        data, sr = _parse_wav(payload)
+    elif codec == "flac" and _soundfile is None:
+        data, sr = _parse_flac_stub(payload)
+    else:
+        return None, 0
+    if data is None:
+        return None, 0
+    return np.frombuffer(data, dtype="<i2"), sr
 
 
 # ---------------------------------------------------------------------------
@@ -141,13 +184,31 @@ def decode_features(
 
     sr_meas falls back to the declared rate for headerless codecs.
     """
-    samples, sr_meas = decode_clip(payload, codec)
-    if samples is None or len(samples) == 0:
+    x, sr_meas = decode_clip_i16(payload, codec)
+    if x is None:
+        # real-library flac has no int16 view — float fallback (not taken
+        # in this container); everything else decodes via the i16 path
+        samples, sr_meas = decode_clip(payload, codec)
+        if samples is None or len(samples) == 0:
+            return False, 0, 0, 0.0, 0.0
+        sr = sr_meas or declared_sr
+        dur_ms = int(round(len(samples) * 1000.0 / sr)) if sr > 0 else 0
+        rms = float(np.sqrt(np.mean(np.square(samples, dtype=np.float64))))
+        clip_rate = float(np.mean(np.abs(samples) >= 32766.0 / _FULL_SCALE))
+        return True, sr, dur_ms, rms, clip_rate
+    if len(x) == 0:
         return False, 0, 0, 0.0, 0.0
     sr = sr_meas or declared_sr
-    dur_ms = int(round(len(samples) * 1000.0 / sr)) if sr > 0 else 0
-    rms = float(np.sqrt(np.mean(np.square(samples, dtype=np.float64))))
-    clip_rate = float(np.mean(np.abs(samples) >= 32766.0 / _FULL_SCALE))
+    dur_ms = int(round(len(x) * 1000.0 / sr)) if sr > 0 else 0
+    # integer-domain features: squares fit int32 (max 2^30), the sum
+    # accumulates in int64 — exact, and ~2.5x less DRAM traffic than the
+    # float pipeline (the measured scaling limiter at 32 busy cores was
+    # memory bandwidth, BENCH/BASELINE.md)
+    sumsq = int(np.sum(np.square(x, dtype=np.int32), dtype=np.int64))
+    rms = float(np.sqrt(sumsq / len(x)) / _FULL_SCALE)
+    clip_rate = float(
+        np.count_nonzero((x >= 32766) | (x <= -32766)) / len(x)
+    )
     return True, sr, dur_ms, rms, clip_rate
 
 

@@ -38,7 +38,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, dict] = {}
-    for qname in ("audio_fingerprint_neardup", "audio_segment_stats"):
+    for qname in (
+        "audio_fingerprint_neardup",
+        "audio_segment_stats",
+        "audio_normalize_stats",
+    ):
         fn = ALL_QUERIES[qname]
         fn(spark, SF_DIR).collect()  # warm-up
         samples = []
@@ -74,7 +78,9 @@ def main() -> None:
             "band fingerprint → LSH-banded self-join → JVM bit_count verify, "
             "including a 5% simulated redelivery; `audio_segment_stats` = "
             "full quality-filter pipeline → kept clips → resample to 16 kHz "
-            "→ 250 ms windows). Min-of-samples protocol.\n\n"
+            "→ 250 ms windows; `audio_normalize_stats` = decode → RMS "
+            "normalize to −20 dBFS with −1 dBFS peak limiter → re-encoded "
+            "pcm_s16le payload out). Min-of-samples protocol.\n\n"
             "| query | best sec | clips/sec | samples |\n|---|---|---|---|\n"
             + "".join(
                 f"| {k} | {v['best_sec']} | {v['clips_per_sec_best']:,} | "

@@ -131,6 +131,52 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# fixed-width histogram — distribution profile as one aggregation
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 1000.0, 20
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type: bin id is a pure
+    projection (floor((v-lo)/w), clamped to the edge bins), counts are one
+    partially-aggregated groupBy — the single-pass distribution profile a
+    quality dashboard runs at 100 TB, where an exact percentile would need
+    a sort. Integer-only output; bin boundaries are literals in both
+    engines (half-open [lo, hi) bins, ties-to-lower at exact edges in
+    both)."""
+    ev = load(spark, sf_dir, "events")
+    w = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    raw_bin = F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(w))
+    bin_id = (
+        F.when(raw_bin < 0, -1)
+        .when(raw_bin >= _HIST_BINS, _HIST_BINS)
+        .otherwise(raw_bin)
+        .cast("int")
+    )
+    return (
+        ev.groupBy("event_type", bin_id.alias("bin_id"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bin_id")
+    )
+
+
+_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CASE
+           WHEN floor((value - {_HIST_LO}) / {(_HIST_HI - _HIST_LO) / _HIST_BINS}) < 0 THEN -1
+           WHEN floor((value - {_HIST_LO}) / {(_HIST_HI - _HIST_LO) / _HIST_BINS}) >= {_HIST_BINS} THEN {_HIST_BINS}
+           ELSE floor((value - {_HIST_LO}) / {(_HIST_HI - _HIST_LO) / _HIST_BINS})
+         END::INT AS bin_id
+  FROM events
+)
+SELECT event_type, bin_id, count(*)::BIGINT AS n
+FROM b GROUP BY event_type, bin_id ORDER BY event_type, bin_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # set operations — INTERSECT / EXCEPT between behavioral cohorts
 # ---------------------------------------------------------------------------
 
@@ -622,11 +668,13 @@ QUERIES = {
     "snapshot_diff": snapshot_diff,
     "events_lag_delta": events_lag_delta,
     "events_pivot_by_type": events_pivot_by_type,
+    "value_histogram": value_histogram,
 }
 
 ORACLE = {
     "events_lag_delta": _LAG_DELTA_SQL,
     "events_pivot_by_type": _PIVOT_SQL,
+    "value_histogram": _HISTOGRAM_SQL,
     "json_props_extract": _JSON_PROPS_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "sessionize_events": _SESSIONIZE_SQL,

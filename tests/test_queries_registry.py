@@ -49,6 +49,12 @@ def test_registry_shape():
         "events_asof_join",
         "events_range_join",
         "kmeans_train",
+        "events_lag_delta",
+        "events_pivot_by_type",
+        "value_histogram",
+        "text_linear_classifier",
+        "top_unshipped_orders",
+        "distinct_users_two_phase",
     ],
 )
 def test_spot_oracle_match(spark, name):

@@ -27,6 +27,7 @@ def test_registry_shape():
         "audio_fingerprint_neardup",
         "audio_segment_stats",
         "audio_normalize_stats",
+        "audio_feature_stats",
     }
     for name, sql in o.items():
         assert sql.strip(), name

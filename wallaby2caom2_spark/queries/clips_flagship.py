@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
-from ..operators import audio_fp, multimodal, normalize, preview, segment
+from ..operators import audio_fp, features, multimodal, normalize, preview, segment
 from ..plans.pipeline import quality_filter, run_metrics
 from ..sources import clips as clips_src
 
@@ -188,6 +188,31 @@ def audio_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filterbank feature extraction (operators/features.py) over kept
+    clips — the ASR-training tensor step after filter/normalize/segment.
+    Summarized so the driver's rows-only check sees a small stable
+    relation; frame math / band localization / tensor round-trip are
+    pinned in tests/test_features.py."""
+    kept = quality_filter(load_clips(spark, sf_dir)).filter(F.col("keep"))
+    clips = load_clips(spark, sf_dir).join(
+        kept.select("clip_id"), "clip_id", "left_semi"
+    )
+    feats = features.feature_frames(clips)
+    return (
+        feats.groupBy("feat_ok")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum(F.coalesce(F.length("feat_bytes"), F.lit(0))).alias(
+                "tensor_bytes"
+            ),
+            F.round(F.avg("mean_log_energy") + 1e-9, 3).alias("avg_log_energy"),
+        )
+        .orderBy("feat_ok")
+    )
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
@@ -196,6 +221,7 @@ QUERIES = {
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
     "audio_segment_stats": audio_segment_stats,
     "audio_normalize_stats": audio_normalize_stats,
+    "audio_feature_stats": audio_feature_stats,
 }
 
 ORACLE: dict[str, str] = {}

@@ -1,0 +1,91 @@
+"""Physical-plan shape pins for the scale-critical queries.
+
+Correctness tests prove the VALUES; these prove the PLANS — the properties
+that decide whether a query survives a 100x scale-up: shuffle count, join
+strategy, filter pushdown, and the single-Arrow-crossing contract. A
+refactor that keeps results but, say, adds a second exchange to the
+flagship or turns the range join into a cartesian product fails here
+instead of in production.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from wallaby2caom2_spark.queries import ALL_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = ALL_QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count(plan: str, token: str) -> int:
+    return plan.count(token)
+
+
+def test_flagship_single_exchange_single_arrow_crossing(spark):
+    plan = plan_of(spark, "clips_quality_filter")
+    # ONE shuffle (the salted repartition of slim rows) and ONE Python
+    # crossing (the fused decode+langid+ppl+scrub stage) — the two headline
+    # properties of the pipeline's scale design
+    assert count(plan, "Exchange (") == 1, plan
+    # tree-form tokens ("Node (id)") so the detail section's repeat of the
+    # node name isn't double-counted
+    assert count(plan, "MapInArrow (") + count(plan, "MapInPandas (") == 1, plan
+
+
+def test_range_join_is_not_cartesian(spark):
+    plan = plan_of(spark, "events_range_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_pricing_summary_filter_pushdown(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # the shipdate predicate must reach the parquet scan, not sit in a
+    # post-scan Filter only
+    assert "PushedFilters: [" in plan, plan
+    assert "LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "revenue_per_nation")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_two_phase_distinct_bounded_exchanges(spark):
+    plan = plan_of(spark, "distinct_users_two_phase")
+    # dedupe exchange + final per-type exchange (plus the orderBy's range
+    # exchange) — anything beyond that means the pre-aggregation was lost
+    assert count(plan, "Exchange (") <= 3, plan
+    assert count(plan, "HashAggregate") >= 2, plan
+
+
+def test_lsh_banding_is_equi_join(spark):
+    plan = plan_of(spark, "dedup_lsh_bands")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["kmeans_train", "doc_intradoc_dedup", "text_linear_classifier"]
+)
+def test_projection_only_ops_have_no_python_stage(spark, name):
+    """Ops designed to run entirely JVM-side must not silently grow a
+    Python worker stage."""
+    plan = plan_of(spark, name)
+    assert "MapInPandas" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -1,0 +1,64 @@
+"""Training-shard export job (plans/export.py): manifest/shard agreement,
+tensor geometry, idempotent re-run, validation failure detection."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from wallaby2caom2_spark import datagen
+from wallaby2caom2_spark.plans.export import export_training_shards, validate_shards
+
+
+@pytest.fixture(scope="module")
+def export_run(spark, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("export"))
+    clips = os.path.join(work, "clips")
+    out = os.path.join(work, "out")
+    datagen.write_clips_parquet(clips, 600, seed=7)
+    manifest = export_training_shards(spark, clips, out, n_buckets=4)
+    return clips, out, manifest
+
+
+def test_manifest_matches_shards(spark, export_run):
+    _, out, manifest = export_run
+    assert manifest["n_buckets"] == 4
+    assert manifest["n_clips"] > 0
+    on_disk = json.load(open(os.path.join(out, "manifest.json")))
+    assert on_disk == manifest
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    assert shards.count() == manifest["n_clips"]
+    # every shard row is a kept clip with a real tensor + scrubbed text
+    assert shards.filter("feat_bytes IS NULL").count() == 0
+    assert shards.filter("scrubbed_transcript IS NULL").count() == 0
+
+
+def test_validation_passes_and_tensor_geometry_holds(spark, export_run):
+    _, out, manifest = export_run
+    per_bucket = {int(r["bucket"]): r for r in validate_shards(spark, out).collect()}
+    assert set(per_bucket) == set(int(b) for b in manifest["buckets"])
+    row = spark.read.parquet(os.path.join(out, "shards")).first()
+    feats = np.frombuffer(bytes(row["feat_bytes"]), dtype=np.float32)
+    assert feats.shape[0] == row["n_frames"] * row["n_bands"]
+
+
+def test_rerun_is_idempotent(spark, export_run):
+    clips, out, manifest = export_run
+    again = export_training_shards(spark, clips, out, n_buckets=4)
+    assert again == manifest
+
+
+def test_validation_detects_count_mismatch(spark, export_run):
+    _, out, _ = export_run
+    broken = os.path.join(out, "..", "broken")
+    shutil.copytree(out, broken, dirs_exist_ok=True)
+    m = json.load(open(os.path.join(broken, "manifest.json")))
+    first = next(iter(m["buckets"]))
+    m["buckets"][first]["n_clips"] += 1
+    json.dump(m, open(os.path.join(broken, "manifest.json"), "w"))
+    with pytest.raises(ValueError, match="count mismatch"):
+        validate_shards(spark, broken)

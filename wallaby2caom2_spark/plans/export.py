@@ -1,0 +1,122 @@
+"""Training-shard export — the terminal sink of the quality-filter pipeline.
+
+What a downstream trainer actually consumes: for every KEPT clip, the
+scrubbed transcript plus the filterbank feature tensor, laid out as
+bucket-partitioned parquet shards with a manifest recording per-bucket
+counts (the contract a dataloader validates before reading).
+
+Scale shape:
+- pass 1 (filter) and pass 2 (features) are both narrow single-Arrow-
+  crossing stages over the scan; the kept-id semi join prunes pass 2's
+  payload decode to survivors only;
+- the final transcript⋈tensor equi-join shuffles each side ONCE on
+  clip_id — both inputs are slim (the payload died inside the feature
+  worker; a tensor row is ~3% of its payload);
+- the write is dynamic-partition-overwrite keyed on the deterministic
+  bucket hash, so re-running a crashed export converges to the same
+  shards (same idempotence contract as the wave runner);
+- the manifest derives from ONE tiny aggregation (n_buckets rows) — the
+  only driver-side collect.
+
+Reference analog: the record sink + success/progress bookkeeping pair
+(``wallaby2caom2/composable.py`` store + ``config/config.yml:28-54`` logs),
+re-expressed as shards + manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.features import feature_frames
+from ..operators.partitioning import with_bucket
+from ..plans.pipeline import quality_filter
+from ..sources.clips import read_clips
+
+
+def export_training_shards(
+    spark: SparkSession,
+    clips_path: str,
+    out_path: str,
+    n_buckets: int = 8,
+) -> dict:
+    """Run filter → features → join → bucketed shard write + manifest.
+
+    Returns the manifest dict: {"n_clips": N, "n_buckets": B,
+    "buckets": {bucket: {"n_clips": n, "n_frames": f}}}.
+    """
+    clips = read_clips(spark, clips_path)
+    kept = (
+        quality_filter(clips)
+        .filter(F.col("keep"))
+        .select("clip_id", "lang", "scrubbed_transcript")
+    )
+    survivors = clips.join(kept.select("clip_id"), "clip_id", "left_semi")
+    feats = feature_frames(survivors).filter(F.col("feat_ok"))
+    shard = with_bucket(
+        kept.join(
+            feats.select("clip_id", "n_frames", "n_bands", "feat_bytes"),
+            "clip_id",
+        ),
+        n_buckets,
+    )
+
+    (
+        shard.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_path, "shards"))
+    )
+
+    per_bucket = (
+        spark.read.parquet(os.path.join(out_path, "shards"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_clips"), F.sum("n_frames").alias("n_frames"))
+        .collect()
+    )
+    manifest = {
+        "n_clips": int(sum(r["n_clips"] for r in per_bucket)),
+        "n_buckets": n_buckets,
+        # string keys: the manifest is a JSON artifact — keep the in-memory
+        # dict identical to its serialized round-trip
+        "buckets": {
+            str(int(r["bucket"])): {
+                "n_clips": int(r["n_clips"]),
+                "n_frames": int(r["n_frames"]),
+            }
+            for r in per_bucket
+        },
+    }
+    tmp = os.path.join(out_path, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_path, "manifest.json"))
+    return manifest
+
+
+def validate_shards(spark: SparkSession, out_path: str) -> DataFrame:
+    """Dataloader-style validation: per-bucket parquet counts must equal the
+    manifest, and every tensor buffer must match its declared geometry
+    (n_frames x n_bands x 4 bytes). Returns the per-bucket check table."""
+    with open(os.path.join(out_path, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    shards = spark.read.parquet(os.path.join(out_path, "shards"))
+    checked = shards.withColumn(
+        "geom_ok",
+        F.length("feat_bytes") == F.col("n_frames") * F.col("n_bands") * 4,
+    )
+    per_bucket = checked.groupBy("bucket").agg(
+        F.count("*").alias("n_clips"),
+        F.sum(F.col("geom_ok").cast("int")).alias("n_geom_ok"),
+    )
+    rows = {int(r["bucket"]): r for r in per_bucket.collect()}
+    for b, meta in manifest["buckets"].items():
+        r = rows.get(int(b))
+        if r is None or int(r["n_clips"]) != meta["n_clips"]:
+            raise ValueError(f"bucket {b}: manifest/shard count mismatch")
+        if int(r["n_geom_ok"]) != int(r["n_clips"]):
+            raise ValueError(f"bucket {b}: tensor geometry corruption")
+    return per_bucket

@@ -131,6 +131,78 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# funnel — ordered-step conversion as ONE conditional aggregation
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): a user converts at step
+    k when their FIRST occurrence of each step so far is time-ordered.
+    One groupBy(user) computing min-ts per step (conditional aggregation —
+    no per-step self-joins, which would be k-1 extra shuffles of the full
+    table at 100 TB), then one tiny rollup of step flags to the funnel
+    table. Epoch-microsecond comparisons; integer-only output."""
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, ts_us)).alias(f"t_{s}")
+            for s in _FUNNEL_STEPS
+        ]
+    )
+    s1, s2, s3 = (F.col(f"t_{s}") for s in _FUNNEL_STEPS)
+    flags = firsts.select(
+        s1.isNotNull().alias("f1"),
+        (s1.isNotNull() & s2.isNotNull() & (s2 > s1)).alias("f2"),
+        (
+            s1.isNotNull()
+            & s2.isNotNull()
+            & s3.isNotNull()
+            & (s2 > s1)
+            & (s3 > s2)
+        ).alias("f3"),
+    )
+    agg = flags.agg(
+        F.sum(F.col("f1").cast("long")).alias("n1"),
+        F.sum(F.col("f2").cast("long")).alias("n2"),
+        F.sum(F.col("f3").cast("long")).alias("n3"),
+    )
+    return agg.selectExpr(
+        "stack(3, 'signup', n1, 'signup>click', n2, 'signup>click>purchase', n3)"
+        " AS (step, n_users)"
+    )
+
+
+_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t1,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t2,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t3
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT t1 IS NOT NULL AS f1,
+         (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1) AS f2,
+         (t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+          AND t2 > t1 AND t3 > t2) AS f3
+  FROM firsts
+),
+agg AS (
+  SELECT sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN f2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN f3 THEN 1 ELSE 0 END)::BIGINT AS n3
+  FROM flags
+)
+SELECT 'signup' AS step, n1 AS n_users FROM agg
+UNION ALL SELECT 'signup>click', n2 FROM agg
+UNION ALL SELECT 'signup>click>purchase', n3 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # fixed-width histogram — distribution profile as one aggregation
 # ---------------------------------------------------------------------------
 
@@ -669,9 +741,11 @@ QUERIES = {
     "events_lag_delta": events_lag_delta,
     "events_pivot_by_type": events_pivot_by_type,
     "value_histogram": value_histogram,
+    "events_funnel": events_funnel,
 }
 
 ORACLE = {
+    "events_funnel": _FUNNEL_SQL,
     "events_lag_delta": _LAG_DELTA_SQL,
     "events_pivot_by_type": _PIVOT_SQL,
     "value_histogram": _HISTOGRAM_SQL,

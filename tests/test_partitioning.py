@@ -88,3 +88,42 @@ def test_bucket_is_deterministic(spark, skewed):
     assert a == b
     buckets = {x[1] for x in a}
     assert buckets <= set(range(8))
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    """Salting only changes shuffle layout — the joined result must be
+    row-identical to a plain equi-join on the same inputs."""
+    from wallaby2caom2_spark.operators.partitioning import salted_join
+
+    fact = skewed.select("clip_id", "sr_hz", "transcript")
+    dim = fact.groupBy("clip_id").agg(F.max("sr_hz").alias("max_sr"))
+    salted = salted_join(fact, dim, key="clip_id", row_key="transcript")
+    plain = fact.join(dim, on="clip_id", how="inner")
+    cols = ["clip_id", "sr_hz", "transcript", "max_sr"]
+    a = sorted(map(tuple, salted.select(cols).collect()))
+    b = sorted(map(tuple, plain.select(cols).collect()))
+    assert a == b
+
+
+def test_salted_join_scatters_hot_key(spark, skewed):
+    """The hot key's fact rows must spread across multiple salt replicas
+    (the whole point: >1 reducer handles the hot key)."""
+    from wallaby2caom2_spark.operators.partitioning import salted_join
+
+    fact = skewed.select("clip_id", "transcript").withColumn(
+        "__probe_salt",
+        F.pmod(F.xxhash64(F.col("transcript"), F.lit(0x5A17)), F.lit(8)).cast("int"),
+    )
+    n_salts_hot = (
+        fact.filter(F.col("clip_id") == "hot_key")
+        .select("__probe_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts_hot >= 4  # 800 hot rows over 8 salts — all 8 w.h.p.
+
+    dim = fact.groupBy("clip_id").count().drop("count")
+    out = salted_join(
+        fact.drop("__probe_salt"), dim, key="clip_id", row_key="transcript"
+    )
+    assert out.filter(F.col("clip_id") == "hot_key").count() == 800

@@ -64,6 +64,41 @@ def salted_repartition(
     return df.repartition(num_partitions, F.xxhash64(*parts))
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    row_key: str,
+    n_salts: int = 8,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Skew-safe shuffle equi-join: replicate the (small) ``dim`` side
+    ``n_salts``× and scatter ``fact`` rows across the replicas by a
+    deterministic hash of ``row_key``, so a hot join key's rows land on
+    ``n_salts`` reducers instead of one.
+
+    This is the explicit form of what AQE's skew-join split does at
+    runtime — kept as a first-class operator because AQE only splits
+    post-shuffle partitions it can observe; a single key whose rows exceed
+    one executor's memory needs the salt BEFORE the exchange. The salt is
+    ``pmod(xxhash64(row_key, salt), n_salts)`` — deterministic per row, so
+    stage retries reproduce identical routing (same argument as
+    ``salted_repartition``).
+
+    Join correctness is unchanged: every fact row still meets exactly one
+    replica of its dim row (the one carrying its salt value). The cost is
+    ``n_salts``× the dim shuffle volume — use for genuinely small dims
+    (else broadcast the dim and no shuffle happens at all; this operator
+    is for dims too big to broadcast joined to facts too skewed to hash)."""
+    salt_vals = F.array(*[F.lit(i) for i in range(n_salts)])
+    dim_rep = dim.withColumn("__salt", F.explode(salt_vals))
+    fact_s = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(row_key), F.lit(salt)), F.lit(n_salts)).cast("int"),
+    )
+    return fact_s.join(dim_rep, on=[key, "__salt"], how="inner").drop("__salt")
+
+
 def with_bucket(df: DataFrame, n_buckets: int, key: str = "clip_id") -> DataFrame:
     """Deterministic bucket id — the checkpoint/resume unit (reference
     analog: the time-boxed work chunks of ``config/config.yml:67-71``)."""

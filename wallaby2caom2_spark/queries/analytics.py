@@ -726,6 +726,123 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# cohort retention — weekly cohort × week-offset active-user matrix
+# ---------------------------------------------------------------------------
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: cohort_week = the week (since 2024-01-01) of
+    a user's first event; n_users = distinct users from that cohort active
+    week_offset weeks later.  Shaped for scale as ONE shuffle on user_id
+    (min-week and the distinct active-week set in the same groupBy, then an
+    explode — no events⋈firsts self-join, which would re-shuffle the full
+    event log), and the second groupBy counts pre-deduplicated rows, so no
+    countDistinct state."""
+    ev = load(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))) / 7
+    )
+    per_user = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"), F.collect_set("wk").alias("wks"))
+    )
+    exploded = per_user.select(
+        "cohort_week", F.explode("wks").alias("wk")
+    )
+    return exploded.groupBy(
+        F.col("cohort_week"),
+        (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))
+
+
+_RETENTION_SQL = """
+WITH w AS (
+  SELECT DISTINCT user_id,
+         (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)::BIGINT AS wk
+  FROM events
+),
+c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id)
+SELECT c.cohort_week::BIGINT AS cohort_week,
+       (w.wk - c.cohort_week)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM w JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# skew-safe salted join — explicit salt-before-exchange enrichment
+# ---------------------------------------------------------------------------
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with its type-level max (integer cents — exact
+    across engines) through ``salted_join``: the dim side is replicated 8×
+    and fact rows scatter across the replicas by xxhash64(event_id), so a
+    hot event_type's rows spread over 8 reducers instead of one.  The
+    oracle is a plain join — salting must not change the result, only the
+    shuffle layout."""
+    from ..operators.partitioning import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    fact = ev.select("event_id", "event_type", cents.alias("cents"))
+    dim = fact.groupBy("event_type").agg(F.max("cents").alias("max_cents"))
+    joined = salted_join(fact, dim, key="event_type", row_key="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("cents") == F.col("max_cents")).cast("long")).alias("n_at_max"),
+        F.max("max_cents").alias("max_cents"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+WITH fact AS (
+  SELECT event_id, event_type, round(value * 100, 0)::BIGINT AS cents
+  FROM events
+),
+dim AS (SELECT event_type, max(cents) AS max_cents FROM fact GROUP BY event_type)
+SELECT f.event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN f.cents = d.max_cents THEN 1 ELSE 0 END)::BIGINT AS n_at_max,
+       max(d.max_cents)::BIGINT AS max_cents
+FROM fact f JOIN dim d USING (event_type)
+GROUP BY f.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# global-quantile threshold filter — two-phase scalar-broadcast pattern
+# ---------------------------------------------------------------------------
+
+def quantile_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source count of documents above the GLOBAL p90 of n_chars.  The
+    scalar threshold is computed as a 1-row aggregate and broadcast into
+    the second pass (crossJoin(broadcast(...)) — one plan, no driver-side
+    collect), the shape every corpus-wide percentile cut takes at 100 TB:
+    pass 1 reads only n_chars (column pruning), pass 2 streams with the
+    threshold as a build-side literal."""
+    docs = load(spark, sf_dir, "documents")
+    thr = docs.agg(F.expr("percentile(n_chars, 0.9)").alias("p90"))
+    joined = docs.select("source", "n_chars").crossJoin(F.broadcast(thr))
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_chars") > F.col("p90")).cast("long")).alias("n_above_p90"),
+        F.round(F.max("p90") + 1e-9, 3).alias("p90"),
+    )
+
+
+_QUANTILE_THRESHOLD_SQL = """
+WITH thr AS (SELECT quantile_cont(n_chars, 0.9) AS p90 FROM documents)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_chars > p90 THEN 1 ELSE 0 END)::BIGINT AS n_above_p90,
+       round(max(p90) + 1e-9, 3) AS p90
+FROM documents, thr
+GROUP BY source
+"""
+
+
 QUERIES = {
     "json_props_extract": json_props_extract,
     "rollup_revenue": rollup_revenue,
@@ -742,10 +859,16 @@ QUERIES = {
     "events_pivot_by_type": events_pivot_by_type,
     "value_histogram": value_histogram,
     "events_funnel": events_funnel,
+    "cohort_retention": cohort_retention,
+    "skew_salted_join": skew_salted_join,
+    "quantile_threshold_filter": quantile_threshold_filter,
 }
 
 ORACLE = {
     "events_funnel": _FUNNEL_SQL,
+    "cohort_retention": _RETENTION_SQL,
+    "skew_salted_join": _SALTED_JOIN_SQL,
+    "quantile_threshold_filter": _QUANTILE_THRESHOLD_SQL,
     "events_lag_delta": _LAG_DELTA_SQL,
     "events_pivot_by_type": _PIVOT_SQL,
     "value_histogram": _HISTOGRAM_SQL,

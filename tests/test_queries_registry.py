@@ -28,6 +28,7 @@ def test_registry_shape():
         "audio_segment_stats",
         "audio_normalize_stats",
         "audio_feature_stats",
+        "audio_vad_stats",
     }
     for name, sql in o.items():
         assert sql.strip(), name

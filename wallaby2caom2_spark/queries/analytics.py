@@ -843,7 +843,50 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# interval attribution join — batch oracle for the stream-stream join
+# ---------------------------------------------------------------------------
+
+def events_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked stream-stream interval join (streaming/joins.py) run
+    on batch inputs, where the SAME expression degrades to a plain
+    conditional join (watermarks are no-ops) — so the join condition is
+    oracle-checkable here while tests/test_stream_join.py pins the
+    streaming execution (state eviction, late-row drop) of the identical
+    operator.  Pairs every click with the views it follows within 1 hour
+    for the same user."""
+    from ..streaming.joins import interval_attribution_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    pairs = interval_attribution_join(
+        views, clicks, key="user_id", max_lag="1 hour", watermark="2 hours"
+    )
+    return pairs.select(
+        "user_id",
+        "base_event",
+        "follow_event",
+        F.col("f_ts").cast("long").alias("lag_anchor_s"),
+    )
+
+
+_INTERVAL_ATTR_SQL = """
+WITH b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+f AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+SELECT b.user_id,
+       b.event_id AS base_event,
+       f.event_id AS follow_event,
+       floor(epoch(f.ts))::BIGINT AS lag_anchor_s
+FROM b JOIN f
+  ON b.user_id = f.user_id
+ AND f.ts > b.ts
+ AND f.ts <= b.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES = {
+    "events_interval_attribution": events_interval_attribution,
     "json_props_extract": json_props_extract,
     "rollup_revenue": rollup_revenue,
     "sessionize_events": sessionize_events,
@@ -865,6 +908,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_interval_attribution": _INTERVAL_ATTR_SQL,
     "events_funnel": _FUNNEL_SQL,
     "cohort_retention": _RETENTION_SQL,
     "skew_salted_join": _SALTED_JOIN_SQL,

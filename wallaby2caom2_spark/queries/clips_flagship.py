@@ -20,7 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
-from ..operators import audio_fp, features, multimodal, normalize, preview, segment
+from ..operators import (
+    audio_fp,
+    features,
+    multimodal,
+    normalize,
+    preview,
+    segment,
+    vad,
+)
 from ..plans.pipeline import quality_filter, run_metrics
 from ..sources import clips as clips_src
 
@@ -213,6 +221,26 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-VAD speech stats (operators/vad.py) over all clips — the
+    speech-content gate an ASR corpus applies before token-budget math.
+    Summarized to a small stable relation for the driver's rows-only
+    check; threshold/run/SNR behavior is pinned in tests/test_vad.py."""
+    stats = vad.vad_stats(load_clips(spark, sf_dir))
+    return (
+        stats.groupBy("vad_ok")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_speech_frames").alias("total_speech_frames"),
+            F.round(F.avg("speech_ratio") + 1e-9, 4).alias("avg_speech_ratio"),
+            F.round(F.avg("snr_db") + 1e-9, 2).alias("avg_snr_db"),
+            F.sum("n_speech_runs").alias("total_runs"),
+        )
+        .orderBy("vad_ok")
+    )
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
@@ -222,6 +250,7 @@ QUERIES = {
     "audio_segment_stats": audio_segment_stats,
     "audio_normalize_stats": audio_normalize_stats,
     "audio_feature_stats": audio_feature_stats,
+    "audio_vad_stats": audio_vad_stats,
 }
 
 ORACLE: dict[str, str] = {}

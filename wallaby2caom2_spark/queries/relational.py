@@ -575,7 +575,90 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# semi-join — EXISTS-subquery shape (priority count of orders with returns)
+# ---------------------------------------------------------------------------
+
+def orders_with_returns_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in 1996-H1 having at least one returned lineitem, counted per
+    priority — the EXISTS-subquery shape expressed as a LEFT SEMI join
+    (probe side deduplicates in the join itself; no distinct pass, no row
+    multiplication from multi-lineitem orders).  Both filters sit below the
+    join, so each parquet scan prunes to its predicate and the semi join
+    ships only ``l_orderkey`` from the big side."""
+    ords = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        ords.join(returned, ords.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# decorrelated scalar subquery — per-key threshold (small-quantity revenue)
+# ---------------------------------------------------------------------------
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 20% of their part's
+    average — the correlated-scalar-subquery shape, decorrelated by hand
+    into a per-part aggregate joined back to the fact (what Catalyst's
+    RewriteCorrelatedScalarSubquery does; written explicitly so the plan
+    is one agg + one shuffle join, never a per-row subquery).  Quantities
+    are integral doubles, so sum/avg are order-independent-exact and the
+    0.2*avg threshold compares identically across engines; revenue is
+    summed in integer cents."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    thr = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thr")
+    )
+    small = li.join(thr, on="l_partkey").filter(F.col("l_quantity") < F.col("qty_thr"))
+    return small.agg(
+        F.count("*").alias("n_small"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+_SMALL_QTY_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_quantity,
+         round(l_extendedprice * 100, 0)::BIGINT AS cents
+  FROM lineitem
+),
+thr AS (
+  SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_thr
+  FROM li GROUP BY l_partkey
+)
+SELECT count(*)::BIGINT AS n_small,
+       sum(li.cents)::BIGINT AS revenue_cents
+FROM li JOIN thr USING (l_partkey)
+WHERE li.l_quantity < thr.qty_thr
+"""
+
+
 QUERIES = {
+    "orders_with_returns_semi": orders_with_returns_semi,
+    "small_quantity_revenue": small_quantity_revenue,
     "doc_rule_cascade": doc_rule_cascade,
     "pricing_summary": pricing_summary,
     "rejected_anti_join": rejected_anti_join,
@@ -592,6 +675,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_with_returns_semi": _SEMI_JOIN_SQL,
+    "small_quantity_revenue": _SMALL_QTY_SQL,
     "top_unshipped_orders": _TOP_UNSHIPPED_SQL,
     "distinct_users_two_phase": _TWO_PHASE_DISTINCT_SQL,
     "doc_rule_cascade": _DOC_RULE_CASCADE_SQL,

@@ -42,6 +42,7 @@ def main() -> None:
         "audio_fingerprint_neardup",
         "audio_segment_stats",
         "audio_normalize_stats",
+        "audio_vad_stats",
     ):
         fn = ALL_QUERIES[qname]
         fn(spark, SF_DIR).collect()  # warm-up
@@ -80,7 +81,9 @@ def main() -> None:
             "full quality-filter pipeline → kept clips → resample to 16 kHz "
             "→ 250 ms windows; `audio_normalize_stats` = decode → RMS "
             "normalize to −20 dBFS with −1 dBFS peak limiter → re-encoded "
-            "pcm_s16le payload out). Min-of-samples protocol.\n\n"
+            "pcm_s16le payload out; `audio_vad_stats` = decode → "
+            "adaptive-threshold energy VAD on exact int64 frame energies → "
+            "speech ratio / run count / SNR). Min-of-samples protocol.\n\n"
             "| query | best sec | clips/sec | samples |\n|---|---|---|---|\n"
             + "".join(
                 f"| {k} | {v['best_sec']} | {v['clips_per_sec_best']:,} | "

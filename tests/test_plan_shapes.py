@@ -89,3 +89,32 @@ def test_projection_only_ops_have_no_python_stage(spark, name):
     assert "MapInPandas" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_semi_join_pushes_both_filters(spark):
+    """orders_with_returns_semi: EXISTS expressed as LEFT SEMI — both
+    predicates must reach their parquet scans, and the join must stay a
+    semi join (no distinct pass / row multiplication)."""
+    plan = plan_of(spark, "orders_with_returns_semi")
+    assert "LeftSemi" in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_attribution_is_keyed_join(spark):
+    """The stream-stream interval join's batch degradation must plan as a
+    keyed join with the time bounds as post-join conditions — never a
+    cartesian/BNLJ over the event table."""
+    plan = plan_of(spark, "events_interval_attribution")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decorrelated_subquery_bounded_exchanges(spark):
+    """small_quantity_revenue: the per-part threshold is one aggregation
+    joined back — the plan must not contain a per-row subquery artifact
+    and keeps to the agg + join exchanges."""
+    plan = plan_of(spark, "small_quantity_revenue")
+    assert count(plan, "Exchange (") <= 3, plan
+    assert "CartesianProduct" not in plan, plan

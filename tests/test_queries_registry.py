@@ -29,6 +29,7 @@ def test_registry_shape():
         "audio_normalize_stats",
         "audio_feature_stats",
         "audio_vad_stats",
+        "audio_speed_perturb_stats",
     }
     for name, sql in o.items():
         assert sql.strip(), name

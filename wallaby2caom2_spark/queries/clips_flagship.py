@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .. import datagen
 from ..operators import (
     audio_fp,
+    augment,
     features,
     multimodal,
     normalize,
@@ -241,6 +242,29 @@ def audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_speed_perturb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way speed perturbation (operators/augment.py) over kept clips —
+    the corpus-tripling augmentation step after quality filtering.
+    Summarized per factor for the driver's rows-only check; per-payload
+    duration/identity/resample invariants are pinned in
+    tests/test_augment.py."""
+    kept = quality_filter(load_clips(spark, sf_dir)).filter(F.col("keep"))
+    clips = load_clips(spark, sf_dir).join(
+        kept.select("clip_id"), "clip_id", "left_semi"
+    )
+    aug = augment.speed_perturb(clips, factors=(0.9, 1.0, 1.1))
+    return (
+        aug.groupBy("factor")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("dur_ms_out").alias("total_dur_ms"),
+            F.sum(F.length("aug_bytes")).alias("payload_bytes"),
+            F.round(F.avg("out_rms") + 1e-9, 4).alias("avg_rms"),
+        )
+        .orderBy("factor")
+    )
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
@@ -251,6 +275,7 @@ QUERIES = {
     "audio_normalize_stats": audio_normalize_stats,
     "audio_feature_stats": audio_feature_stats,
     "audio_vad_stats": audio_vad_stats,
+    "audio_speed_perturb_stats": audio_speed_perturb_stats,
 }
 
 ORACLE: dict[str, str] = {}

@@ -30,6 +30,7 @@ def test_registry_shape():
         "audio_feature_stats",
         "audio_vad_stats",
         "audio_speed_perturb_stats",
+        "audio_speaking_rate_gate",
     }
     for name, sql in o.items():
         assert sql.strip(), name

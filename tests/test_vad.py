@@ -95,3 +95,21 @@ def test_operator_deterministic(spark):
         b = sorted(map(tuple, vad_stats(df.repartition(7)).collect()))
         assert a == b
         assert sum(1 for r in a if r[1]) > 100  # most synth clips decode
+
+
+def test_passthrough_columns(spark):
+    """passthrough carries precomputed columns through the UDF verbatim —
+    the zero-shuffle contract the speaking-rate gate relies on."""
+    burst = np.concatenate([_silence(0.3), _tone(0.3, 0.5), _silence(0.3)])
+    schema = T.StructType(
+        list(CLIP_SCHEMA.fields) + [T.StructField("n_chars", T.IntegerType())]
+    )
+    rows = [
+        ("good", audio.encode_wav(burst, SR), "wav", SR, 42),
+        ("trunc", b"RIFF\x00\x00", "wav", SR, 7),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["clip_id"]: r for r in vad_stats(df, passthrough=("n_chars",)).collect()}
+    assert got["good"]["n_chars"] == 42
+    assert got["trunc"]["n_chars"] == 7  # carried even for contained rows
+    assert not got["trunc"]["vad_ok"]

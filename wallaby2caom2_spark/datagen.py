@@ -108,9 +108,19 @@ def _make_audio(
     n = int(sr * dur_ms / 1000)
     t = np.arange(n, dtype=np.float32) / sr
     f0 = 80.0 + float(rng.random()) * 600.0
-    samples = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(n).astype(
-        np.float32
-    )
+    # speech-like syllable envelope: 3-6 Hz bursts (random phase/duty) over a
+    # constant noise floor — gives energy-VAD real on/off dynamics (a bare
+    # steady tone correctly scores speech_ratio 0, which made every clip
+    # degenerate for VAD-composed queries)
+    f_mod = 3.0 + float(rng.random()) * 3.0
+    phase = float(rng.random())
+    duty = 0.4 + float(rng.random()) * 0.3
+    env = np.where(
+        np.mod(f_mod * t + phase, 1.0) < duty, 1.0, 0.08
+    ).astype(np.float32)
+    samples = 0.4 * np.sin(2 * np.pi * f0 * t) * env + 0.05 * rng.standard_normal(
+        n
+    ).astype(np.float32)
     samples = samples.astype(np.float32)
     codec = _CODECS[int(rng.integers(len(_CODECS)))]
     declared_sr, declared_dur = sr, dur_ms

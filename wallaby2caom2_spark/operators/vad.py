@@ -90,8 +90,21 @@ def vad_stats(
     frame_ms: int = 20,
     hop_ms: int = 10,
     gate_db: float = 10.0,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(clip_id, bytes, codec, sr_hz) → per-clip VAD stats (VAD_SCHEMA)."""
+    """(clip_id, bytes, codec, sr_hz) → per-clip VAD stats (VAD_SCHEMA).
+
+    ``passthrough`` names extra input columns copied verbatim onto the
+    output (appended after VAD_SCHEMA's fields).  Compute derived values
+    (e.g. ``F.length("transcript")``) BEFORE this operator and pass the
+    slim column through — that keeps compositions like the speaking-rate
+    gate at ZERO shuffles instead of re-joining two derivations of the
+    same scan on clip_id.
+    """
+    schema = T.StructType(
+        list(VAD_SCHEMA.fields)
+        + [df.schema[name] for name in passthrough]
+    )
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,17 +132,18 @@ def vad_stats(
             ratio = np.divide(
                 n_sp, n_fr, out=np.zeros(n, dtype=np.float64), where=n_fr > 0
             )
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "vad_ok": ok,
-                    "n_frames": n_fr,
-                    "n_speech_frames": n_sp,
-                    "speech_ratio": np.round(ratio + 1e-12, 6),
-                    "n_speech_runs": runs,
-                    "snr_db": np.round(snr + 1e-9, 3),
-                }
-            )
+            out = {
+                "clip_id": pdf["clip_id"],
+                "vad_ok": ok,
+                "n_frames": n_fr,
+                "n_speech_frames": n_sp,
+                "speech_ratio": np.round(ratio + 1e-12, 6),
+                "n_speech_runs": runs,
+                "snr_db": np.round(snr + 1e-9, 3),
+            }
+            for name in passthrough:
+                out[name] = pdf[name]
+            yield pd.DataFrame(out)
 
-    cols = ["clip_id", "bytes", "codec", "sr_hz"]
-    return df.select(*cols).mapInPandas(_run, VAD_SCHEMA)
+    cols = ["clip_id", "bytes", "codec", "sr_hz", *passthrough]
+    return df.select(*cols).mapInPandas(_run, schema)

@@ -34,7 +34,7 @@ from ..plans.pipeline import quality_filter, run_metrics
 from ..sources import clips as clips_src
 
 _CACHE_ROOT = "/tmp/wallaby_clips_cache"
-_GEN_VERSION = "v2"  # v2: 1250 rows/file → ~60MB files, parallel scan splits
+_GEN_VERSION = "v3"  # v3: speech-like burst envelope (VAD dynamics); v2: 1250 rows/file → ~60MB files
 
 # clips per scale-factor directory name (sf0.001 / sf0.01 / sf0.1);
 # sf0.1 is sized so fixed overheads (~2s) don't dominate the clips/sec metric
@@ -242,6 +242,41 @@ def audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_speaking_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-vs-audio consistency gate: chars of transcript per second
+    of DETECTED SPEECH (not clip duration) — the rate check ASR corpora use
+    to catch transcript/audio mismatches (wrong file, truncated text,
+    silence with a full transcript).  Zero-shuffle composition: n_chars is
+    computed JVM-side before the VAD stage and passed through the UDF, so
+    no self-join of the scan is needed; the cascade below is pure codegen.
+    Rows-only; VAD internals pinned in tests/test_vad.py."""
+    clips = load_clips(spark, sf_dir).withColumn(
+        "n_chars", F.length(F.coalesce("transcript", F.lit("")))
+    )
+    stats = vad.vad_stats(clips, passthrough=("n_chars",))
+    speech_s = F.col("n_speech_frames") * 0.010  # 10 ms hop
+    rate = F.col("n_chars") / speech_s
+    # thresholds split the SYNTHETIC corpus (whose transcripts are not
+    # duration-correlated) into stable classes; real corpora would use
+    # language-calibrated bounds (~8-45 chars/s for natural speech)
+    classed = stats.withColumn(
+        "rate_class",
+        F.when(~F.col("vad_ok") | (F.col("n_speech_frames") == 0), "no_speech")
+        .when(rate < 60.0, "too_slow")
+        .when(rate > 400.0, "too_fast")
+        .otherwise("ok"),
+    )
+    return (
+        classed.groupBy("rate_class")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum(speech_s) + 1e-9, 2).alias("total_speech_s"),
+        )
+        .orderBy("rate_class")
+    )
+
+
 def audio_speed_perturb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way speed perturbation (operators/augment.py) over kept clips —
     the corpus-tripling augmentation step after quality filtering.
@@ -276,6 +311,7 @@ QUERIES = {
     "audio_feature_stats": audio_feature_stats,
     "audio_vad_stats": audio_vad_stats,
     "audio_speed_perturb_stats": audio_speed_perturb_stats,
+    "audio_speaking_rate_gate": audio_speaking_rate_gate,
 }
 
 ORACLE: dict[str, str] = {}

@@ -844,6 +844,50 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# ntile deciles — equal-frequency binning (quality-score bucketing shape)
+# ---------------------------------------------------------------------------
+
+def value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) per event_type over ``value`` — the equal-frequency binning
+    a corpus pipeline uses to bucket quality scores before per-bucket
+    sampling.  Ties broken on event_id so both engines rank identically.
+    Scale: one shuffle on event_type for the window; the groupBy reuses the
+    same partitioning (decile boundaries are per-partition local after the
+    window sort, no second wide exchange of raw rows)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("value") + 1e-9, 6).alias("lo"),
+            F.round(F.max("value") + 1e-9, 6).alias("hi"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+_DECILES_SQL = """
+SELECT event_type, decile,
+       count(*)::BIGINT AS n_events,
+       round(min(value) + 1e-9, 6) AS lo,
+       round(max(value) + 1e-9, 6) AS hi
+FROM (
+  SELECT event_type, value, event_id,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+GROUP BY event_type, decile
+ORDER BY event_type, decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # interval attribution join — batch oracle for the stream-stream join
 # ---------------------------------------------------------------------------
 
@@ -887,6 +931,7 @@ FROM b JOIN f
 
 QUERIES = {
     "events_interval_attribution": events_interval_attribution,
+    "value_deciles_by_type": value_deciles_by_type,
     "json_props_extract": json_props_extract,
     "rollup_revenue": rollup_revenue,
     "sessionize_events": sessionize_events,
@@ -909,6 +954,7 @@ QUERIES = {
 
 ORACLE = {
     "events_interval_attribution": _INTERVAL_ATTR_SQL,
+    "value_deciles_by_type": _DECILES_SQL,
     "events_funnel": _FUNNEL_SQL,
     "cohort_retention": _RETENTION_SQL,
     "skew_salted_join": _SALTED_JOIN_SQL,

@@ -43,3 +43,65 @@ def test_batch_job_end_to_end(spark, tmp_path, capsys):
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2.get("waves", 0) == 0  # nothing left to do
     assert spark.read.parquet(f"{out}/results").count() == 200
+
+
+def test_spark_submit_py_files_launch(tmp_path):
+    """The LITERAL north-rule launch shape: package the library as a zip,
+    launch a fresh JVM via ``spark-submit --py-files pipeline.zip``, and
+    assert the job's results from the outside.  This is the cluster path —
+    nothing from this checkout is importable in the child except through
+    the zip and the submitted script."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "wallaby2caom2_spark")
+    zpath = str(tmp_path / "pipeline.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, repo))
+
+    inp = str(tmp_path / "clips")
+    out = str(tmp_path / "out")
+    datagen.write_clips_parquet(inp, 100, seed=43, rows_per_file=50)
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit"
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only import source
+    env["PYSPARK_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--driver-memory", "2g",
+            "--py-files", zpath,
+            os.path.join(repo, "scripts", "run_job.py"),
+            "--input", inp, "--output", out,
+            "--n-buckets", "2", "--n-waves", "1",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=str(tmp_path),  # not the repo root — no accidental cwd imports
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["buckets"] == [0, 1]
+
+    import duckdb
+
+    con = duckdb.connect()
+    n, nd = con.sql(
+        f"SELECT count(*), count(DISTINCT clip_id) "
+        f"FROM read_parquet('{out}/results/*/*.parquet', "
+        f"hive_partitioning=true)"
+    ).fetchone()
+    assert (n, nd) == (100, 100)

@@ -118,3 +118,12 @@ def test_decorrelated_subquery_bounded_exchanges(spark):
     plan = plan_of(spark, "small_quantity_revenue")
     assert count(plan, "Exchange (") <= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_deciles_window_partitioning_reused_by_groupby(spark):
+    """value_deciles_by_type: the groupBy must reuse the window's
+    event_type partitioning — one wide exchange of raw rows (plus the final
+    orderBy range exchange), never a second hash exchange of the input."""
+    plan = plan_of(spark, "value_deciles_by_type")
+    assert count(plan, "Exchange (") <= 2, plan
+    assert "ntile" in plan.lower(), plan

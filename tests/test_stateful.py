@@ -207,3 +207,43 @@ def test_quota_enforced_across_batches(spark, tmp_path):
     assert not by_clip["a4"][1]  # over quota
     assert by_clip["a4"][0] == 3  # running count carried across batches
     assert by_clip["b1"][1] and by_clip["b2"][1]  # s2 well under quota
+
+
+def test_builtin_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops redeliveries that arrive inside
+    the watermark horizon (first delivery wins), streaming end-to-end."""
+    import os
+
+    from pyspark.sql import functions as F
+    from wallaby2caom2_spark.streaming.stateful import (
+        dedup_builtin_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    base = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:00:10"),
+         ("a", "2024-01-01 10:00:20"),  # redelivery within horizon
+         ("c", "2024-01-01 10:00:30")],
+        "clip_id string, ts string",
+    ).withColumn("ingest_ts", F.col("ts").cast("timestamp")).drop("ts")
+    base.coalesce(1).write.parquet(src + "/batch0")
+
+    stream = spark.readStream.schema(
+        "clip_id string, ingest_ts timestamp"
+    ).parquet(src + "/*")
+    q = (
+        dedup_builtin_within_watermark(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(outp)
+    assert got.count() == 3
+    assert {r["clip_id"] for r in got.collect()} == {"a", "b", "c"}

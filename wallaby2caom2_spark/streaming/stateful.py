@@ -244,3 +244,26 @@ def quota_stream(clips: DataFrame, quota: int = 3) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_builtin_within_watermark(
+    clips: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Built-in alternative to ``dedup_stream``: Spark's
+    ``dropDuplicatesWithinWatermark`` (3.5+) keeps per-key state only until
+    the watermark passes the key's first-seen event time, then evicts — the
+    right choice when redeliveries arrive within a bounded window (upstream
+    at-least-once retries), because state is bounded by the watermark
+    horizon instead of growing with corpus cardinality.
+
+    ``dedup_stream`` remains the forever-exact variant (its state is an
+    explicit id-hash set that the caller bounds by n_groups / swaps for a
+    Bloom filter at 10^12 ids); this one trades exactness past the horizon
+    for zero state-management code.  Same contract otherwise: first
+    delivery wins, duplicates are dropped, not failed.
+    """
+    return clips.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["clip_id"]
+    )

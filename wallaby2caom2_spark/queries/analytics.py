@@ -318,6 +318,57 @@ FROM events
 """
 
 
+def quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/GK-style sketch — mergeable partials, the
+    100 TB path where exact percentile would sort-shuffle the column) with
+    an IN-PLAN tolerance check against the exact percentile, the same
+    design as cardinality_stats: sketch values differ by implementation
+    across engines, so the checked output is the exact value plus a
+    both-engines-must-agree within-tolerance boolean (a sketch regression
+    flips the boolean on the Spark side only → hash mismatch)."""
+    ev = load(spark, sf_dir, "events")
+    rows = []
+    for q in (0.5, 0.9, 0.99):
+        agg = ev.agg(
+            F.expr(f"percentile(value, {q})").alias("exact"),
+            F.expr(f"approx_percentile(value, {q}, 10000)").alias("approx"),
+            (F.max("value") - F.min("value")).alias("spread"),
+        ).select(
+            F.lit(q).alias("q"),
+            F.round(F.col("exact") + 1e-9, 6).alias("exact_value"),
+            (
+                F.abs(F.col("approx") - F.col("exact")) / F.col("spread") < 0.01
+            ).alias("approx_within_1pct"),
+        )
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("q")
+
+
+_QUANTILE_SKETCH_SQL = """
+WITH stats AS (
+  SELECT max(value) - min(value) AS spread FROM events
+)
+SELECT q::DOUBLE AS q,
+       round(exact_value + 1e-9, 6) AS exact_value,
+       abs(approx_value - exact_value) / (SELECT spread FROM stats) < 0.01
+         AS approx_within_1pct
+FROM (
+  SELECT 0.5 AS q, quantile_cont(value, 0.5) AS exact_value,
+         approx_quantile(value, 0.5) AS approx_value FROM events
+  UNION ALL
+  SELECT 0.9, quantile_cont(value, 0.9), approx_quantile(value, 0.9)
+  FROM events
+  UNION ALL
+  SELECT 0.99, quantile_cont(value, 0.99), approx_quantile(value, 0.99)
+  FROM events
+)
+ORDER BY q
+"""
+
+
 # ---------------------------------------------------------------------------
 # JSON extraction — typed projection out of a JSON props column
 # ---------------------------------------------------------------------------
@@ -932,6 +983,7 @@ FROM b JOIN f
 QUERIES = {
     "events_interval_attribution": events_interval_attribution,
     "value_deciles_by_type": value_deciles_by_type,
+    "quantile_sketch_check": quantile_sketch_check,
     "json_props_extract": json_props_extract,
     "rollup_revenue": rollup_revenue,
     "sessionize_events": sessionize_events,
@@ -955,6 +1007,7 @@ QUERIES = {
 ORACLE = {
     "events_interval_attribution": _INTERVAL_ATTR_SQL,
     "value_deciles_by_type": _DECILES_SQL,
+    "quantile_sketch_check": _QUANTILE_SKETCH_SQL,
     "events_funnel": _FUNNEL_SQL,
     "cohort_retention": _RETENTION_SQL,
     "skew_salted_join": _SALTED_JOIN_SQL,

@@ -154,8 +154,8 @@ def decode_clip_i16(payload, codec: str) -> tuple[np.ndarray | None, int]:
     astype + divide + float64 squares). Callers that need waveform samples
     (segmentation, normalization, FFT fingerprint) use ``decode_clip``.
     Returns (None, 0) on undecodable input; real-library flac (absent in
-    this container) has no int16 view — callers fall back to the float
-    path there."""
+    this container) has no int16 view — it decodes via the float path and
+    quantizes once, so i16 callers work on every codec."""
     if payload is None or len(payload) == 0:
         return None, 0
     if codec == "pcm_s16le":
@@ -164,8 +164,19 @@ def decode_clip_i16(payload, codec: str) -> tuple[np.ndarray | None, int]:
         return np.frombuffer(payload, dtype="<i2"), 0
     if codec == "wav":
         data, sr = _parse_wav(payload)
-    elif codec == "flac" and _soundfile is None:
-        data, sr = _parse_flac_stub(payload)
+    elif codec == "flac":
+        if _soundfile is None:
+            data, sr = _parse_flac_stub(payload)
+        else:  # pragma: no cover - lib absent here
+            # real-library flac has no int16 view; decode float once and
+            # quantize so every i16 caller (VAD, features) still works —
+            # without this, soundfile hosts would see every flac clip as
+            # undecodable on the i16 path
+            x, sr = decode_clip(payload, codec)
+            if x is None:
+                return None, 0
+            q = np.clip(np.rint(x * _FULL_SCALE), -32768, 32767)
+            return q.astype(np.int16), sr
     else:
         return None, 0
     if data is None:

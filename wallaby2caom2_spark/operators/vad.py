@@ -117,9 +117,7 @@ def vad_stats(
             for i, (raw, codec, sr_decl) in enumerate(
                 zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
             ):
-                samples, sr_meas = audio.decode_clip_i16(
-                    raw if raw is not None else None, codec
-                )
+                samples, sr_meas = audio.decode_clip_i16(raw, codec)
                 if samples is None or len(samples) == 0:
                     continue
                 sr = sr_meas or int(sr_decl)

@@ -325,26 +325,29 @@ def quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     design as cardinality_stats: sketch values differ by implementation
     across engines, so the checked output is the exact value plus a
     both-engines-must-agree within-tolerance boolean (a sketch regression
-    flips the boolean on the Spark side only → hash mismatch)."""
+    flips the boolean on the Spark side only → hash mismatch).  All three
+    percentiles come from ONE aggregation over ONE scan (array-typed
+    percentile/approx_percentile, then a 1-row posexplode) — three unioned
+    per-q aggregates would scan the table three times."""
     ev = load(spark, sf_dir, "events")
-    rows = []
-    for q in (0.5, 0.9, 0.99):
-        agg = ev.agg(
-            F.expr(f"percentile(value, {q})").alias("exact"),
-            F.expr(f"approx_percentile(value, {q}, 10000)").alias("approx"),
-            (F.max("value") - F.min("value")).alias("spread"),
-        ).select(
-            F.lit(q).alias("q"),
-            F.round(F.col("exact") + 1e-9, 6).alias("exact_value"),
-            (
-                F.abs(F.col("approx") - F.col("exact")) / F.col("spread") < 0.01
-            ).alias("approx_within_1pct"),
-        )
-        rows.append(agg)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("q")
+    qs = "array(0.5D, 0.9D, 0.99D)"
+    agg = ev.agg(
+        F.expr(f"percentile(value, {qs})").alias("exact"),
+        F.expr(f"approx_percentile(value, {qs}, 10000)").alias("approx"),
+        (F.max("value") - F.min("value")).alias("spread"),
+    )
+    exploded = agg.select(
+        F.posexplode(F.arrays_zip("exact", "approx")).alias("i", "pair"),
+        "spread",
+    ).select(
+        F.element_at(F.expr(qs), F.col("i") + 1).alias("q"),
+        F.round(F.col("pair.exact") + 1e-9, 6).alias("exact_value"),
+        (
+            F.abs(F.col("pair.approx") - F.col("pair.exact")) / F.col("spread")
+            < 0.01
+        ).alias("approx_within_1pct"),
+    )
+    return exploded.orderBy("q")
 
 
 _QUANTILE_SKETCH_SQL = """

@@ -58,6 +58,17 @@ def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clips_src.read_clips(spark, clips_path_for(sf_dir))
 
 
+def _kept_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clips that survive the quality filter, with their payloads — the
+    single definition of "kept" every downstream stat query shares (a
+    left-semi join back to the scan; the filter output itself no longer
+    carries ``bytes``)."""
+    kept = quality_filter(load_clips(spark, sf_dir)).filter(F.col("keep"))
+    return load_clips(spark, sf_dir).join(
+        kept.select("clip_id"), "clip_id", "left_semi"
+    )
+
+
 def clips_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pipeline: decode → langid/ppl → cascade → scrub."""
     return quality_filter(load_clips(spark, sf_dir))
@@ -161,10 +172,7 @@ def audio_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas). Summarized per segment-duration class so the driver's
     rows-only check sees a small stable relation; sample-exact
     reconstruction is pinned in tests/test_segment.py."""
-    kept = quality_filter(load_clips(spark, sf_dir)).filter(F.col("keep"))
-    clips = load_clips(spark, sf_dir).join(
-        kept.select("clip_id"), "clip_id", "left_semi"
-    )
+    clips = _kept_clips(spark, sf_dir)
     segs = segment.segment_clips(clips, window_ms=250, sr_out=16000)
     return (
         segs.groupBy((F.col("seg_dur_ms") == 250).alias("is_full_window"))
@@ -203,10 +211,7 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Summarized so the driver's rows-only check sees a small stable
     relation; frame math / band localization / tensor round-trip are
     pinned in tests/test_features.py."""
-    kept = quality_filter(load_clips(spark, sf_dir)).filter(F.col("keep"))
-    clips = load_clips(spark, sf_dir).join(
-        kept.select("clip_id"), "clip_id", "left_semi"
-    )
+    clips = _kept_clips(spark, sf_dir)
     feats = features.feature_frames(clips)
     return (
         feats.groupBy("feat_ok")
@@ -283,10 +288,7 @@ def audio_speed_perturb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Summarized per factor for the driver's rows-only check; per-payload
     duration/identity/resample invariants are pinned in
     tests/test_augment.py."""
-    kept = quality_filter(load_clips(spark, sf_dir)).filter(F.col("keep"))
-    clips = load_clips(spark, sf_dir).join(
-        kept.select("clip_id"), "clip_id", "left_semi"
-    )
+    clips = _kept_clips(spark, sf_dir)
     aug = augment.speed_perturb(clips, factors=(0.9, 1.0, 1.1))
     return (
         aug.groupBy("factor")

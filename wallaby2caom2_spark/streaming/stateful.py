@@ -9,7 +9,11 @@ ids already emitted; redelivered rows are filtered out.
 Scale notes: state is partitioned by ``pmod(xxhash64(clip_id), n_groups)``
 so each state row is a bounded id-hash array (tune ``n_groups`` to bound
 per-group state; at 10^12 ids the hash array per group is swapped for a
-Bloom filter — same operator shape, different state payload).
+Bloom filter — same operator shape, different state payload).  Dedup is on
+the 64-bit ``xxhash64(clip_id)``, so two DISTINCT ids that collide are
+treated as one (expected collisions ~n^2/2^65 — negligible at sandbox
+scale, tens of thousands at 10^12 ids; widen the state to a 128-bit hash
+pair, or to the ids themselves, where that loss rate is unacceptable).
 """
 
 from __future__ import annotations
@@ -181,7 +185,7 @@ def session_stream(
 # per-source ingest quota
 # ---------------------------------------------------------------------------
 
-QUOTA_STATE_SCHEMA = T.StructType([T.StructField("n_admitted", T.LongType())])
+QUOTA_STATE_SCHEMA = T.StructType([T.StructField("n_seen", T.LongType())])
 
 QUOTA_OUT_SCHEMA = T.StructType(
     [
@@ -218,23 +222,25 @@ def quota_stream(clips: DataFrame, quota: int = 3) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # state counts ROWS SEEN (not rows admitted): n_before and the
+        # admit decision (n_before < quota) are then invariant to how the
+        # stream is chunked into micro-batches — a replay with different
+        # trigger boundaries yields byte-identical audit rows
         n = int(state.get[0]) if state.exists else 0
         for pdf in pdfs:
             k = len(pdf)
             if not k:
                 continue
-            take = max(0, min(quota - n, k))
-            admitted = np.zeros(k, dtype=bool)
-            admitted[:take] = True
+            pos = np.arange(n, n + k, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "clip_id": pdf["clip_id"].to_numpy(),
                     "source_id": np.repeat(str(key[0]), k),
-                    "n_before": np.arange(n, n + k, dtype=np.int64),
-                    "admitted": admitted,
+                    "n_before": pos,
+                    "admitted": pos < quota,
                 }
             )
-            n += take
+            n += k
         state.update((n,))
 
     return clips.groupBy("source_id").applyInPandasWithState(
@@ -258,8 +264,9 @@ def dedup_builtin_within_watermark(
     at-least-once retries), because state is bounded by the watermark
     horizon instead of growing with corpus cardinality.
 
-    ``dedup_stream`` remains the forever-exact variant (its state is an
-    explicit id-hash set that the caller bounds by n_groups / swaps for a
+    ``dedup_stream`` remains the unbounded-horizon variant (its state is
+    an explicit 64-bit id-hash set — exact up to hash collisions, see the
+    module docstring — that the caller bounds by n_groups / swaps for a
     Bloom filter at 10^12 ids); this one trades exactness past the horizon
     for zero state-management code.  Same contract otherwise: first
     delivery wins, duplicates are dropped, not failed.

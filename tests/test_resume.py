@@ -70,3 +70,56 @@ def test_lineage_covers_all_buckets(spark, clips_path, tmp_path):
     assert total == 600
     metrics = spark.read.parquet(os.path.join(out, "metrics"))
     assert metrics.filter(F.col("outcome") == "kept").count() > 0
+
+
+def test_crash_after_sinks_does_not_double_count(spark, clips_path, tmp_path):
+    """A crash AFTER lineage/metrics are written but BEFORE the checkpoint
+    commit re-runs that wave on resume; the (run_id, wave)-partitioned
+    dynamic overwrite must replace — not append — the wave's rows, so
+    summed metrics stay exact."""
+    out = str(tmp_path / "out_dc")
+    with pytest.raises(SimulatedCrash):
+        run_resumable(
+            spark, clips_path, out, n_buckets=4, n_waves=4,
+            run_id="fixed", fail_after_wave=1,
+        )
+    # resume with the SAME run_id: wave rows must be replaced, not doubled
+    # (the crashed wave 1 was fully sunk but never checkpointed — delete its
+    # checkpoint entry to force the re-run of a wave whose sinks exist)
+    import json
+
+    ck = os.path.join(out, "checkpoint.json")
+    with open(ck) as f:
+        state = json.load(f)
+    state["done"] = state["done"][:1]  # pretend only wave 0's first bucket committed
+    with open(ck, "w") as f:
+        json.dump(state, f)
+
+    run_resumable(spark, clips_path, out, n_buckets=4, n_waves=4, run_id="fixed")
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    per = lineage.groupBy("run_id", "wave", "bucket").count().collect()
+    assert all(r["count"] == 1 for r in per), per
+    total = lineage.agg(F.sum("clips")).collect()[0][0]
+    assert total == 600
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    kept_total = (
+        metrics.filter(F.col("outcome") == "kept").agg(F.sum("clips")).collect()[0][0]
+    )
+    single = spark.read.parquet(os.path.join(out, "results"))
+    assert kept_total == single.filter(F.col("keep")).count()
+
+
+def test_empty_input_commits_zero_count_lineage(spark, tmp_path):
+    """An input with zero rows writes no parquet footers; the runner must
+    still commit every bucket with zero-count lineage instead of aborting
+    on the unreadable results dir."""
+    from wallaby2caom2_spark.sources.clips import CLIPS_SCHEMA
+
+    inp = str(tmp_path / "empty_in")
+    spark.createDataFrame([], CLIPS_SCHEMA).write.parquet(inp)
+    out = str(tmp_path / "empty_out")
+    summary = run_resumable(spark, inp, out, n_buckets=4, n_waves=2)
+    assert set(summary["buckets"]) == set(range(4))
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.agg(F.sum("clips")).collect()[0][0] == 0
+    assert run_resumable(spark, inp, out, n_buckets=4)["waves"] == 0

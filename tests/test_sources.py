@@ -46,3 +46,18 @@ def test_read_clips_path_branch(spark, tmp_path):
     assert [(f.name, f.dataType) for f in got.schema.fields] == [
         (f.name, f.dataType) for f in CLIPS_SCHEMA.fields
     ]
+
+
+def test_table_name_regex_routing():
+    from wallaby2caom2_spark.sources.clips import _TABLE_NAME_RE
+
+    for name in ("db.clips", "catalog.db.clips"):
+        assert _TABLE_NAME_RE.fullmatch(name), name
+    for path in (
+        "s3a://bucket/clips.parquet",
+        "data/clips.parquet",
+        "/abs/clips.parquet",
+        "clips",          # single identifier: default to a path, matches S1
+        "a.b.c.d",        # too many parts to be catalog.db.table
+    ):
+        assert not _TABLE_NAME_RE.fullmatch(path), path

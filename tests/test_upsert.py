@@ -92,3 +92,19 @@ def test_upsert_intra_batch_duplicates_deterministic(spark, target):
     # highest order_col wins for every duplicated key
     assert after.filter(F.col("scrub_edits") == 202).count() == 5
     assert after.filter(F.col("scrub_edits") == 101).count() == 0
+
+
+def test_merge_upsert_bootstraps_empty_target(spark, tmp_path):
+    """First-ever batch against a path with no table yet must insert all
+    rows (Iceberg MERGE's WHEN NOT MATCHED) instead of raising."""
+    from wallaby2caom2_spark.operators.upsert import merge_upsert
+
+    target = str(tmp_path / "fresh_table")
+    updates = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], "clip_id string, v int"
+    )
+    summary = merge_upsert(spark, target, updates, n_buckets=4, order_col="v")
+    assert summary["inserted"] == 2  # a deduped latest-wins, b
+    assert summary["updated"] == 0
+    got = {r["clip_id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 3, "b": 2}

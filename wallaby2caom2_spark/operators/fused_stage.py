@@ -30,7 +30,6 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -146,50 +145,6 @@ def fused_features_arrow(
                 pa.array(out_n, type=pa.int32()),
             ],
             schema=_OUT_PA_SCHEMA,
-        )
-
-
-def fused_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # worker-side imports: models/tables built once per python worker process
-    from ..functions import audio, scrub, textscore
-
-    for pdf in batches:
-        n = len(pdf)
-        ok = np.zeros(n, dtype=bool)
-        srm = np.zeros(n, dtype=np.int32)
-        dur = np.zeros(n, dtype=np.int32)
-        rms = np.zeros(n, dtype=np.float64)
-        clip = np.zeros(n, dtype=np.float64)
-        codec_v = pdf["codec"].to_numpy()
-        sr_v = pdf["sr_hz"].to_numpy()
-        for i, raw in enumerate(pdf["bytes"].to_numpy()):
-            o, s, d, r, c = audio.decode_features(
-                bytes(raw) if raw is not None else None, codec_v[i], int(sr_v[i])
-            )
-            ok[i], srm[i], dur[i], rms[i], clip[i] = o, s, d, r, c
-
-        texts = [t if isinstance(t, str) else None for t in pdf["transcript"].to_numpy()]
-        langs, confs, ppls = textscore.score_batch(texts)  # hash+gather once
-        out_t, out_n = scrub.scrub_batch(texts)
-
-        yield pd.DataFrame(
-            {
-                "clip_id": pdf["clip_id"].to_numpy(),
-                "sr_hz": sr_v,
-                "dur_ms": pdf["dur_ms"].to_numpy(),
-                "codec": codec_v,
-                "transcript": pdf["transcript"].to_numpy(),
-                "pcm_ok": ok,
-                "sr_meas": srm,
-                "dur_ms_meas": dur,
-                "rms": rms,
-                "clip_rate": clip,
-                "lang": langs,
-                "lang_conf": confs,
-                "ppl": ppls,
-                "scrubbed_all": pd.array(out_t, dtype="string"),
-                "scrub_edits_all": pd.array(out_n, dtype="int32"),
-            }
         )
 
 

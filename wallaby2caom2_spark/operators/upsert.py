@@ -58,12 +58,22 @@ def merge_upsert(
         .drop("_rn")
         .withColumn("_is_update", F.lit(True))
     )
+    # materialize ONCE: the deduped updates (and the caller's whole upstream
+    # plan under them) feed three actions below (touched-bucket collect, the
+    # merged checkpoint, the key count) — without this the upstream pipeline
+    # would execute three times per upsert
+    upd = upd.localCheckpoint(eager=True)
     touched = [int(r["bucket"]) for r in upd.select("bucket").distinct().collect()]
 
-    target = spark.read.parquet(target_path)
-    existing = target.filter(F.col("bucket").isin(touched)).withColumn(
-        "_is_update", F.lit(False)
-    )
+    try:
+        target = spark.read.parquet(target_path)
+        existing = target.filter(F.col("bucket").isin(touched)).withColumn(
+            "_is_update", F.lit(False)
+        )
+    except Exception:
+        # bootstrap: no table at target_path yet — every update row inserts
+        # (Iceberg MERGE's WHEN NOT MATCHED THEN INSERT on an empty table)
+        existing = upd.filter(F.lit(False)).withColumn("_is_update", F.lit(False))
 
     n_before = existing.count()
     merged = existing.unionByName(upd)

@@ -94,15 +94,21 @@ def quality_filter(
     return df
 
 
-def run_metrics(result: DataFrame) -> DataFrame:
+def run_metrics(result: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """North-rule counters: clips seen / kept / dropped-by-rule / scrub edits.
 
     Reference analog: success/failure/progress logs + metrics directory
     (``config/config.yml:28-54``). One tiny hash aggregation; input columns
     are 3 narrow ones, so the scan never touches transcripts or bytes.
+    ``extra_keys`` adds grouping columns (the wave runner passes
+    ``("bucket",)`` so its metrics sink can overwrite per bucket on
+    crash-resume instead of double-counting).
     """
     return (
-        result.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome"))
+        result.groupBy(
+            *extra_keys,
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome"),
+        )
         .agg(
             F.count("*").alias("clips"),
             F.sum("scrub_edits").alias("scrub_edits"),

@@ -70,19 +70,35 @@ def run_resumable(
         result = with_bucket(result, n_buckets)  # re-derive for partitioned sink
         clips_src.write_results(result, results_path, partition_by="bucket")
 
-        written = spark.read.parquet(results_path).filter(
-            F.col("bucket").isin(bucket_group)
-        )
-        counts = [
-            (int(r["bucket"]), int(r["n"]))
-            for r in written.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-        ]
+        try:
+            written = spark.read.parquet(results_path).filter(
+                F.col("bucket").isin(bucket_group)
+            )
+            counts = [
+                (int(r["bucket"]), int(r["n"]))
+                for r in written.groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ]
+        except Exception:
+            # an all-empty first wave writes no parquet footers at all, so
+            # the read-back cannot infer a schema — commit the (empty)
+            # buckets with zero-count lineage instead of aborting the run
+            written, counts = None, []
         lineage_src.append_lineage(
-            spark, os.path.join(out_dir, "lineage"), run_id, wave_i, counts
+            spark,
+            os.path.join(out_dir, "lineage"),
+            run_id,
+            wave_i,
+            counts or [(b, 0) for b in bucket_group],
         )
-        lineage_src.append_metrics(
-            run_metrics(written), os.path.join(out_dir, "metrics"), run_id
-        )
+        if written is not None:
+            lineage_src.append_metrics(
+                run_metrics(written, extra_keys=("bucket",)),
+                os.path.join(out_dir, "metrics"),
+                run_id,
+                wave_i,
+            )
         ckpt.mark_done(set(bucket_group))
         committed.extend(bucket_group)
         if fail_after_wave is not None and wave_i >= fail_after_wave:

@@ -9,8 +9,13 @@ becomes the results writer.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+# 2-3 dot-separated identifiers (db.table or catalog.db.table)
+_TABLE_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){1,2}")
 
 CLIPS_SCHEMA = T.StructType(
     [
@@ -40,9 +45,13 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def read_clips(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan with the pinned schema → Catalyst gets pushdown +
-    pruning for free; an Iceberg table path (``catalog.db.clips``) is read
-    via ``spark.read.table`` when the runtime is present."""
-    if "." in path and not path.startswith(("/", "file:", "s3:", "hdfs:")):
+    pruning for free; an Iceberg table name (``catalog.db.clips``) is read
+    via ``spark.read.table`` when the runtime is present.
+
+    A table NAME is dot-separated identifiers only — anything with a path
+    separator or a URI scheme (``s3a://…/clips.parquet``, ``data/x.parquet``)
+    is a storage path, even though it contains dots."""
+    if _TABLE_NAME_RE.fullmatch(path):
         return spark.read.table(path)
     return spark.read.schema(CLIPS_SCHEMA).parquet(path)
 

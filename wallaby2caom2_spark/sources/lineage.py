@@ -2,10 +2,18 @@
 
 Reference: per-item success/failure/retry logs + progress counts + the
 "observable" metrics directory (``config/config.yml:28-54``). Here: one
-append-only parquet dataset per concern, written per committed wave —
-lineage rows carry (run_id, wave, bucket, status, clips) so the resume
-test can assert exactly-once per clip, and metrics rows carry the
-north-rule counters.
+parquet dataset per concern, written per committed wave.
+
+Idempotence under crash-resume: both sinks are partitioned by
+``(run_id, bucket)`` — the BUCKET, not the wave, because a resumed run
+renumbers its waves from zero — and written with dynamic partition
+overwrite, so a wave that crashed AFTER its lineage/metrics write but
+BEFORE the checkpoint commit simply replaces its buckets' rows on the
+re-run; a plain append would double-count those clips in any consumer
+summing the dataset.
+Lineage rows carry (run_id, wave, bucket, status, clips) so the resume
+test can assert exactly-once per clip; metrics rows carry the north-rule
+counters.
 """
 
 from __future__ import annotations
@@ -27,13 +35,27 @@ def append_lineage(
         [(run_id, wave, b, "ok", int(n), float(time.time())) for b, n in bucket_counts],
         "run_id string, wave int, bucket int, status string, clips long, ts double",
     )
-    df.coalesce(1).write.mode("append").parquet(path)
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id", "bucket")
+        .parquet(path)
+    )
 
 
-def append_metrics(metrics: DataFrame, path: str, run_id: str) -> None:
+def append_metrics(
+    metrics: DataFrame, path: str, run_id: str, wave: int = 0
+) -> None:
+    """``metrics`` must carry a ``bucket`` column (run_metrics with
+    ``extra_keys=("bucket",)``) — the overwrite key that keeps re-runs of a
+    crashed-but-sunk wave from double-counting."""
     (
         metrics.withColumn("run_id", F.lit(run_id))
+        .withColumn("wave", F.lit(wave))
         .coalesce(1)
-        .write.mode("append")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id", "bucket")
         .parquet(path)
     )

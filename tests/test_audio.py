@@ -67,3 +67,41 @@ def test_truncated_wav_rejected():
     payload = audio.encode_wav(_sig(), 16000)
     ok, *_ = audio.decode_features(payload[: len(payload) // 2], "wav", 16000)
     assert ok is False
+
+
+def test_wav_odd_length_chunk_pad_byte():
+    """Spec-conformant WAVs pad odd-length chunks to word alignment; the
+    parser must skip the pad byte or misread every later chunk header."""
+    import struct
+
+    from wallaby2caom2_spark.functions import audio
+
+    x = np.zeros(1600, dtype=np.float32)
+    x[100:200] = 0.5
+    wav = audio.encode_wav(x, 16000)
+    # splice an odd-length LIST chunk (3 bytes + 1 pad) before 'data'
+    data_pos = wav.index(b"data")
+    odd = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    patched = wav[:12] + wav[12:data_pos] + odd + wav[data_pos:]
+    # fix the RIFF size field
+    patched = (
+        patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    )
+    got, sr = audio.decode_clip(patched, "wav")
+    assert sr == 16000 and got is not None
+    np.testing.assert_allclose(got, x, atol=1.0 / 32768)
+
+
+def test_fingerprint_dc_step_clip_is_gated():
+    """Piecewise-constant clips pass the whole-clip std gate but every
+    demeaned segment is silent — they must come back fp_ok=False, not the
+    degenerate all-zero fingerprint (LSH hot-key bucket)."""
+    from wallaby2caom2_spark.functions import audio
+
+    n = 4000
+    x = np.zeros(n, dtype=np.float32)
+    x[n // 4 : n // 2] = 0.5
+    x[3 * n // 4 :] = 0.5
+    # each of the 4 fingerprint segments is constant; clip-level std is big
+    ok, fp = audio.band_fingerprint(x, 4000)
+    assert not ok and fp == 0

@@ -62,3 +62,27 @@ def test_validation_detects_count_mismatch(spark, export_run):
     json.dump(m, open(os.path.join(broken, "manifest.json"), "w"))
     with pytest.raises(ValueError, match="count mismatch"):
         validate_shards(spark, broken)
+
+
+def test_validate_shards_detects_stale_buckets(spark, tmp_path):
+    """A re-export with fewer buckets would leave stale partition dirs the
+    manifest read-back silently folds in (duplicate clips to the
+    dataloader) — the export must fail fast; a hand-planted stale dir must
+    also fail the standalone validation."""
+    work = str(tmp_path)
+    clips = os.path.join(work, "clips")
+    out = os.path.join(work, "exp")
+    datagen.write_clips_parquet(clips, 200, seed=9)
+    export_training_shards(spark, clips, out, n_buckets=8)
+    with pytest.raises(ValueError, match="stale"):
+        export_training_shards(spark, clips, out, n_buckets=2)
+
+    # standalone validation: plant a stale dir beside a clean 4-bucket
+    # export and rewrite the manifest to mention only buckets 0-3
+    out2 = os.path.join(work, "exp2")
+    export_training_shards(spark, clips, out2, n_buckets=4)
+    shards = os.path.join(out2, "shards")
+    src = next(d for d in os.listdir(shards) if d.startswith("bucket="))
+    shutil.copytree(os.path.join(shards, src), os.path.join(shards, "bucket=9"))
+    with pytest.raises(ValueError, match="stale"):
+        validate_shards(spark, out2)

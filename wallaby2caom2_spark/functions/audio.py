@@ -115,7 +115,9 @@ def _parse_wav(payload: bytes) -> tuple[bytes | None, int]:
             if pos + clen > len(payload):  # truncated payload
                 return None, 0
             data = payload[pos : pos + clen]
-        pos += clen
+        # RIFF chunks are word-aligned: odd-length chunks carry a pad byte
+        # that `pos += clen` alone would misread as the next chunk header
+        pos += clen + (clen & 1)
     if data is None or sr == 0 or len(data) % 2:
         return None, 0
     return data, sr
@@ -195,18 +197,11 @@ def decode_features(
 
     sr_meas falls back to the declared rate for headerless codecs.
     """
+    # decode_clip_i16 covers every codec (real-library flac decodes float
+    # inside it and quantizes once), so there is no float-path fallback here
     x, sr_meas = decode_clip_i16(payload, codec)
     if x is None:
-        # real-library flac has no int16 view — float fallback (not taken
-        # in this container); everything else decodes via the i16 path
-        samples, sr_meas = decode_clip(payload, codec)
-        if samples is None or len(samples) == 0:
-            return False, 0, 0, 0.0, 0.0
-        sr = sr_meas or declared_sr
-        dur_ms = int(round(len(samples) * 1000.0 / sr)) if sr > 0 else 0
-        rms = float(np.sqrt(np.mean(np.square(samples, dtype=np.float64))))
-        clip_rate = float(np.mean(np.abs(samples) >= 32766.0 / _FULL_SCALE))
-        return True, sr, dur_ms, rms, clip_rate
+        return False, 0, 0, 0.0, 0.0
     if len(x) == 0:
         return False, 0, 0, 0.0, 0.0
     sr = sr_meas or declared_sr
@@ -274,6 +269,7 @@ def band_fingerprint(
     if float(np.std(samples.astype(np.float64))) < 1e-4:
         return False, 0
     bits = 0
+    n_live = 0
     for s in range(_FP_SEGMENTS):
         seg = samples[s * seg_len : (s + 1) * seg_len].astype(np.float64)
         seg = seg - seg.mean()  # DC-offset invariance
@@ -283,12 +279,19 @@ def band_fingerprint(
         if float(np.sqrt(np.mean(seg * seg))) < 1e-4:
             bits <<= _FP_BANDS - 1
             continue
+        n_live += 1
         spec = np.abs(np.fft.rfft(seg))[1:]  # drop DC
         edges = np.linspace(0, len(spec), _FP_BANDS, endpoint=False).astype(int)
         bands = np.add.reduceat(spec * spec, edges)
         ups = bands[1:] > bands[:-1] * (1.0 + 1e-6)
         for up in ups:
             bits = (bits << 1) | int(bool(up))
+    # a clip whose EVERY segment was gated (piecewise-constant DC steps can
+    # pass the whole-clip std gate while each demeaned segment is silent)
+    # has no content identity — returning fp_ok with fp=0 would recreate
+    # the degenerate all-zero LSH bucket the gates exist to prevent
+    if n_live == 0:
+        return False, 0
     return True, bits
 
 

@@ -59,14 +59,7 @@ def scrub_one(text: str | None) -> tuple[str | None, int]:
         return None, 0
     if _PRESCAN.search(text) is None:
         return text, 0
-    edits = 0
-
-    def _repl(m: re.Match[str]) -> str:
-        nonlocal edits
-        edits += 1
-        return _REPLACEMENTS[int(m.lastgroup[1:])]  # type: ignore[index]
-
-    return _COMBINED.sub(_repl, text), edits
+    return _scrub_hit(text)
 
 
 def _scrub_hit(text: str) -> tuple[str, int]:
@@ -88,13 +81,23 @@ _PRESCAN_RE2 = r"[0-9@]|(?i:frakking|scuzzbucket|damnwort|gorramit)"
 try:  # pyarrow is a hard dep of the pipeline, soft dep of the oracle
     import pyarrow as _pa
     import pyarrow.compute as _pc
-
-    # one executor core == one python worker: Arrow's own kernel thread
-    # pool must not multiply that (32 workers x default-32-thread pools
-    # oversubscribe the host and fight the JVM for cores)
-    _pa.set_cpu_count(1)
 except ImportError:  # pragma: no cover
     _pa = None
+
+_ARROW_PINNED = False
+
+
+def _pin_arrow_threads() -> None:
+    """One executor core == one python worker: Arrow's kernel thread pool
+    must not multiply that (32 workers x default-32-thread pools
+    oversubscribe the host and fight the JVM for cores). Called from the
+    batch path — the first scrub_batch in each WORKER process pins its
+    pool — instead of at import, so merely importing this module (driver,
+    oracle labeler, standalone scripts) keeps full Arrow parallelism."""
+    global _ARROW_PINNED
+    if not _ARROW_PINNED and _pa is not None:
+        _pa.set_cpu_count(1)
+        _ARROW_PINNED = True
 
 
 def scrub_batch(
@@ -113,6 +116,7 @@ def scrub_batch(
         if _pa is None:
             pairs = [scrub_one(t) for t in texts]
             return [p[0] for p in pairs], [p[1] for p in pairs]
+        _pin_arrow_threads()
         hits = _pc.match_substring_regex(
             _pa.array(texts, type=_pa.string()), _PRESCAN_RE2
         ).to_pylist()

@@ -77,6 +77,17 @@ def export_training_shards(
         .agg(F.count("*").alias("n_clips"), F.sum("n_frames").alias("n_frames"))
         .collect()
     )
+    # dynamic overwrite only replaces the buckets THIS run writes; an
+    # earlier export with a larger n_buckets leaves stale partitions the
+    # read-back would silently fold into the manifest (duplicate clips to
+    # the dataloader) — fail fast instead
+    stale = sorted(int(r["bucket"]) for r in per_bucket if int(r["bucket"]) >= n_buckets)
+    if stale:
+        raise ValueError(
+            f"shards dir has stale buckets {stale} from a previous export "
+            f"with more than n_buckets={n_buckets} — clear "
+            f"{os.path.join(out_path, 'shards')} before re-exporting"
+        )
     manifest = {
         "n_clips": int(sum(r["n_clips"] for r in per_bucket)),
         "n_buckets": n_buckets,
@@ -113,6 +124,18 @@ def validate_shards(spark: SparkSession, out_path: str) -> DataFrame:
         F.sum(F.col("geom_ok").cast("int")).alias("n_geom_ok"),
     )
     rows = {int(r["bucket"]): r for r in per_bucket.collect()}
+    # set equality, not manifest-driven lookup: dynamic partition overwrite
+    # only replaces the buckets it writes, so a re-export with a smaller
+    # n_buckets leaves STALE bucket directories on disk that a
+    # manifest-only walk would never visit — the dataloader would silently
+    # read duplicate clips from them
+    manifest_buckets = {int(b) for b in manifest["buckets"]}
+    stale = set(rows) - manifest_buckets
+    if stale:
+        raise ValueError(
+            f"stale shard buckets not in manifest: {sorted(stale)} "
+            "(re-export left old partitions behind — clear the shards dir)"
+        )
     for b, meta in manifest["buckets"].items():
         r = rows.get(int(b))
         if r is None or int(r["n_clips"]) != meta["n_clips"]:

@@ -127,3 +127,24 @@ def test_salted_join_scatters_hot_key(spark, skewed):
         fact.drop("__probe_salt"), dim, key="clip_id", row_key="transcript"
     )
     assert out.filter(F.col("clip_id") == "hot_key").count() == 800
+
+
+def test_salted_repartition_skips_nested_unsaltable(spark):
+    """Binary/map types nested inside structs or arrays must be excluded
+    from the default content-salt: a struct-wrapped map would abort the
+    job at analysis (xxhash64 rejects MapType), a struct-wrapped binary
+    would silently hash the whole payload per row."""
+    from pyspark.sql import functions as F
+
+    from wallaby2caom2_spark.operators.partitioning import salted_repartition
+
+    df = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("clip_id"),
+        F.struct(
+            F.create_map(F.lit("a"), F.lit("b")).alias("meta"),
+        ).alias("wrapped_map"),
+        F.array(F.lit(b"xx").cast("binary")).alias("chunks"),
+        F.col("id").alias("v"),
+    )
+    out = salted_repartition(df, 4)  # must not raise on the nested map
+    assert out.count() == 10

@@ -25,6 +25,21 @@ DEFAULT_SALT = 0x5A17
 _UNSALTABLE = (T.BinaryType, T.MapType)
 
 
+def _contains_unsaltable(dt: T.DataType) -> bool:
+    """True when the type — at ANY nesting depth — is binary (hashing a
+    50 KB payload per row defeats the cheap-salt goal) or map (xxhash64
+    rejects MapType at analysis). A top-level isinstance check would let a
+    struct<meta: map<...>> abort the whole job, or a struct-wrapped binary
+    silently pay the payload-hash cost."""
+    if isinstance(dt, _UNSALTABLE):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_unsaltable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_unsaltable(dt.elementType)
+    return False
+
+
 def salted_repartition(
     df: DataFrame,
     num_partitions: int,
@@ -58,7 +73,7 @@ def salted_repartition(
         content_cols = [
             f.name
             for f in df.schema.fields
-            if f.name != key and not isinstance(f.dataType, _UNSALTABLE)
+            if f.name != key and not _contains_unsaltable(f.dataType)
         ]
     parts = [F.col(key), F.lit(salt), *(F.col(c) for c in content_cols)]
     return df.repartition(num_partitions, F.xxhash64(*parts))

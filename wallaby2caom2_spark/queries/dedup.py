@@ -171,7 +171,7 @@ WITH sig AS ({_minhash_sig_sql()}),
 bands AS (
   SELECT doc_id, unnest([{band_exprs}]) AS bucket,
          unnest(generate_series(0, {N_MINHASH // 2 - 1})) AS band_idx
-  FROM sig
+  FROM sig WHERE sig0 IS NOT NULL
 ),
 buckets AS (
   SELECT band_idx, bucket, count(*) AS sz FROM bands GROUP BY 1, 2
@@ -237,7 +237,7 @@ WITH sig AS ({_minhash_sig_sql()}),
 bands AS (
   SELECT doc_id, unnest([{band_exprs}]) AS bucket,
          unnest(generate_series(0, {N_MINHASH // 2 - 1})) AS band_idx
-  FROM sig
+  FROM sig WHERE sig0 IS NOT NULL
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -430,6 +430,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent truncation would return SPLIT components (labels one hop
+        # short on any chain deeper than the cap) while the oracle computes
+        # the exact closure — fail loudly instead
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} "
+            "rounds — component diameter exceeds the cap; raise _CC_MAX_ITERS"
+        )
     edges.unpersist()
     return labels.select("doc_id", "component")
 

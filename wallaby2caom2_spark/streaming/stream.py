@@ -66,6 +66,10 @@ def run_stream(
         batch = with_bucket(batch_df, n_buckets).withColumn(
             "batch_id", F.lit(batch_id)
         )
+        # two sinks consume this micro-batch; without persist the second
+        # write would re-run the whole fused decode+model pipeline from the
+        # source files — doubling the dominant cost of every epoch
+        batch.persist()
         (
             batch.write.mode("overwrite")
             # per-write dynamic overwrite: the exactly-once contract must
@@ -83,6 +87,7 @@ def run_stream(
             .partitionBy("batch_id")
             .parquet(metrics_path)
         )
+        batch.unpersist()
 
     writer = (
         result.writeStream.foreachBatch(sink)

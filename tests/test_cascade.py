@@ -66,3 +66,18 @@ def test_cascade_literal_cases(spark, patch, expected):
 def test_every_rule_in_order_covered():
     tested = {e for _, e in CASES if e}
     assert tested == set(RULE_ORDER)
+
+
+def test_null_codec_labeled_codec_invalid(spark):
+    """NULL codec must hit the codec_invalid rule (the oracle's label),
+    not fall through to decode_failed: ~isin() is NULL — not true — for a
+    NULL input, so the branch needs an explicit isNull arm."""
+    from wallaby2caom2_spark.plans.pipeline import quality_filter
+
+    df = spark.createDataFrame(
+        [("x", None, 16000, 1000, None, "some words here")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    row = quality_filter(df).collect()[0]
+    assert row["drop_reason"] == "codec_invalid"
+    assert not row["keep"]

@@ -63,4 +63,7 @@ def test_null_fields_are_contained(spark):
     assert len(out) == 3  # every poison row produced a decision
     assert out["null-transcript"] == (False, "too_short")
     assert out["null-bytes"] == (False, "decode_failed")
-    assert out["null-codec"] == (False, "decode_failed")
+    # NULL codec is codec_invalid (the oracle's label — `None not in
+    # supported_codecs` is True); it previously fell through to
+    # decode_failed because ~isin() is NULL for a NULL input
+    assert out["null-codec"] == (False, "codec_invalid")

@@ -96,3 +96,24 @@ def test_rewrite_crash_recovery(spark, tmp_path):
     shutil.move(live, live + ".old")
     assert recover_rewrite(live) == "restored_old"
     assert spark.read.parquet(live).count() == n
+
+
+def test_rewrite_count_uses_pre_patch_predicate(spark, tmp_path):
+    """The rewritten-row count must evaluate the predicate against the OLD
+    values: observing it on the patched plan would count post-patch matches
+    (0 when the predicate references the rewritten field)."""
+    from pyspark.sql import functions as F
+
+    from wallaby2caom2_spark.plans.maintenance import bulk_field_rewrite_job
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("a", "pending"), ("b", "pending"), ("c", "done")],
+        "clip_id string, status string",
+    ).write.parquet(path)
+    n = bulk_field_rewrite_job(
+        spark, path, "status", "done", predicate=F.col("status") == "pending"
+    )
+    assert n == 2
+    got = {r["clip_id"]: r["status"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": "done", "b": "done", "c": "done"}

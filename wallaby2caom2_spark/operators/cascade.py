@@ -54,7 +54,12 @@ def with_keep_drop(
     t = cfg.thresholds
     reason = (
         F.when(
-            ~F.col("codec").isin(*cfg.supported_codecs), F.lit("codec_invalid")
+            # isNull first: NULL codec makes ~isin() NULL (not true), which
+            # would skip this branch and mislabel the row decode_failed —
+            # the oracle labels a missing codec codec_invalid
+            F.col("codec").isNull()
+            | ~F.col("codec").isin(*cfg.supported_codecs),
+            F.lit("codec_invalid"),
         )
         .when(~F.col("pcm_ok"), F.lit("decode_failed"))
         .when(F.col("sr_meas") != F.col("sr_hz"), F.lit("sr_mismatch"))

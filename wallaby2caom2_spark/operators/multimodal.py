@@ -57,11 +57,12 @@ def _sniff_kind(payload: bytes | None) -> str:
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB: real decode needs PIL/libvips (absent here). Behind the gate we
-    emit a deterministic fake geometry derived from the payload length so the
-    downstream plumbing (resize planning, batch accounting) is exercised."""
-    if _HAS_PIL:  # pragma: no cover - lib absent in this container
-        raise NotImplementedError("real image decode path not wired in sandbox")
+    """STUB: real decode needs PIL/libvips (absent here) — swap this body
+    for ``PIL.Image.open(io.BytesIO(payload)).size`` when wiring the real
+    path. Always emits a deterministic fake geometry derived from payload
+    length so the downstream plumbing (resize planning, batch accounting)
+    is exercised — unconditionally, so a host where PIL merely happens to
+    be importable doesn't turn every png/jpeg row into a task crash."""
     n = len(payload)
     return 16 + n % 64, 16 + (n // 64) % 64
 

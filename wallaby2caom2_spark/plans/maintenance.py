@@ -74,7 +74,7 @@ def bulk_field_rewrite_job(
     predicate: F.Column | None = None,
 ) -> int:
     """P19 analog: set ``field`` to ``value`` on every (matching) row of the
-    results table, rewriting partitions in place idempotently.
+    results table via a staged full-table rewrite + atomic-ish swap.
 
     Returns the number of rows rewritten.
     """
@@ -82,18 +82,26 @@ def bulk_field_rewrite_job(
 
     df = spark.read.parquet(results_path)
     cond = predicate if predicate is not None else F.lit(True)
-    patched = df.withColumn(
-        field, F.when(cond, F.lit(value)).otherwise(F.col(field))
+    # evaluate the predicate BEFORE the field is replaced: observing cond on
+    # the patched plan would re-resolve it against the NEW values (a
+    # predicate on the rewritten field would then count post-patch matches
+    # — e.g. 0 "pending" rows after setting them all to "done")
+    flagged = df.withColumn("_rewrite_hit", cond.cast("long"))
+    patched = flagged.withColumn(
+        field,
+        F.when(F.col("_rewrite_hit") == 1, F.lit(value)).otherwise(F.col(field)),
     )
     # observe() rides the write job — rewritten-row count without a second
     # pass over the table
     obs = Observation("rewrite_metrics")
-    patched = patched.observe(obs, F.sum(cond.cast("long")).alias("rewritten"))
+    patched = patched.observe(
+        obs, F.sum("_rewrite_hit").alias("rewritten")
+    ).drop("_rewrite_hit")
+    # the staged swap writes the FULL table to a fresh sibling dir, so
+    # there are no existing partitions to preserve — plain partitioned write
     writer = patched.write.mode("overwrite")
     if "bucket" in patched.columns:
-        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
-            "bucket"
-        )
+        writer = writer.partitionBy("bucket")
     # Staged swap: write the full rewrite to a sibling dir, move the live
     # dir aside, promote the rewrite, then delete the old — the
     # unrecoverable window is a single rename, and a crash at any step

@@ -140,3 +140,56 @@ def test_resample_length_and_range(samples, rates):
         # interpolation never exceeds the input envelope
         assert out.max() <= samples.max() + 1e-6
         assert out.min() >= samples.min() - 1e-6
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    arrays(
+        np.int16,
+        st.integers(min_value=0, max_value=8192),
+        elements=st.integers(min_value=-32768, max_value=32767),
+    ),
+    st.sampled_from([8000, 16000]),
+    st.floats(min_value=3.0, max_value=20.0),
+)
+def test_vad_invariants(samples, sr, gate_db):
+    """Structural invariants of the energy VAD on ANY int16 signal:
+    speech frames bounded by total frames, runs bounded by speech frames
+    (and by ceil(frames/2), the max alternation), SNR in [0, 99], and
+    full determinism."""
+    from wallaby2caom2_spark.operators.vad import _clip_vad
+
+    n_frames, n_speech, n_runs, snr = _clip_vad(samples, sr, 20, 10, gate_db)
+    assert 0 <= n_speech <= n_frames
+    assert 0 <= n_runs <= n_speech
+    assert n_runs <= (n_frames + 1) // 2
+    assert 0.0 <= snr <= 99.0
+    if n_speech == 0:
+        assert n_runs == 0 and snr == 0.0
+    assert _clip_vad(samples, sr, 20, 10, gate_db) == (
+        n_frames, n_speech, n_runs, snr,
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(
+        np.float32,
+        st.integers(min_value=16, max_value=4096),
+        elements=st.floats(min_value=-1.0, max_value=1.0, width=32,
+                           allow_nan=False),
+    ),
+    st.sampled_from([0.8, 0.9, 1.1, 1.25]),
+)
+def test_speed_perturb_duration_scaling(samples, factor):
+    """Speed factor f scales sample count by ~1/f (rounding), preserves
+    the rate, and the output decodes cleanly."""
+    from wallaby2caom2_spark.functions import audio
+
+    sr = 16000
+    y = audio.resample_linear(samples, int(round(sr * factor)), sr)
+    expect = len(samples) * sr / (sr * factor)
+    assert abs(len(y) - expect) <= 1 + expect * 1e-3
+    wav = audio.encode_wav(y, sr)
+    dec, sr_meas = audio.decode_clip(wav, "wav")
+    assert sr_meas == sr and len(dec) == len(y)

@@ -77,3 +77,41 @@ def test_bad_factors_rejected(aug_clips):
         augment.speed_perturb(aug_clips, factors=())
     with pytest.raises(ValueError):
         augment.speed_perturb(aug_clips, factors=(0.0, 1.0))
+
+
+def test_noise_mix_hits_target_snr_and_is_deterministic(aug_clips, spark):
+    """Mixed payload must sit near the requested SNR (clipping allows a
+    little drift) and be byte-identical across runs and partitionings —
+    the retry-safety contract of the content-seeded RNG."""
+    from wallaby2caom2_spark.operators.augment import noise_mix
+
+    out1 = {r["aug_id"]: r for r in noise_mix(aug_clips, snr_db=20.0).collect()}
+    out2 = {
+        r["aug_id"]: r
+        for r in noise_mix(aug_clips.repartition(3), snr_db=20.0).collect()
+    }
+    assert set(out1) == set(out2) and len(out1) == 2  # broken clip contained
+    for k in out1:
+        assert bytes(out1[k]["aug_bytes"]) == bytes(out2[k]["aug_bytes"])
+        assert out1[k]["mix_ok"]
+    # verify the achieved SNR on the 1 s 16 kHz tone
+    r = out1["one_sec#nz20"]
+    mixed, sr = audio.decode_clip(bytes(r["aug_bytes"]), "wav")
+    x = _sine(16000, 16000)
+    noise = mixed - x
+    snr = 10 * np.log10(np.mean(x**2) / np.mean(noise**2))
+    assert 18.5 < snr < 21.5
+
+
+def test_noise_mix_contains_silent_clips(spark):
+    from wallaby2caom2_spark.operators.augment import noise_mix
+
+    df = spark.createDataFrame(
+        [("quiet", audio.encode_wav(np.zeros(1600, dtype=np.float32), 16000),
+          16000, 100, "wav")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    rows = noise_mix(df).collect()
+    assert len(rows) == 1 and not rows[0]["mix_ok"]
+    dec, _ = audio.decode_clip(bytes(rows[0]["aug_bytes"]), "wav")
+    assert float(np.abs(dec).max()) == 0.0  # untouched, not noise-filled

@@ -302,6 +302,23 @@ def audio_speed_perturb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_noise_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noise-mix augmentation (operators/augment.py::noise_mix) over kept
+    clips at 20 dB SNR, summarized for the driver's rows-only check;
+    achieved-SNR and content-seeded determinism are pinned in
+    tests/test_augment.py."""
+    mixed = augment.noise_mix(_kept_clips(spark, sf_dir), snr_db=20.0)
+    return (
+        mixed.groupBy("mix_ok")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.length("aug_bytes")).alias("payload_bytes"),
+            F.round(F.avg("out_rms") + 1e-9, 4).alias("avg_rms"),
+        )
+        .orderBy("mix_ok")
+    )
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
@@ -314,6 +331,7 @@ QUERIES = {
     "audio_vad_stats": audio_vad_stats,
     "audio_speed_perturb_stats": audio_speed_perturb_stats,
     "audio_speaking_rate_gate": audio_speaking_rate_gate,
+    "audio_noise_mix_stats": audio_noise_mix_stats,
 }
 
 ORACLE: dict[str, str] = {}

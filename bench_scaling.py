@@ -119,7 +119,7 @@ def main() -> None:
                     "-c",
                     # upper cores: CPU0 handles IRQs, so "0-7" would tax the
                     # small level with system noise the large level amortizes
-                    f"{32 - lvl}-31",
+                    f"{(os.cpu_count() or 32) - lvl}-{(os.cpu_count() or 32) - 1}",
                     sys.executable,
                     os.path.abspath(__file__),
                     "--measure",
@@ -129,15 +129,25 @@ def main() -> None:
                 text=True,
                 env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
             )
+            got_result = False
             for line in proc.stdout.splitlines():
                 if line.startswith("CHILD_RESULT "):
                     payload = json.loads(line[len("CHILD_RESULT "):])
                     n_clips = payload["n"]
                     all_samples[lvl].extend(payload["samples"])
+                    got_result = True
                     print(
                         f"# round {rnd} local[{lvl}]: {payload['samples']}",
                         file=sys.stderr,
                     )
+            # a crashed/OOM'd child must not silently shrink the sample set
+            # (a one-sided loss would skew the reported efficiency)
+            if proc.returncode != 0 or not got_result:
+                raise RuntimeError(
+                    f"round {rnd} local[{lvl}] child failed "
+                    f"(rc={proc.returncode}); stderr tail:\n"
+                    + proc.stderr[-2000:]
+                )
 
     results = {}
     for lvl in LEVELS:

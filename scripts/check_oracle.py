@@ -51,6 +51,12 @@ def main() -> int:
     only = set(sys.argv[1:])
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name silently filtering EVERYTHING out would print
+        # "0 failures" having checked nothing — fail loudly instead
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     if SF_DIR != "/root/testdata/sf0.01":
         # the entry contract bakes the clips-parquet oracle path at the
         # driver's comparison scale (sf0.01); re-derive it for local runs

@@ -105,3 +105,22 @@ def test_fingerprint_dc_step_clip_is_gated():
     # each of the 4 fingerprint segments is constant; clip-level std is big
     ok, fp = audio.band_fingerprint(x, 4000)
     assert not ok and fp == 0
+
+
+def test_decode_null_declared_rate_is_contained(spark):
+    """A NULL sr_hz arrives in the Arrow batch as NaN (nullable int →
+    float64); the decode UDF must treat it as 'no declared rate' — the
+    measured rate wins — instead of raising int(NaN)."""
+    from wallaby2caom2_spark.operators.decode import with_decode_features
+
+    sig = _sig(n=1600, sr=16000)
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(audio.encode_wav(sig, 16000)), None, 100, "wav", ""),
+            ("b", bytearray(audio.encode_wav(sig, 16000)), 16000, 100, "wav", ""),
+        ],
+        schema="clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    out = {r["clip_id"]: r for r in with_decode_features(df).collect()}
+    assert out["a"]["pcm_ok"] and out["a"]["sr_meas"] == 16000
+    assert out["b"]["pcm_ok"] and out["b"]["sr_meas"] == 16000

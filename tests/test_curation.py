@@ -1,0 +1,46 @@
+"""Properties of the corpus-curation queries (queries/curation.py) that the
+row-hash oracle cannot express: split stability across physical layout, and
+normalization idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wallaby2caom2_spark.queries import curation
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_split_is_layout_independent(spark):
+    """The split assignment must depend only on doc_id — repartitioning or
+    reordering the input (the 100 TB reality: files arrive in any order)
+    must not move a single document across the eval boundary."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.select("doc_id", curation._bucket_expr().alias("b"))
+    b = (
+        docs.repartition(13, "source")
+        .sortWithinPartitions(F.desc("n_chars"))
+        .select("doc_id", curation._bucket_expr().alias("b"))
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_split_shares_and_disjointness(spark):
+    out = curation.split_train_valid_test(spark, SF_DIR).collect()
+    by = {r["split"]: r for r in out}
+    assert set(by) == {"train", "valid", "test"}
+    total = sum(r["n_docs"] for r in out)
+    # 98/1/1 target: train share within a few points at 500 docs
+    assert by["train"]["n_docs"] / total == pytest.approx(0.98, abs=0.03)
+    assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_normalization_is_idempotent(spark):
+    """Applying the canonicalization twice must be a no-op — otherwise the
+    'n_changed' observe-step overstates work on every re-run."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    once = docs.select(norm.alias("text"))
+    twice = once.select(norm.alias("t2"), "text")
+    assert twice.filter(F.col("t2") != F.col("text")).count() == 0

@@ -16,6 +16,7 @@ from . import (
     analytics,
     clips_flagship,
     corpus,
+    curation,
     dedup,
     nested,
     relational,
@@ -31,6 +32,7 @@ _MODULES = (
     similarity,
     textstats,
     corpus,
+    curation,
     clips_flagship,
 )
 

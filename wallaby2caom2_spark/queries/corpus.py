@@ -303,8 +303,148 @@ JOIN sizes sb ON sb.source = inter.source_b
 """
 
 
+# ---------------------------------------------------------------------------
+# iterative BPE training — K full merge rounds, not just pair counting
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6      # merge rounds (real trainers run 30-100k; shape is equal)
+BPE_TOP_TOKENS = 20  # final-vocabulary head returned
+
+
+def _spaced_chars() -> F.Column:
+    """word → ' h e l l o ' (space-bounded tokens): with every token wrapped
+    in spaces, applying merge (a,b)→ab is a plain non-overlapping
+    left-to-right string replace of ' a b ' with ' ab ' — the exact greedy
+    semantics a BPE trainer uses — and identical in Spark, DuckDB, and
+    Python ``str.replace`` (the pytest reference)."""
+    return F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 "))
+
+
+def _seq_pairs(seq: F.Column) -> F.Column:
+    """spaced string → array of adjacent-token pairs as 'a b' strings."""
+    toks = F.split(F.trim(seq), " ")
+    n = F.size(toks)
+    # guard: a fully-merged single-token word has no pairs; sequence(1, 0)
+    # would DESCEND in Spark and index element 0
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE tokenizer training: ``BPE_MERGES`` rounds of
+    (count adjacent token pairs over the vocabulary → pick the most frequent
+    → merge it everywhere), returning the final vocabulary head — the
+    ``BPE_TOP_TOKENS`` learned tokens by corpus-weighted frequency.
+
+    Spark-first iterative shape (same family as ``kmeans_train``): the
+    corpus collapses ONCE to its vocabulary — the only corpus-scale shuffle
+    — and that vocabulary-sized state is persisted, so every merge round is
+    a partial aggregation over |vocab| rows plus a 1-row argmax collect;
+    the chosen merge applies as a codegen ``replace`` projection (no
+    Python, no shuffle). At 10^12 docs the per-round cost is vocabulary-
+    bound (Heaps' law: ~10^7 rows), independent of corpus size. Ties break
+    (count desc, pair asc) so the merge sequence is a total order and the
+    DuckDB oracle — the same ``BPE_MERGES`` rounds as a CTE chain — replays
+    it exactly.
+    """
+    return _bpe_train(load(spark, sf_dir, "documents"))
+
+
+def _bpe_train(docs: DataFrame) -> DataFrame:
+    vocab = (
+        docs.select(F.explode(_words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wfreq"))
+        .select(_spaced_chars().alias("seq"), "wfreq")
+    )
+    # vocabulary-sized state: persist so the K rounds don't re-run the
+    # corpus-scale word-count shuffle K times (at 100 TB this is the
+    # difference between K corpus scans and one)
+    vocab = vocab.persist()
+    seq = F.col("seq")
+    for _ in range(BPE_MERGES):
+        top = (
+            vocab.select(F.explode(_seq_pairs(seq)).alias("pair"), "wfreq")
+            .groupBy("pair")
+            .agg(F.sum("wfreq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair = top[0]["pair"]
+        seq = F.replace(
+            seq,
+            F.lit(f" {pair} "),
+            F.lit(" " + pair.replace(" ", "") + " "),
+        )
+    final = vocab.select(
+        F.explode(F.split(F.trim(seq), " ")).alias("token"), "wfreq"
+    )
+    w = Window.orderBy(F.col("tok_count").desc(), F.col("token").asc())
+    return (
+        final.groupBy("token")
+        .agg(F.sum("wfreq").alias("tok_count"))
+        .orderBy(F.col("tok_count").desc(), F.col("token").asc())
+        .limit(BPE_TOP_TOKENS)
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
+def _bpe_train_sql() -> str:
+    """Oracle: the same BPE_MERGES greedy rounds as a DuckDB CTE chain —
+    per round, argmax pair from the previous vocabulary state, applied with
+    the same space-bounded replace."""
+    parts = [
+        f"""WITH v0 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq, wfreq
+  FROM (
+    SELECT word, count(*)::BIGINT AS wfreq FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+      FROM documents
+    ) GROUP BY word
+  )
+)"""
+    ]
+    for r in range(BPE_MERGES):
+        parts.append(f""", p{r} AS (
+  SELECT pair FROM (
+    SELECT pair, sum(wfreq) AS c FROM (
+      SELECT wfreq, unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      FROM (SELECT string_split(trim(seq), ' ') AS toks, wfreq FROM v{r})
+    ) GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1
+  )
+), v{r + 1} AS (
+  SELECT replace(seq, ' ' || (SELECT pair FROM p{r}) || ' ',
+                 ' ' || replace((SELECT pair FROM p{r}), ' ', '') || ' ')
+           AS seq,
+         wfreq
+  FROM v{r}
+)""")
+    parts.append(f"""
+SELECT token, tok_count,
+       row_number() OVER (ORDER BY tok_count DESC, token ASC)::INTEGER AS rk
+FROM (
+  SELECT token, sum(wfreq)::BIGINT AS tok_count FROM (
+    SELECT unnest(string_split(trim(seq), ' ')) AS token, wfreq
+    FROM v{BPE_MERGES}
+  ) GROUP BY token ORDER BY tok_count DESC, token ASC LIMIT {BPE_TOP_TOKENS}
+)""")
+    return "".join(parts)
+
+
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_train_merges": bpe_train_merges,
     "tfidf_top_terms": tfidf_top_terms,
     "source_temperature_weights": source_temperature_weights,
     "vocab_jaccard_sources": vocab_jaccard_sources,
@@ -312,6 +452,7 @@ QUERIES = {
 
 ORACLE = {
     "bpe_pair_counts": _BPE_SQL,
+    "bpe_train_merges": _bpe_train_sql(),
     "tfidf_top_terms": _TFIDF_SQL,
     "source_temperature_weights": _MIX_TEMP_SQL,
     "vocab_jaccard_sources": _VOCAB_JACCARD_SQL,

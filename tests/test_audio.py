@@ -107,6 +107,37 @@ def test_fingerprint_dc_step_clip_is_gated():
     assert not ok and fp == 0
 
 
+def test_null_sr_headerless_pcm_contained_in_every_operator(spark):
+    """The worst case for a NULL sr_hz: a headerless pcm clip, where no
+    measured rate can win and the old ``int(NaN)`` crashed the whole Arrow
+    batch. Every batched audio operator must emit its not-ok containment
+    row instead."""
+    from wallaby2caom2_spark.operators import (
+        audio_fp,
+        augment,
+        features,
+        normalize,
+        segment,
+        vad,
+    )
+
+    sig = _sig(n=1600, sr=16000)
+    df = spark.createDataFrame(
+        [("p", bytearray(audio.encode_pcm_s16le(sig)), None, 100, "pcm_s16le", "x")],
+        schema="clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    assert vad.vad_stats(df).collect()[0]["vad_ok"] is False
+    assert features.feature_frames(df).collect()[0]["feat_ok"] is False
+    assert normalize.normalize_clips(df).collect()[0]["norm_ok"] is False
+    assert segment.segment_clips(df).count() == 0
+    assert augment.speed_perturb(df).count() == 0
+    assert augment.noise_mix(df).count() == 0
+    # fingerprint: sr=0 means "analyze as-is" — must not raise, and the
+    # signal is real so the fingerprint is live
+    row = audio_fp.with_fingerprint(df).collect()[0]
+    assert row["fp_ok"] is True
+
+
 def test_decode_null_declared_rate_is_contained(spark):
     """A NULL sr_hz arrives in the Arrow batch as NaN (nullable int →
     float64); the decode UDF must treat it as 'no declared rate' — the

@@ -66,6 +66,18 @@ def encode_flac_stub(samples: np.ndarray, sr_hz: int) -> bytes:
 # decode
 # ---------------------------------------------------------------------------
 
+def declared_sr(value) -> int:
+    """Declared-sample-rate column value → int, NULL-safe.
+
+    Every batched operator reads ``sr_hz`` through pandas, where a nullable
+    int column arrives as float64 with NaN for NULL; ``int(NaN)`` raises and
+    would fail the whole batch. A NULL declared rate means "no declared
+    rate" (0) — the measured rate wins, and callers' ``sr <= 0`` containment
+    routes truly rateless clips to their not-ok row.
+    """
+    return 0 if value is None or value != value else int(value)
+
+
 def decode_clip(payload, codec: str) -> tuple[np.ndarray | None, int]:
     """Decode one clip → (float32 samples in [-1,1], measured sr_hz).
 

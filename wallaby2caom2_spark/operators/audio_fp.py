@@ -60,7 +60,7 @@ def fingerprint_udf(
             samples, sr_meas = audio.decode_clip(
                 bytes(raw) if raw is not None else None, codec_v[i]
             )
-            o, f = audio.band_fingerprint(samples, sr_meas or int(sr_v[i]))
+            o, f = audio.band_fingerprint(samples, sr_meas or audio.declared_sr(sr_v[i]))
             ok[i], fps[i] = o, f
         yield pd.DataFrame({"fp_ok": ok, "fp": fps})
 

@@ -70,7 +70,7 @@ def speed_perturb(
                 )
                 if samples is None or len(samples) == 0:
                     continue
-                sr = sr_meas or int(sr_decl)
+                sr = sr_meas or audio.declared_sr(sr_decl)
                 if sr <= 0:
                     continue
                 for f in fs:
@@ -149,7 +149,7 @@ def noise_mix(
                 )
                 if samples is None or len(samples) == 0:
                     continue
-                sr = sr_meas or int(sr_decl)
+                sr = sr_meas or audio.declared_sr(sr_decl)
                 if sr <= 0:
                     continue
                 sig_rms = float(

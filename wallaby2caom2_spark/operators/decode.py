@@ -50,12 +50,12 @@ def decode_features_udf(
         codec_v = codec.to_numpy()
         sr_v = sr.to_numpy()
         for i, raw in enumerate(payload.to_numpy()):
-            # Arrow hands a nullable int column to pandas as float64 with
-            # NaN — int(NaN) raises; a NULL declared rate must be contained
-            # (0 → the measured rate wins), not fail the job
-            sr_i = 0 if pd.isna(sr_v[i]) else int(sr_v[i])
+            # NULL declared rate arrives as NaN through pandas — contained
+            # by the shared NULL-safe cast (see audio.declared_sr)
             o, s, d, r, c = audio.decode_features(
-                bytes(raw) if raw is not None else None, codec_v[i], sr_i
+                bytes(raw) if raw is not None else None,
+                codec_v[i],
+                audio.declared_sr(sr_v[i]),
             )
             ok[i], srm[i], dur[i], rms[i], clip[i] = o, s, d, r, c
         yield pd.DataFrame(

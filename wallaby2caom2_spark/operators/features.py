@@ -96,7 +96,7 @@ def feature_frames(
                 samples, sr_meas = audio.decode_clip(
                     bytes(raw) if raw is not None else None, codec
                 )
-                sr = sr_meas or int(sr_decl)
+                sr = sr_meas or audio.declared_sr(sr_decl)
                 row = {
                     "clip_id": cid,
                     "feat_ok": False,

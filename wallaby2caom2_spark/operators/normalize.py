@@ -74,7 +74,7 @@ def normalize_clips(
                 )
                 # headerless raw pcm carries no rate — fall back to the
                 # declared column, same contract as segment_clips
-                sr = sr_meas or int(sr_decl)
+                sr = sr_meas or audio.declared_sr(sr_decl)
                 row = {
                     "clip_id": cid,
                     "norm_ok": False,

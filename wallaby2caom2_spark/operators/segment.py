@@ -75,7 +75,7 @@ def segment_clips(
                 )
                 if samples is None or len(samples) == 0:
                     continue
-                sr = sr_meas or int(sr_decl)
+                sr = sr_meas or audio.declared_sr(sr_decl)
                 if sr <= 0:
                     continue
                 samples = audio.resample_linear(samples, sr, sr_out)

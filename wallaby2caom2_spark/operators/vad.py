@@ -120,7 +120,7 @@ def vad_stats(
                 samples, sr_meas = audio.decode_clip_i16(raw, codec)
                 if samples is None or len(samples) == 0:
                     continue
-                sr = sr_meas or int(sr_decl)
+                sr = sr_meas or audio.declared_sr(sr_decl)
                 if sr <= 0:
                     continue
                 ok[i] = True

@@ -28,6 +28,7 @@ from ..operators import (
     normalize,
     preview,
     segment,
+    spectral,
     vad,
 )
 from ..plans.pipeline import quality_filter, run_metrics
@@ -282,6 +283,28 @@ def audio_speaking_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_tonality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-shape gate (operators/spectral.py): Welch-averaged flatness /
+    centroid / peak-share per clip, classified into no_signal /
+    tonal_artifact / narrowband / broadband — the tonal-noise failure mode
+    (hum, test tones, feedback) that energy VAD cannot see. Summarized per
+    class for the driver's rows-only check; the class boundaries and
+    gain-invariance are pinned in tests/test_spectral.py."""
+    stats = spectral.classify_tonality(
+        spectral.spectral_stats(load_clips(spark, sf_dir))
+    )
+    return (
+        stats.groupBy("tonality")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("flatness") + 1e-9, 4).alias("avg_flatness"),
+            F.round(F.avg("centroid_hz") + 1e-9, 1).alias("avg_centroid_hz"),
+            F.round(F.avg("peak_share") + 1e-9, 4).alias("avg_peak_share"),
+        )
+        .orderBy("tonality")
+    )
+
+
 def audio_speed_perturb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way speed perturbation (operators/augment.py) over kept clips —
     the corpus-tripling augmentation step after quality filtering.
@@ -329,6 +352,7 @@ QUERIES = {
     "audio_normalize_stats": audio_normalize_stats,
     "audio_feature_stats": audio_feature_stats,
     "audio_vad_stats": audio_vad_stats,
+    "audio_tonality_gate": audio_tonality_gate,
     "audio_speed_perturb_stats": audio_speed_perturb_stats,
     "audio_speaking_rate_gate": audio_speaking_rate_gate,
     "audio_noise_mix_stats": audio_noise_mix_stats,

@@ -127,3 +127,30 @@ def test_deciles_window_partitioning_reused_by_groupby(spark):
     plan = plan_of(spark, "value_deciles_by_type")
     assert count(plan, "Exchange (") <= 2, plan
     assert "ntile" in plan.lower(), plan
+
+
+def test_rule_ablation_is_single_scan(spark):
+    """quality_rule_ablation: all four rule counters must come from ONE
+    pass over documents (conditional sums + stack unpivot), never a
+    union of per-rule scans."""
+    plan = plan_of(spark, "quality_rule_ablation")
+    # one Location: line per distinct parquet scan in the detail section
+    assert count(plan, "Location: InMemoryFileIndex") == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_split_is_jvm_only_single_scan(spark):
+    """split_train_valid_test: the hash split is pure codegen over one
+    scan; the share denominator must not add a second scan or a Python
+    stage."""
+    plan = plan_of(spark, "split_train_valid_test")
+    assert count(plan, "Location: InMemoryFileIndex") == 1, plan
+    assert "MapInPandas" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_tonality_gate_single_decode_crossing(spark):
+    """audio_tonality_gate: one mapInPandas decode (payload dies in the
+    worker) and the class cascade + aggregation stay JVM-side."""
+    plan = plan_of(spark, "audio_tonality_gate")
+    assert count(plan, "MapInPandas (") == 1, plan

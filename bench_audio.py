@@ -43,6 +43,7 @@ def main() -> None:
         "audio_segment_stats",
         "audio_normalize_stats",
         "audio_vad_stats",
+        "audio_tonality_gate",
     ):
         fn = ALL_QUERIES[qname]
         fn(spark, SF_DIR).collect()  # warm-up

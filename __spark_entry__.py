@@ -40,8 +40,14 @@ def oracle_sql() -> dict[str, str]:
     oracle-checked: its sniff + stub geometry are pure arithmetic, so DuckDB
     recomputes it from the same cached clips parquet (path baked in at
     sf0.01 — the driver's comparison scale; generated here if absent)."""
-    from wallaby2caom2_spark.queries.clips_flagship import media_meta_oracle
+    from wallaby2caom2_spark.queries.clips_flagship import (
+        duration_histogram_oracle,
+        media_meta_oracle,
+    )
 
     out = dict(ALL_ORACLE)
     out["multimodal_media_meta"] = media_meta_oracle("/root/testdata/sf0.01")
+    out["clips_duration_histogram"] = duration_histogram_oracle(
+        "/root/testdata/sf0.01"
+    )
     return out

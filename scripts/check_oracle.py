@@ -61,9 +61,13 @@ def main() -> int:
         # the entry contract bakes the clips-parquet oracle path at the
         # driver's comparison scale (sf0.01); re-derive it for local runs
         # at other scales so both engines read the same cache
-        from wallaby2caom2_spark.queries.clips_flagship import media_meta_oracle
+        from wallaby2caom2_spark.queries.clips_flagship import (
+            duration_histogram_oracle,
+            media_meta_oracle,
+        )
 
         oracles["multimodal_media_meta"] = media_meta_oracle(SF_DIR)
+        oracles["clips_duration_histogram"] = duration_histogram_oracle(SF_DIR)
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in (

@@ -123,6 +123,47 @@ FROM m GROUP BY kind ORDER BY kind
 """
 
 
+def clips_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape profile over the clips table: per (codec, 1-second
+    duration bucket), clip count / payload volume / mean declared duration —
+    the first scan a curation team runs on a new audio drop (what's in here,
+    how long, how heavy). Pure codegen over declared columns (no decode), so
+    unlike the pipeline queries it is fully DuckDB-oracle-checked against
+    the same cached parquet. One partial-agg exchange of |codecs×buckets|
+    rows; at 10^12 clips the scan reads only the three narrow columns."""
+    clips = load_clips(spark, sf_dir)
+    bucket = F.coalesce(
+        F.floor(F.col("dur_ms") / 1000).cast("int"), F.lit(-1)
+    )
+    return (
+        clips.groupBy("codec", bucket.alias("dur_bucket_s"))
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.coalesce(F.length("bytes"), F.lit(0))).alias(
+                "payload_bytes"
+            ),
+            F.round(F.avg("dur_ms") + 1e-9, 2).alias("avg_dur_ms"),
+        )
+        .orderBy("codec", "dur_bucket_s")
+    )
+
+
+def duration_histogram_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``clips_duration_histogram`` over the same cached
+    clips parquet (generated if absent, same contract as
+    ``media_meta_oracle``)."""
+    path = clips_path_for(sf_dir)
+    return f"""
+SELECT codec,
+       coalesce(CAST(floor(dur_ms / 1000.0) AS INTEGER), -1) AS dur_bucket_s,
+       count(*)::BIGINT AS n_clips,
+       sum(coalesce(octet_length(bytes), 0))::BIGINT AS payload_bytes,
+       round(avg(dur_ms) + 1e-9, 2) AS avg_dur_ms
+FROM read_parquet('{path}/*.parquet')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 real preview generation: decoded PCM → waveform-thumbnail PNG
     binary column (operators/preview.py), summarized so the driver's
@@ -346,6 +387,7 @@ QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
     "multimodal_media_meta": multimodal_media_meta,
+    "clips_duration_histogram": clips_duration_histogram,
     "clips_waveform_preview": clips_waveform_preview,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
     "audio_segment_stats": audio_segment_stats,

@@ -56,6 +56,20 @@ def test_centroid_tracks_tone_frequency(spark):
     assert by["hi"]["centroid_hz"] == pytest.approx(1500.0, abs=80.0)
 
 
+def test_absurd_declared_rate_is_contained(spark):
+    """A parseable WAV header may declare ANY nonzero rate; sr=20 Hz used to
+    round hop to zero and crash the whole batch — it must emit a
+    containment row instead."""
+    sig = np.zeros(400, dtype=np.float32)
+    sig[::3] = 0.5
+    df = spark.createDataFrame(
+        [("w", bytearray(audio.encode_wav(sig, 20)), 20, 100, "wav", "")],
+        schema="clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    rows = spectral.spectral_stats(df).collect()
+    assert len(rows) == 1 and not rows[0]["spec_ok"]
+
+
 def test_containment_rows(spark):
     """Truncated payload and too-short clip emit spec_ok=false, not errors."""
     good = (0.3 * np.sin(2 * np.pi * 300.0 * np.arange(SR) / SR)).astype(

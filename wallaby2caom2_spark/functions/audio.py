@@ -203,7 +203,7 @@ def decode_clip_i16(payload, codec: str) -> tuple[np.ndarray | None, int]:
 # ---------------------------------------------------------------------------
 
 def decode_features(
-    payload: bytes | None, codec: str, declared_sr: int
+    payload: bytes | None, codec: str, declared_sr_hz: int
 ) -> tuple[bool, int, int, float, float]:
     """→ (pcm_ok, sr_meas, dur_ms_meas, rms, clip_rate).
 
@@ -216,7 +216,7 @@ def decode_features(
         return False, 0, 0, 0.0, 0.0
     if len(x) == 0:
         return False, 0, 0, 0.0, 0.0
-    sr = sr_meas or declared_sr
+    sr = sr_meas or declared_sr_hz
     dur_ms = int(round(len(x) * 1000.0 / sr)) if sr > 0 else 0
     # integer-domain features: squares fit int32 (max 2^30), the sum
     # accumulates in int64 — exact, and ~2.5x less DRAM traffic than the

@@ -65,8 +65,12 @@ def _clip_spectrum(x: np.ndarray, sr: int) -> tuple[float, float, float] | None:
     if sr > _ANALYSIS_SR:
         x = audio.resample_linear(x, sr, _ANALYSIS_SR)
         sr = _ANALYSIS_SR
-    win = int(round(sr * _FRAME_MS / 1000.0))
-    hop = int(round(sr * _HOP_MS / 1000.0))
+    # max(1, ...): a parseable header can declare ANY nonzero rate; sr < 32
+    # would round hop to 0 and ZeroDivisionError the whole batch (same guard
+    # as vad.py) — the degenerate 1-sample window then yields no usable
+    # spectrum and falls through to the containment row below
+    win = max(1, int(round(sr * _FRAME_MS / 1000.0)))
+    hop = max(1, int(round(sr * _HOP_MS / 1000.0)))
     frames = _frame_matrix(x.astype(np.float64), win, hop)
     if frames.shape[0] == 0:
         return None

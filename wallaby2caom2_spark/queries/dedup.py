@@ -464,8 +464,115 @@ FROM reach GROUP BY src
 """
 
 
+# ---------------------------------------------------------------------------
+# fuzzy decontamination — shingle-set CONTAINMENT on LSH candidates
+# ---------------------------------------------------------------------------
+
+_DECON_MOD = 29          # doc_id % MOD == 0 = held-out eval set (matches
+                         # textstats.decontaminate_ngram's convention)
+_CONTAINMENT_MIN = 0.3   # flag when ≥30% of an eval doc's shingles appear
+
+
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY training-data decontamination: flag (train, eval) pairs where a
+    large share of the EVAL document's 3-word shingles appear in the train
+    document — containment |T∩E| / |E|, not Jaccard, because a short eval
+    item pasted into a long train doc has tiny Jaccard but containment ≈ 1
+    (the Dolma/RefinedWeb-style leak that exact n-gram hit counting
+    under-ranks and symmetric near-dup misses).
+
+    Scale shape: candidates come from the SAME MinHash→LSH banding as the
+    dedup family — eval-side band buckets are a broadcast dimension (eval
+    suites are thousands of docs) — and the exact shingle-set intersection
+    runs ONLY on candidates. No all-pairs work anywhere; the train side
+    never self-joins.
+    """
+    sig = dedup_minhash_signature(spark, sf_dir)
+    b = _band_buckets(sig)
+    is_eval = F.col("doc_id") % _DECON_MOD == 0
+    cand = (
+        b.filter(~is_eval)
+        .select(F.col("doc_id").alias("train_doc"), "band_idx", "bucket")
+        .join(
+            F.broadcast(
+                b.filter(is_eval).select(
+                    F.col("doc_id").alias("eval_doc"), "band_idx", "bucket"
+                )
+            ),
+            ["band_idx", "bucket"],
+        )
+        .select("train_doc", "eval_doc")
+        .distinct()
+    )
+    sh = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(_shingles(_words())).alias("sset"),
+    )
+    joined = cand.join(
+        sh.select(F.col("doc_id").alias("train_doc"), F.col("sset").alias("ts")),
+        "train_doc",
+    ).join(
+        F.broadcast(
+            sh.filter(is_eval).select(
+                F.col("doc_id").alias("eval_doc"), F.col("sset").alias("es")
+            )
+        ),
+        "eval_doc",
+    )
+    containment = F.size(F.array_intersect("ts", "es")) / F.size("es")
+    return joined.filter(F.size("es") > 0).select(
+        "train_doc",
+        "eval_doc",
+        F.round(containment + 1e-9, 4).alias("containment"),
+    ).filter(F.col("containment") >= _CONTAINMENT_MIN)
+
+
+def _containment_sql() -> str:
+    band_exprs = ", ".join(
+        f"md5(sig{2 * b} || '|' || sig{2 * b + 1})" for b in range(N_MINHASH // 2)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS bucket,
+         unnest(generate_series(0, {N_MINHASH // 2 - 1})) AS band_idx
+  FROM sig WHERE sig0 IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+  FROM bands t
+  JOIN bands e ON t.band_idx = e.band_idx AND t.bucket = e.bucket
+  WHERE t.doc_id % {_DECON_MOD} <> 0 AND e.doc_id % {_DECON_MOD} = 0
+),
+w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= {_SHINGLE}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(words)-{_SHINGLE - 1}),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [] END AS sset
+  FROM w
+),
+c AS (
+  SELECT train_doc, eval_doc,
+         round(len(list_intersect(ts.sset, es.sset))::DOUBLE
+               / len(es.sset) + 1e-9, 4) AS containment
+  FROM cand
+  JOIN sh ts ON ts.doc_id = train_doc
+  JOIN sh es ON es.doc_id = eval_doc
+  WHERE len(es.sset) > 0
+)
+SELECT train_doc, eval_doc, containment
+FROM c WHERE containment >= {_CONTAINMENT_MIN}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "decontaminate_containment": decontaminate_containment,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_lsh_bands": dedup_lsh_bands,
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
@@ -476,6 +583,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "decontaminate_containment": _containment_sql(),
     "dedup_minhash_signature": _minhash_sig_sql(),
     "dedup_lsh_bands": _lsh_bands_sql(),
     "dedup_lsh_verified_pairs": _lsh_verified_sql(),

@@ -193,3 +193,46 @@ def test_speed_perturb_duration_scaling(samples, factor):
     wav = audio.encode_wav(y, sr)
     dec, sr_meas = audio.decode_clip(wav, "wav")
     assert sr_meas == sr and len(dec) == len(y)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_signals, st.sampled_from([7, 800, 4000, 16000, 48000]))
+def test_spectrum_never_raises_and_is_bounded(samples, sr):
+    """_clip_spectrum must hold its contract on ANY signal at ANY declared
+    rate (including absurd ones): return None or three bounded floats —
+    flatness in (0,1], peak share in (0,1], centroid within Nyquist."""
+    from wallaby2caom2_spark.operators.spectral import _ANALYSIS_SR, _clip_spectrum
+
+    res = _clip_spectrum(samples, sr)
+    if res is None:
+        return
+    flat, centroid, peak = res
+    assert 0.0 < flat <= 1.0 + 1e-9
+    assert 0.0 < peak <= 1.0 + 1e-9
+    assert 0.0 <= centroid <= min(sr, _ANALYSIS_SR) / 2.0 + 1e-6
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(
+        np.float32,
+        st.integers(min_value=256, max_value=4096),
+        elements=st.floats(
+            min_value=-0.5, max_value=0.5, width=32, allow_nan=False
+        ),
+    ),
+    st.sampled_from([0.25, 0.5, 2.0, 4.0]),
+)
+def test_spectrum_flatness_is_gain_invariant(samples, gain):
+    """Scaling the signal must not change the tonality verdict: flatness
+    and peak share are ratios of band powers, so any gain cancels."""
+    from wallaby2caom2_spark.operators.spectral import _clip_spectrum
+
+    a = _clip_spectrum(samples, 4000)
+    b = _clip_spectrum((samples * gain).astype(np.float32), 4000)
+    if a is None or b is None:
+        # the quiet side may drop below the power floor — that's the gate
+        # working, not a contract violation
+        return
+    assert abs(a[0] - b[0]) < 5e-3  # flatness
+    assert abs(a[2] - b[2]) < 5e-3  # peak share

@@ -1,0 +1,191 @@
+"""End-to-end corpus curation: quality filter → audio gates → content
+dedup → split assignment → training-shard export.
+
+The full product in one plan — what a team curating a 10^12-clip ASR drop
+actually runs:
+
+1. **quality filter** (plans/pipeline.py): decode sanity + langid +
+   perplexity + rule cascade + PII scrub — one Arrow crossing, one slim
+   exchange.
+2. **audio gate pass** (operators/audio_signals.py): ONE more decode pass
+   over survivors computes fingerprint + VAD + spectral shape together;
+   clips that are tonal artifacts or carry no detected speech drop here.
+3. **content dedup**: LSH-banded fingerprint join (operators/audio_fp.py)
+   → pairwise min-id keeper election: for every near-dup pair the larger
+   clip_id loses, so re-delivered/re-encoded copies collapse to one
+   canonical clip. (Pairwise, not full connected components — exact for
+   the redelivery case; chains collapse onto their smallest reachable
+   member or drop entirely, never duplicate. The CC operator in
+   queries/dedup.py is the full-transitive alternative.)
+4. **split assignment**: deterministic xxhash64(clip_id) bucket →
+   train/valid/test (98/1/1) — layout-independent, so a backfill rerun
+   never migrates a clip across the eval boundary (same contract as
+   queries/curation.py's document split).
+5. **export**: scrubbed transcript ⋈ filterbank tensor (decode pass #3,
+   tensors computed ONLY for final survivors — computing them before the
+   gates would waste the expensive output on clips about to drop),
+   written as (split, bucket)-partitioned parquet + a JSON manifest.
+
+Every stage is keyed equi-joins + narrow UDF passes; the funnel summary
+(`curation_funnel`) labels each input clip with the FIRST stage that
+dropped it in one plan — a single groupBy, no per-stage re-scans.
+
+Reference analog: the whole reference lifecycle (``composable.py:115-138``
+name→store→visit→write→bookkeep) as one declarative DAG instead of a
+serial per-file loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import audio_fp
+from ..operators.audio_signals import audio_signals
+from ..operators.features import feature_frames
+from ..operators.partitioning import with_bucket
+from ..plans.pipeline import quality_filter
+from ..sources.clips import read_clips
+
+# gate thresholds (corpus-calibrated; the SHAPE is the deliverable)
+MIN_SPEECH_RATIO = 0.02      # at least 2% of frames carry speech energy
+TONAL_PEAK_SHARE = 0.5       # dominant bin majority...
+TONAL_FLATNESS = 0.05        # ...with near-zero Wiener entropy = test tone
+MAX_HAMMING = 3              # fingerprint near-dup radius
+SPLIT_BUCKETS = 1000
+TRAIN_LT, VALID_LT = 980, 990  # 98 / 1 / 1
+
+
+def _split_col() -> F.Column:
+    b = F.pmod(F.xxhash64(F.col("clip_id"), F.lit(42)), F.lit(SPLIT_BUCKETS))
+    return (
+        F.when(b < TRAIN_LT, F.lit("train"))
+        .when(b < VALID_LT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _staged(clips: DataFrame) -> DataFrame:
+    """Label every input clip with the first stage that drops it (or its
+    final split) — ONE plan, keyed equi-joins only.
+
+    Output: (clip_id, lang, scrubbed_transcript, stage) where stage ∈
+    {1_quality_dropped, 2_undecodable, 2_tonal_artifact, 2_no_speech,
+     3_neardup_dropped, 4_train, 4_valid, 4_test}.
+    """
+    result = quality_filter(clips).select(
+        "clip_id", "keep", "lang", "scrubbed_transcript"
+    )
+    survivors = clips.join(
+        result.filter(F.col("keep")).select("clip_id"), "clip_id", "left_semi"
+    )
+    sig = audio_signals(survivors)
+    tonal = (
+        F.col("spec_ok")
+        & (F.col("peak_share") > TONAL_PEAK_SHARE)
+        & (F.col("flatness") < TONAL_FLATNESS)
+    )
+    gated = sig.withColumn(
+        "gate_stage",
+        F.when(~F.col("sig_ok"), "2_undecodable")
+        .when(tonal, "2_tonal_artifact")
+        .when(F.col("speech_ratio") < MIN_SPEECH_RATIO, "2_no_speech")
+        .otherwise(F.lit(None).cast("string")),
+    )
+    # dedup candidates come only from clips that passed the gates
+    passed = gated.filter(F.col("gate_stage").isNull())
+    losers = (
+        audio_fp.banded_neardup_pairs(passed, max_hamming=MAX_HAMMING)
+        .select(F.col("clip_b").alias("clip_id"))
+        .distinct()
+        .withColumn("_loser", F.lit(True))
+    )
+    stage = (
+        F.when(~F.col("keep"), "1_quality_dropped")
+        .when(F.col("gate_stage").isNotNull(), F.col("gate_stage"))
+        .when(F.col("_loser"), "3_neardup_dropped")
+        .otherwise(F.concat(F.lit("4_"), _split_col()))
+    )
+    return (
+        result.join(
+            gated.select("clip_id", "gate_stage"), "clip_id", "left"
+        )
+        .join(losers, "clip_id", "left")
+        .select("clip_id", "lang", "scrubbed_transcript", stage.alias("stage"))
+    )
+
+
+def curation_funnel(clips: DataFrame) -> DataFrame:
+    """Per-stage clip counts — the curation run's north-rule counters."""
+    return (
+        _staged(clips)
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_clips"))
+        .orderBy("stage")
+    )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    clips_path: str,
+    out_path: str,
+    n_buckets: int = 8,
+) -> dict:
+    """Run the full curation DAG and export (split, bucket)-partitioned
+    training shards + manifest. Returns the manifest dict."""
+    clips = read_clips(spark, clips_path)
+    staged = _staged(clips)
+    final = staged.filter(F.col("stage").startswith("4_")).select(
+        "clip_id",
+        "lang",
+        "scrubbed_transcript",
+        F.substring("stage", 3, 10).alias("split"),
+    )
+    survivors = clips.join(final.select("clip_id"), "clip_id", "left_semi")
+    feats = feature_frames(survivors).filter(F.col("feat_ok"))
+    shard = with_bucket(
+        final.join(
+            feats.select("clip_id", "n_frames", "n_bands", "feat_bytes"),
+            "clip_id",
+        ),
+        n_buckets,
+    )
+    (
+        shard.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("split", "bucket")
+        .parquet(os.path.join(out_path, "shards"))
+    )
+    per = (
+        spark.read.parquet(os.path.join(out_path, "shards"))
+        .groupBy("split", "bucket")
+        .agg(F.count("*").alias("n_clips"), F.sum("n_frames").alias("n_frames"))
+        .collect()
+    )
+    stale = sorted(
+        {int(r["bucket"]) for r in per if int(r["bucket"]) >= n_buckets}
+    )
+    if stale:
+        raise ValueError(
+            f"shards dir has stale buckets {stale} from a previous export — "
+            f"clear {os.path.join(out_path, 'shards')} before re-exporting"
+        )
+    manifest: dict = {"n_clips": 0, "n_buckets": n_buckets, "splits": {}}
+    for r in per:
+        s = manifest["splits"].setdefault(
+            r["split"], {"n_clips": 0, "buckets": {}}
+        )
+        s["buckets"][str(int(r["bucket"]))] = {
+            "n_clips": int(r["n_clips"]),
+            "n_frames": int(r["n_frames"]),
+        }
+        s["n_clips"] += int(r["n_clips"])
+        manifest["n_clips"] += int(r["n_clips"])
+    tmp = os.path.join(out_path, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_path, "manifest.json"))
+    return manifest

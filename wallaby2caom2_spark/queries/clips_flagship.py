@@ -346,6 +346,19 @@ def audio_tonality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full end-to-end curation DAG (plans/curate.py): quality filter →
+    one-decode audio gate pass (fingerprint+VAD+spectral,
+    operators/audio_signals.py) → LSH fingerprint dedup → deterministic
+    train/valid/test split — every input clip labeled with the FIRST stage
+    that dropped it, in ONE plan (keyed equi-joins, single groupBy).
+    Rows-only; stage composition and shard export are pinned end-to-end in
+    tests/test_curate.py."""
+    from ..plans.curate import curation_funnel
+
+    return curation_funnel(load_clips(spark, sf_dir))
+
+
 def audio_speed_perturb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way speed perturbation (operators/augment.py) over kept clips —
     the corpus-tripling augmentation step after quality filtering.
@@ -395,6 +408,7 @@ QUERIES = {
     "audio_feature_stats": audio_feature_stats,
     "audio_vad_stats": audio_vad_stats,
     "audio_tonality_gate": audio_tonality_gate,
+    "clips_curation_funnel": clips_curation_funnel,
     "audio_speed_perturb_stats": audio_speed_perturb_stats,
     "audio_speaking_rate_gate": audio_speaking_rate_gate,
     "audio_noise_mix_stats": audio_noise_mix_stats,

@@ -44,6 +44,7 @@ def main() -> None:
         "audio_normalize_stats",
         "audio_vad_stats",
         "audio_tonality_gate",
+        "clips_curation_funnel",
     ):
         fn = ALL_QUERIES[qname]
         fn(spark, SF_DIR).collect()  # warm-up

@@ -76,9 +76,11 @@ def audio_signals(
             for i, (raw, codec, sr_decl) in enumerate(
                 zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
             ):
-                x16, sr_meas = audio.decode_clip_i16(
-                    raw if raw is None else bytes(raw), codec
-                )
+                # pass the Arrow buffer through as-is: decode_clip_i16
+                # views it zero-copy (a bytes() wrap here would memcpy the
+                # full payload — the exact traffic this fused pass exists
+                # to avoid)
+                x16, sr_meas = audio.decode_clip_i16(raw, codec)
                 if x16 is None or len(x16) == 0:
                     continue
                 sr = sr_meas or audio.declared_sr(sr_decl)
@@ -88,10 +90,10 @@ def audio_signals(
                 n_fr[i], n_sp[i], runs[i], snr[i] = _clip_vad(
                     x16, sr, frame_ms, hop_ms, gate_db
                 )
-                # the one int16→float conversion of the pass — identical to
-                # decode_clip's scaling, so fp/spectrum match the standalone
-                # operators bit-for-bit
-                xf = x16.astype(np.float32) / 32767.0
+                # the one int16→float conversion of the pass — the same
+                # _FULL_SCALE scaling decode_clip applies, so fp/spectrum
+                # match the standalone operators bit-for-bit
+                xf = x16.astype(np.float32) / audio._FULL_SCALE
                 fp_ok[i], fp[i] = audio.band_fingerprint(xf, sr)
                 res = _clip_spectrum(xf, sr)
                 if res is not None:

@@ -131,6 +131,26 @@ def spectral_stats(df: DataFrame) -> DataFrame:
     return df.select(*cols).mapInPandas(_run, SPECTRAL_SCHEMA)
 
 
+# tonal-artifact decision boundary — the single source for BOTH the
+# standalone tonality gate and the curation funnel (plans/curate.py), so
+# recalibration cannot silently de-synchronize them
+TONAL_PEAK_SHARE = 0.5
+TONAL_FLATNESS = 0.05
+_NARROWBAND_PEAK = 0.2
+
+
+def tonal_artifact_cond():
+    """Codegen predicate: spec_ok AND dominant-bin majority AND near-zero
+    Wiener entropy — the 'test tone / hum / whistle' decision."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.col("spec_ok")
+        & (F.col("peak_share") > TONAL_PEAK_SHARE)
+        & (F.col("flatness") < TONAL_FLATNESS)
+    )
+
+
 def classify_tonality(stats: DataFrame) -> DataFrame:
     """Spectral stats → tonality class (codegen cascade, no Python):
     ``no_signal`` | ``tonal_artifact`` (hum/test tone/whistle) |
@@ -140,11 +160,8 @@ def classify_tonality(stats: DataFrame) -> DataFrame:
 
     cls = (
         F.when(~F.col("spec_ok"), "no_signal")
-        .when(
-            (F.col("peak_share") > 0.5) & (F.col("flatness") < 0.05),
-            "tonal_artifact",
-        )
-        .when(F.col("peak_share") > 0.2, "narrowband")
+        .when(tonal_artifact_cond(), "tonal_artifact")
+        .when(F.col("peak_share") > _NARROWBAND_PEAK, "narrowband")
         .otherwise("broadband")
     )
     return stats.withColumn("tonality", cls)

@@ -43,17 +43,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import audio_fp
+from ..operators import audio_fp, spectral
 from ..operators.audio_signals import audio_signals
 from ..operators.features import feature_frames
 from ..operators.partitioning import with_bucket
 from ..plans.pipeline import quality_filter
 from ..sources.clips import read_clips
 
-# gate thresholds (corpus-calibrated; the SHAPE is the deliverable)
+# gate thresholds (corpus-calibrated; the SHAPE is the deliverable);
+# the tonal boundary itself lives in operators/spectral.py so the funnel
+# and the standalone tonality gate can never drift apart
 MIN_SPEECH_RATIO = 0.02      # at least 2% of frames carry speech energy
-TONAL_PEAK_SHARE = 0.5       # dominant bin majority...
-TONAL_FLATNESS = 0.05        # ...with near-zero Wiener entropy = test tone
 MAX_HAMMING = 3              # fingerprint near-dup radius
 SPLIT_BUCKETS = 1000
 TRAIN_LT, VALID_LT = 980, 990  # 98 / 1 / 1
@@ -76,25 +76,29 @@ def _staged(clips: DataFrame) -> DataFrame:
     {1_quality_dropped, 2_undecodable, 2_tonal_artifact, 2_no_speech,
      3_neardup_dropped, 4_train, 4_valid, 4_test}.
     """
-    result = quality_filter(clips).select(
-        "clip_id", "keep", "lang", "scrubbed_transcript"
+    # persist the two slim UDF-stage outputs at their branch points: each
+    # feeds 2+ join arms of ONE action, and Spark has no cross-branch
+    # common-subexpression elimination for mapInPandas subtrees — without
+    # the cache the payload column would be decoded once PER BRANCH,
+    # silently breaking the one-decode contract this module advertises.
+    # Both frames are payload-free (~100 B/clip), so caching them costs
+    # ~0.01% of the corpus they summarize.
+    result = (
+        quality_filter(clips)
+        .select("clip_id", "keep", "lang", "scrubbed_transcript")
+        .persist()
     )
     survivors = clips.join(
         result.filter(F.col("keep")).select("clip_id"), "clip_id", "left_semi"
     )
     sig = audio_signals(survivors)
-    tonal = (
-        F.col("spec_ok")
-        & (F.col("peak_share") > TONAL_PEAK_SHARE)
-        & (F.col("flatness") < TONAL_FLATNESS)
-    )
     gated = sig.withColumn(
         "gate_stage",
         F.when(~F.col("sig_ok"), "2_undecodable")
-        .when(tonal, "2_tonal_artifact")
+        .when(spectral.tonal_artifact_cond(), "2_tonal_artifact")
         .when(F.col("speech_ratio") < MIN_SPEECH_RATIO, "2_no_speech")
         .otherwise(F.lit(None).cast("string")),
-    )
+    ).persist()
     # dedup candidates come only from clips that passed the gates
     passed = gated.filter(F.col("gate_stage").isNull())
     losers = (
@@ -137,7 +141,9 @@ def curate_corpus(
     """Run the full curation DAG and export (split, bucket)-partitioned
     training shards + manifest. Returns the manifest dict."""
     clips = read_clips(spark, clips_path)
-    staged = _staged(clips)
+    # staged is slim and feeds two arms (final + the survivors semi-join);
+    # persisting it keeps the whole gate DAG at one execution
+    staged = _staged(clips).persist()
     final = staged.filter(F.col("stage").startswith("4_")).select(
         "clip_id",
         "lang",
@@ -152,7 +158,13 @@ def curate_corpus(
             "clip_id",
         ),
         n_buckets,
-    )
+    ).persist()
+    # the partitions THIS run owns — dynamic overwrite replaces only these,
+    # so the read-back below must be checked against this exact set
+    written = {
+        (r["split"], int(r["bucket"]))
+        for r in shard.select("split", "bucket").distinct().collect()
+    }
     (
         shard.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -166,12 +178,18 @@ def curate_corpus(
         .collect()
     )
     stale = sorted(
-        {int(r["bucket"]) for r in per if int(r["bucket"]) >= n_buckets}
+        (r["split"], int(r["bucket"]))
+        for r in per
+        if (r["split"], int(r["bucket"])) not in written
     )
     if stale:
+        # ANY partition this run did not write is a leftover from a prior
+        # export of a different corpus/config — folding it into the
+        # manifest would hand the dataloader duplicate or foreign clips
         raise ValueError(
-            f"shards dir has stale buckets {stale} from a previous export — "
-            f"clear {os.path.join(out_path, 'shards')} before re-exporting"
+            f"shards dir has stale partitions {stale} from a previous "
+            f"export — clear {os.path.join(out_path, 'shards')} before "
+            "re-exporting"
         )
     manifest: dict = {"n_clips": 0, "n_buckets": n_buckets, "splits": {}}
     for r in per:

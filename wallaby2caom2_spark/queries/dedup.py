@@ -487,7 +487,13 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs ONLY on candidates. No all-pairs work anywhere; the train side
     never self-joins.
     """
-    sig = dedup_minhash_signature(spark, sf_dir)
+    # shingle-less docs carry NULL signatures; concat_ws folds NULL to ''
+    # so they would all collide in one md5('') bucket per band — the
+    # quadratic hot key banding exists to avoid (and the oracle's
+    # `WHERE sig0 IS NOT NULL` already excludes them)
+    sig = dedup_minhash_signature(spark, sf_dir).filter(
+        F.col("sig0").isNotNull()
+    )
     b = _band_buckets(sig)
     is_eval = F.col("doc_id") % _DECON_MOD == 0
     cand = (

@@ -31,6 +31,7 @@ def test_registry_shape():
         "audio_vad_stats",
         "audio_tonality_gate",
         "clips_curation_funnel",
+        "audio_trim_stats",
         "audio_speed_perturb_stats",
         "audio_speaking_rate_gate",
         "audio_noise_mix_stats",

@@ -346,6 +346,29 @@ def audio_tonality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-endpoint silence trimming (operators/trim.py) over kept clips —
+    the corpus-shrinking preprocessing step before segmentation. Summarized
+    as total before/after duration and the saved fraction; slice exactness,
+    interior-pause preservation, and idempotence are pinned in
+    tests/test_trim.py."""
+    from ..operators import trim
+
+    t = trim.trim_silence(_kept_clips(spark, sf_dir))
+    return (
+        t.groupBy("trim_ok")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("dur_ms_in").alias("dur_ms_in"),
+            F.sum("dur_ms_out").alias("dur_ms_out"),
+            F.round(
+                1.0 - F.sum("dur_ms_out") / F.sum("dur_ms_in") + 1e-9, 4
+            ).alias("saved_frac"),
+        )
+        .orderBy("trim_ok")
+    )
+
+
 def clips_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full end-to-end curation DAG (plans/curate.py): quality filter →
     one-decode audio gate pass (fingerprint+VAD+spectral,
@@ -409,6 +432,7 @@ QUERIES = {
     "audio_vad_stats": audio_vad_stats,
     "audio_tonality_gate": audio_tonality_gate,
     "clips_curation_funnel": clips_curation_funnel,
+    "audio_trim_stats": audio_trim_stats,
     "audio_speed_perturb_stats": audio_speed_perturb_stats,
     "audio_speaking_rate_gate": audio_speaking_rate_gate,
     "audio_noise_mix_stats": audio_noise_mix_stats,

@@ -154,3 +154,14 @@ def test_tonality_gate_single_decode_crossing(spark):
     worker) and the class cascade + aggregation stay JVM-side."""
     plan = plan_of(spark, "audio_tonality_gate")
     assert count(plan, "MapInPandas (") == 1, plan
+
+
+def test_sole_blame_subqueries_are_keyed_joins(spark):
+    """suppliers_sole_blame: the EXISTS/NOT EXISTS pair must plan as
+    hash semi/anti joins keyed on l_orderkey with the supplier inequality
+    as a residual — never a nested-loop or cartesian fallback."""
+    plan = plan_of(spark, "suppliers_sole_blame")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    low = plan.lower()
+    assert "leftsemi" in low and "leftanti" in low, plan

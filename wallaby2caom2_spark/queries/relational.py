@@ -656,8 +656,95 @@ WHERE li.l_quantity < thr.qty_thr
 """
 
 
+# ---------------------------------------------------------------------------
+# double correlated subquery — EXISTS + NOT EXISTS (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+_BLAME_TOPK = 20
+
+
+def suppliers_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for returns in multi-supplier orders —
+    the TPC-H Q21 optimizer shape (adapted to this schema: "failed" :=
+    ``l_returnflag = 'R'``): a returned lineitem counts against its
+    supplier only when ANOTHER supplier participated in the same order
+    (correlated EXISTS) and NO other supplier had a return in that order
+    (correlated NOT EXISTS).
+
+    Spark-first: the two correlated subqueries are a LEFT SEMI and a LEFT
+    ANTI self-join of the slim (orderkey, suppkey, flag) projection — both
+    hash-join on ``l_orderkey`` with the supplier inequality as a join-side
+    residual, so neither degenerates to a cartesian product; the supplier
+    dimension broadcasts. Deterministic top-k: (count desc, name asc).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("b_okey"), F.col("l_suppkey").alias("b_skey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("c_okey"), F.col("l_suppkey").alias("c_skey")
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("o_key") == F.col("b_okey"))
+            & (F.col("s_key") != F.col("b_skey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o_key") == F.col("c_okey"))
+            & (F.col("s_key") != F.col("c_skey")),
+            "left_anti",
+        )
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s_key"), "s_name"
+    )
+    w = Window.orderBy(F.col("n_blamed").desc(), F.col("s_name").asc())
+    return (
+        blamed.groupBy("s_key")
+        .agg(F.count("*").alias("n_blamed"))
+        .join(F.broadcast(supp), "s_key")
+        .orderBy(F.col("n_blamed").desc(), F.col("s_name").asc())
+        .limit(_BLAME_TOPK)
+        .select(
+            "s_name",
+            "n_blamed",
+            F.row_number().over(w).alias("rk"),
+        )
+    )
+
+
+_SOLE_BLAME_SQL = f"""
+WITH blamed AS (
+  SELECT l1.l_suppkey, count(*) AS n_blamed
+  FROM lineitem l1
+  WHERE l1.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+  GROUP BY l1.l_suppkey
+)
+SELECT s_name, n_blamed::BIGINT AS n_blamed,
+       row_number() OVER (ORDER BY n_blamed DESC, s_name ASC)::INTEGER AS rk
+FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY n_blamed DESC, s_name ASC LIMIT {_BLAME_TOPK}
+"""
+
+
 QUERIES = {
     "orders_with_returns_semi": orders_with_returns_semi,
+    "suppliers_sole_blame": suppliers_sole_blame,
     "small_quantity_revenue": small_quantity_revenue,
     "doc_rule_cascade": doc_rule_cascade,
     "pricing_summary": pricing_summary,
@@ -676,6 +763,7 @@ QUERIES = {
 
 ORACLE = {
     "orders_with_returns_semi": _SEMI_JOIN_SQL,
+    "suppliers_sole_blame": _SOLE_BLAME_SQL,
     "small_quantity_revenue": _SMALL_QTY_SQL,
     "top_unshipped_orders": _TOP_UNSHIPPED_SQL,
     "distinct_users_two_phase": _TWO_PHASE_DISTINCT_SQL,

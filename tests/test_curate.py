@@ -95,6 +95,7 @@ def test_curate_corpus_exports_valid_shards(spark, clips_df, tmp_path):
     out = str(tmp_path / "curated")
     shutil.rmtree(out, ignore_errors=True)
     clips_df.write.mode("overwrite").parquet(src)
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     manifest = curate.curate_corpus(spark, src, out, n_buckets=4)
     assert manifest["n_clips"] > 0 and "train" in manifest["splits"]
     with open(f"{out}/manifest.json") as fh:
@@ -119,3 +120,21 @@ def test_curate_corpus_exports_valid_shards(spark, clips_df, tmp_path):
     # idempotence: re-running converges to the same manifest
     again = curate.curate_corpus(spark, src, out, n_buckets=4)
     assert again == manifest
+    # no cached blocks leak past the run (the session fixture's own
+    # persisted clips_df is excluded by the before/after delta)
+    cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert cached_after == cached_before
+
+
+def test_curate_detects_stale_partitions(spark, clips_df, tmp_path):
+    """Exporting a smaller corpus over an existing export must fail fast on
+    the leftover partitions instead of folding foreign clips into the
+    manifest."""
+    src_full = str(tmp_path / "full")
+    src_half = str(tmp_path / "half")
+    out = str(tmp_path / "curated")
+    clips_df.write.mode("overwrite").parquet(src_full)
+    clips_df.limit(80).write.mode("overwrite").parquet(src_half)
+    curate.curate_corpus(spark, src_full, out, n_buckets=4)
+    with pytest.raises(ValueError, match="stale partitions"):
+        curate.curate_corpus(spark, src_half, out, n_buckets=4)

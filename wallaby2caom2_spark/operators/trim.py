@@ -33,8 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..functions import audio
-from .features import _frame_matrix
-from .vad import _ABS_ENERGY_FLOOR
+from .vad import frame_activity
 
 TRIM_SCHEMA = T.StructType(
     [
@@ -52,17 +51,11 @@ def _speech_span(
     x: np.ndarray, sr: int, frame_ms: int, hop_ms: int, gate_db: float
 ) -> tuple[int, int] | None:
     """int16 samples → (first_sample, last_sample_exclusive) of the active
-    region, or None when no frame clears the VAD gate."""
-    win = max(1, int(round(sr * frame_ms / 1000.0)))
-    hop = max(1, int(round(sr * hop_ms / 1000.0)))
-    frames = _frame_matrix(x, win, hop)
-    if frames.shape[0] == 0:
-        return None
-    e = frames.astype(np.int64)
-    e = np.einsum("ij,ij->i", e, e).astype(np.float64) / win
-    noise = float(np.percentile(e, 10.0))
-    thr = max(noise * (10.0 ** (gate_db / 10.0)), _ABS_ENERGY_FLOOR)
-    active = np.flatnonzero(e > thr)
+    region, or None when no frame clears the VAD gate. Activity comes from
+    the SHARED vad.frame_activity definition — the trimmer and the VAD
+    stats operator can never disagree about what counts as speech."""
+    _, mask, win, hop = frame_activity(x, sr, frame_ms, hop_ms, gate_db)
+    active = np.flatnonzero(mask)
     if active.size == 0:
         return None
     first = int(active[0]) * hop
@@ -104,9 +97,11 @@ def trim_silence(
                 pad = int(round(sr * pad_ms / 1000.0))
                 a = max(0, span[0] - pad)
                 b = min(len(x), span[1] + pad)
-                seg = np.ascontiguousarray(x[a:b])
+                seg = np.asarray(x[a:b], dtype="<i2")
                 out["trim_ok"][i] = True
-                out["trim_bytes"][i] = seg.astype("<i2").tobytes()
+                # asarray is a no-op on the (already <i2, contiguous) slice
+                # view; tobytes() is the single output-buffer copy
+                out["trim_bytes"][i] = seg.tobytes()
                 out["sr_out_hz"][i] = int(sr)
                 out["dur_ms_out"][i] = int(round(len(seg) * 1000.0 / sr))
             yield pd.DataFrame(

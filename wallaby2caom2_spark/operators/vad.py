@@ -55,22 +55,43 @@ VAD_SCHEMA = T.StructType(
 _ABS_ENERGY_FLOOR = (1e-4 * 32768.0) ** 2
 
 
-def _clip_vad(
+def frame_activity(
     x: np.ndarray, sr: int, frame_ms: int, hop_ms: int, gate_db: float
-) -> tuple[int, int, int, float]:
-    """int16 samples → (n_frames, n_speech, n_runs, snr_db)."""
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """int16 samples → (frame_energies, active_mask, win, hop).
+
+    THE speech-activity definition, shared by the VAD stats operator and
+    the silence trimmer (operators/trim.py) so 'speech' always means the
+    same thing: exact integer frame energies (int64 sums of squares, one
+    float64 divide), p10 adaptive noise floor, gate = max(noise x
+    10^(gate_db/10), absolute silence floor). Recalibrate HERE and every
+    consumer follows.
+    """
     win = max(1, int(round(sr * frame_ms / 1000.0)))
     hop = max(1, int(round(sr * hop_ms / 1000.0)))
     frames = _frame_matrix(x, win, hop)
-    n_frames = frames.shape[0]
-    if n_frames == 0:
-        return 0, 0, 0, 0.0
-    # exact integer sums of squares, then one float64 divide per frame
+    if frames.shape[0] == 0:
+        return (
+            np.empty(0, dtype=np.float64),
+            np.empty(0, dtype=bool),
+            win,
+            hop,
+        )
     e = frames.astype(np.int64)
     e = np.einsum("ij,ij->i", e, e).astype(np.float64) / win
     noise = float(np.percentile(e, 10.0))
     thr = max(noise * (10.0 ** (gate_db / 10.0)), _ABS_ENERGY_FLOOR)
-    speech = e > thr
+    return e, e > thr, win, hop
+
+
+def _clip_vad(
+    x: np.ndarray, sr: int, frame_ms: int, hop_ms: int, gate_db: float
+) -> tuple[int, int, int, float]:
+    """int16 samples → (n_frames, n_speech, n_runs, snr_db)."""
+    e, speech, _, _ = frame_activity(x, sr, frame_ms, hop_ms, gate_db)
+    n_frames = len(e)
+    if n_frames == 0:
+        return 0, 0, 0, 0.0
     n_speech = int(speech.sum())
     if n_speech == 0:
         return n_frames, 0, 0, 0.0

@@ -68,7 +68,7 @@ def _split_col() -> F.Column:
     )
 
 
-def _staged(clips: DataFrame) -> DataFrame:
+def _staged(clips: DataFrame, caches: list | None = None) -> DataFrame:
     """Label every input clip with the first stage that drops it (or its
     final split) — ONE plan, keyed equi-joins only.
 
@@ -82,12 +82,18 @@ def _staged(clips: DataFrame) -> DataFrame:
     # the cache the payload column would be decoded once PER BRANCH,
     # silently breaking the one-decode contract this module advertises.
     # Both frames are payload-free (~100 B/clip), so caching them costs
-    # ~0.01% of the corpus they summarize.
+    # ~0.01% of the corpus they summarize. Lifetime: the cache must outlive
+    # the returned LAZY frame (the caller's action populates and reads it),
+    # so _staged cannot unpersist — callers that fully materialize
+    # (curate_corpus) clean up via ``caches``; lazy callers (the funnel
+    # query) leave the slim blocks to Spark's LRU.
     result = (
         quality_filter(clips)
         .select("clip_id", "keep", "lang", "scrubbed_transcript")
         .persist()
     )
+    if caches is not None:
+        caches.append(result)
     survivors = clips.join(
         result.filter(F.col("keep")).select("clip_id"), "clip_id", "left_semi"
     )
@@ -99,6 +105,8 @@ def _staged(clips: DataFrame) -> DataFrame:
         .when(F.col("speech_ratio") < MIN_SPEECH_RATIO, "2_no_speech")
         .otherwise(F.lit(None).cast("string")),
     ).persist()
+    if caches is not None:
+        caches.append(gated)
     # dedup candidates come only from clips that passed the gates
     passed = gated.filter(F.col("gate_stage").isNull())
     losers = (
@@ -140,43 +148,67 @@ def curate_corpus(
 ) -> dict:
     """Run the full curation DAG and export (split, bucket)-partitioned
     training shards + manifest. Returns the manifest dict."""
+    from pyspark.storagelevel import StorageLevel
+
     clips = read_clips(spark, clips_path)
-    # staged is slim and feeds two arms (final + the survivors semi-join);
-    # persisting it keeps the whole gate DAG at one execution
-    staged = _staged(clips).persist()
-    final = staged.filter(F.col("stage").startswith("4_")).select(
-        "clip_id",
-        "lang",
-        "scrubbed_transcript",
-        F.substring("stage", 3, 10).alias("split"),
-    )
-    survivors = clips.join(final.select("clip_id"), "clip_id", "left_semi")
-    feats = feature_frames(survivors).filter(F.col("feat_ok"))
-    shard = with_bucket(
-        final.join(
-            feats.select("clip_id", "n_frames", "n_bands", "feat_bytes"),
+    # every frame persisted inside this run is materialized before return,
+    # so it can (and must) be unpersisted — a long-lived session running
+    # many exports would otherwise accumulate cached blocks until LRU
+    # churn evicts live data
+    caches: list[DataFrame] = []
+    try:
+        # staged is slim and feeds two arms (final + the survivors
+        # semi-join); persisting it keeps the whole gate DAG at one
+        # execution
+        staged = _staged(clips, caches).persist()
+        caches.append(staged)
+        final = staged.filter(F.col("stage").startswith("4_")).select(
             "clip_id",
-        ),
-        n_buckets,
-    ).persist()
-    # the partitions THIS run owns — dynamic overwrite replaces only these,
-    # so the read-back below must be checked against this exact set
-    written = {
-        (r["split"], int(r["bucket"]))
-        for r in shard.select("split", "bucket").distinct().collect()
-    }
-    (
-        shard.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("split", "bucket")
-        .parquet(os.path.join(out_path, "shards"))
-    )
-    per = (
-        spark.read.parquet(os.path.join(out_path, "shards"))
-        .groupBy("split", "bucket")
-        .agg(F.count("*").alias("n_clips"), F.sum("n_frames").alias("n_frames"))
-        .collect()
-    )
+            "lang",
+            "scrubbed_transcript",
+            F.substring("stage", 3, 10).alias("split"),
+        )
+        survivors = clips.join(
+            final.select("clip_id"), "clip_id", "left_semi"
+        )
+        feats = feature_frames(survivors).filter(F.col("feat_ok"))
+        # DISK_ONLY, not MEMORY: the shard frame carries the feature
+        # tensors (KBs/clip) — caching it in executor memory would evict
+        # the slim gate caches at corpus scale, but it IS consumed twice
+        # (the written-set collect below + the write), and the feat_ok
+        # filter makes any slimmer proxy for the written set inexact
+        shard = with_bucket(
+            final.join(
+                feats.select("clip_id", "n_frames", "n_bands", "feat_bytes"),
+                "clip_id",
+            ),
+            n_buckets,
+        ).persist(StorageLevel.DISK_ONLY)
+        caches.append(shard)
+        # the partitions THIS run owns — dynamic overwrite replaces only
+        # these, so the read-back below is checked against this exact set
+        written = {
+            (r["split"], int(r["bucket"]))
+            for r in shard.select("split", "bucket").distinct().collect()
+        }
+        (
+            shard.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("split", "bucket")
+            .parquet(os.path.join(out_path, "shards"))
+        )
+        per = (
+            spark.read.parquet(os.path.join(out_path, "shards"))
+            .groupBy("split", "bucket")
+            .agg(
+                F.count("*").alias("n_clips"),
+                F.sum("n_frames").alias("n_frames"),
+            )
+            .collect()
+        )
+    finally:
+        for df in caches:
+            df.unpersist()
     stale = sorted(
         (r["split"], int(r["bucket"]))
         for r in per

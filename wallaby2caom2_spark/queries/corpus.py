@@ -357,12 +357,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_train(load(spark, sf_dir, "documents"))
 
 
-def _bpe_train(docs: DataFrame) -> DataFrame:
+def _bpe_learn(docs: DataFrame) -> tuple[DataFrame, F.Column]:
+    """Shared trainer loop: collapse the corpus to its vocabulary once,
+    run ``BPE_MERGES`` greedy rounds, and return (persisted vocabulary
+    with the original ``word`` column, final tokenized-``seq`` expression).
+    ``bpe_train_merges`` aggregates the result into a vocabulary head;
+    ``bpe_encode_fertility`` turns it into a word→token-count map."""
     vocab = (
         docs.select(F.explode(_words_col()).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wfreq"))
-        .select(_spaced_chars().alias("seq"), "wfreq")
+        .select("word", _spaced_chars().alias("seq"), "wfreq")
     )
     # vocabulary-sized state: persist so the K rounds don't re-run the
     # corpus-scale word-count shuffle K times (at 100 TB this is the
@@ -386,6 +391,11 @@ def _bpe_train(docs: DataFrame) -> DataFrame:
             F.lit(f" {pair} "),
             F.lit(" " + pair.replace(" ", "") + " "),
         )
+    return vocab, seq
+
+
+def _bpe_train(docs: DataFrame) -> DataFrame:
+    vocab, seq = _bpe_learn(docs)
     final = vocab.select(
         F.explode(F.split(F.trim(seq), " ")).alias("token"), "wfreq"
     )
@@ -399,13 +409,15 @@ def _bpe_train(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_train_sql() -> str:
-    """Oracle: the same BPE_MERGES greedy rounds as a DuckDB CTE chain —
-    per round, argmax pair from the previous vocabulary state, applied with
-    the same space-bounded replace."""
+def _bpe_chain_sql() -> str:
+    """The shared DuckDB replay of the trainer: the same BPE_MERGES greedy
+    rounds as a CTE chain — per round, argmax pair from the previous
+    vocabulary state, applied with the same space-bounded replace. The
+    original ``word`` rides along so the encode oracle can map words to
+    their final token sequences; the train oracle ignores it."""
     parts = [
         f"""WITH v0 AS (
-  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq, wfreq
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq, wfreq
   FROM (
     SELECT word, count(*)::BIGINT AS wfreq FROM (
       SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
@@ -424,13 +436,18 @@ def _bpe_train_sql() -> str:
     ) GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1
   )
 ), v{r + 1} AS (
-  SELECT replace(seq, ' ' || (SELECT pair FROM p{r}) || ' ',
+  SELECT word,
+         replace(seq, ' ' || (SELECT pair FROM p{r}) || ' ',
                  ' ' || replace((SELECT pair FROM p{r}), ' ', '') || ' ')
            AS seq,
          wfreq
   FROM v{r}
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _bpe_train_sql() -> str:
+    return _bpe_chain_sql() + f"""
 SELECT token, tok_count,
        row_number() OVER (ORDER BY tok_count DESC, token ASC)::INTEGER AS rk
 FROM (
@@ -438,13 +455,78 @@ FROM (
     SELECT unnest(string_split(trim(seq), ' ')) AS token, wfreq
     FROM v{BPE_MERGES}
   ) GROUP BY token ORDER BY tok_count DESC, token ASC LIMIT {BPE_TOP_TOKENS}
-)""")
-    return "".join(parts)
+)"""
+
+
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained tokenizer to the corpus: per document, the word
+    count, BPE token count, and fertility (tokens per word) — the statistic
+    that decides whether a tokenizer fits a corpus (and, in a data
+    pipeline, the per-document token budget every downstream sampler
+    consumes; ``sample_token_budget`` uses whitespace tokens where this
+    gives the trained-tokenizer truth).
+
+    Scale shape: training collapses the corpus once (``_bpe_learn``); the
+    ENCODE pass never re-runs the merge loop per document — the trained
+    vocabulary becomes a word → token-count map (|vocab| rows, Heaps' law
+    ~10^7 at corpus scale) that broadcasts into an equi-join against the
+    exploded corpus. Broadcasting sidesteps the Zipf-head skew a shuffled
+    join on ``word`` would hit (the hottest word alone is percent-scale of
+    all rows); if the vocabulary ever outgrew broadcast range the fallback
+    is the salted join (``operators/partitioning.py``), not a shuffle on
+    raw ``word``. Per-doc aggregation then combines map-side on uniform
+    doc_id keys.
+    """
+    return _bpe_encode(load(spark, sf_dir, "documents"))
+
+
+def _bpe_encode(docs: DataFrame) -> DataFrame:
+    vocab, seq = _bpe_learn(docs)
+    tok_map = vocab.select(
+        "word", F.size(F.split(F.trim(seq), " ")).alias("word_tokens")
+    )
+    words = docs.select("doc_id", F.explode(_words_col()).alias("word"))
+    return (
+        words.join(F.broadcast(tok_map), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("n_words") + 1e-9, 4
+            ).alias("fertility"),
+        )
+    )
+
+
+def _bpe_encode_sql() -> str:
+    return _bpe_chain_sql() + f"""
+, tok_map AS (
+  SELECT word, len(string_split(trim(seq), ' '))::BIGINT AS word_tokens
+  FROM v{BPE_MERGES}
+),
+doc_words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(word_tokens)::BIGINT AS n_tokens,
+       round(sum(word_tokens) / count(*)::DOUBLE + 1e-9, 4) AS fertility
+FROM doc_words JOIN tok_map USING (word)
+GROUP BY doc_id"""
 
 
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_encode_fertility": bpe_encode_fertility,
     "tfidf_top_terms": tfidf_top_terms,
     "source_temperature_weights": source_temperature_weights,
     "vocab_jaccard_sources": vocab_jaccard_sources,
@@ -453,6 +535,7 @@ QUERIES = {
 ORACLE = {
     "bpe_pair_counts": _BPE_SQL,
     "bpe_train_merges": _bpe_train_sql(),
+    "bpe_encode_fertility": _bpe_encode_sql(),
     "tfidf_top_terms": _TFIDF_SQL,
     "source_temperature_weights": _MIX_TEMP_SQL,
     "vocab_jaccard_sources": _VOCAB_JACCARD_SQL,

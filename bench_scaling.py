@@ -45,7 +45,7 @@ RUNS_PER_ROUND = int(os.environ.get("BENCH_RUNS", "3"))
 # dominates fixed overheads — at 20k default-profile clips the whole job
 # finishes in ~3.5s at local[8], leaving local[32] nothing to speed up.
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "600000"))
-SCALE_CORPUS = f"/tmp/wallaby_clips_cache/scaling-text_heavy-v3-n{SCALE_N}"
+SCALE_CORPUS = f"/tmp/wallaby_clips_cache/scaling-text_heavy-v4-n{SCALE_N}"
 
 
 def _ensure_corpus() -> str:

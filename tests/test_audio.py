@@ -39,12 +39,32 @@ def test_roundtrip_snr_at_least_30db(codec):
 
 def test_decode_features_measures_duration_and_rms():
     sig = _sig(n=16000, sr=16000)  # exactly 1000 ms
-    ok, sr, dur, rms, clip = audio.decode_features(
+    ok, sr, dur, rms, clip, dropout = audio.decode_features(
         audio.encode_wav(sig, 16000), "wav", 16000
     )
     assert ok and sr == 16000 and dur == 1000
     assert abs(rms - 0.4 / np.sqrt(2)) < 0.01
     assert clip == 0.0
+    # a pure 0.4-amplitude tone crosses zero every half-period; no quiet
+    # run can span longer than a couple samples
+    assert dropout < 1.0
+
+
+def test_decode_features_detects_dropout_run():
+    sig = _sig(n=16000, sr=16000)
+    sig[4000:5600] = 0.0  # 100 ms hard-zero interior span
+    *_, dropout = audio.decode_features(
+        audio.encode_wav(sig, 16000), "wav", 16000
+    )
+    assert abs(dropout - 100.0) < 2.0
+    # all-quiet payload reports its full duration as one run (the cascade's
+    # audio_silence rule outranks audio_dropout for these)
+    *_, full = audio.decode_features(
+        audio.encode_wav(np.zeros(8000, dtype=np.float32), 16000),
+        "wav",
+        16000,
+    )
+    assert abs(full - 500.0) < 1.0
 
 
 @pytest.mark.parametrize(

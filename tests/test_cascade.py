@@ -18,6 +18,7 @@ GOOD = dict(
     dur_ms_meas=1000,
     rms=0.3,
     clip_rate=0.0,
+    dropout_ms=0.0,
     transcript="every morning the children walk slowly towards school",
     lang="en",
     lang_conf=0.99,
@@ -32,6 +33,7 @@ CASES = [
     ({"dur_ms_meas": 2000}, "duration_mismatch"),
     ({"rms": 1e-6}, "audio_silence"),
     ({"clip_rate": 0.5}, "audio_clipping"),
+    ({"dropout_ms": 120.0}, "audio_dropout"),
     ({"transcript": "hi"}, "too_short"),
     ({"transcript": "x" * 9000}, "too_long"),
     ({"transcript": "aaa bbb " * 30}, "repetition"),
@@ -50,7 +52,8 @@ def test_cascade_literal_cases(spark, patch, expected):
     df = spark.createDataFrame(
         [row],
         "codec string, pcm_ok boolean, sr_hz int, sr_meas int, dur_ms int, "
-        "dur_ms_meas int, rms double, clip_rate double, transcript string, "
+        "dur_ms_meas int, rms double, clip_rate double, dropout_ms double, "
+        "transcript string, "
         "lang string, lang_conf float, ppl double",
     )
     out = (

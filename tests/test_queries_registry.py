@@ -35,6 +35,7 @@ def test_registry_shape():
         "audio_speed_perturb_stats",
         "audio_speaking_rate_gate",
         "audio_noise_mix_stats",
+        "audio_dropout_stats",
     }
     for name, sql in o.items():
         assert sql.strip(), name

@@ -30,6 +30,7 @@ class RuleThresholds:
     duration_tolerance: float = 0.05      # |measured - declared| / declared
     min_rms: float = 1e-4                 # below → silence
     max_clip_rate: float = 0.20           # fraction of samples at full scale
+    max_dropout_ms: float = 50.0          # longest hard-zero run (dropout)
     # transcript shape
     min_chars: int = 8
     max_chars: int = 8192
@@ -50,6 +51,7 @@ RULE_ORDER: tuple[str, ...] = (
     "duration_mismatch",
     "audio_silence",
     "audio_clipping",
+    "audio_dropout",
     "too_short",
     "too_long",
     "repetition",

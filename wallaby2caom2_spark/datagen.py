@@ -147,6 +147,12 @@ def _make_audio(
         samples = samples * 1e-5
     elif roll < 0.12:  # audio_clipping
         samples = np.clip(samples * 8.0, -1.0, 1.0)
+    elif roll < 0.135:  # audio_dropout: hard-zeroed interior span (the
+        # transport/encoder fault a real corpus shows as a digital dropout)
+        n_drop = int(sr * (0.06 + 0.19 * float(rng.random())))
+        if n >= n_drop + 2:
+            start = 1 + int(rng.integers(n - n_drop - 1))
+            samples[start : start + n_drop] = 0.0
 
     return _encode(samples, sr, codec), declared_sr, declared_dur, codec
 

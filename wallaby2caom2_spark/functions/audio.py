@@ -202,20 +202,49 @@ def decode_clip_i16(payload, codec: str) -> tuple[np.ndarray | None, int]:
 # sanity features (the "header struct" of the audio world)
 # ---------------------------------------------------------------------------
 
+# dropout amplitude floor: |sample| below 16/32768 ≈ 4.9e-4 of full scale
+# counts as "no signal" for the dropout-run metric. The generator's noise
+# floor (0.05 full scale) sits 2 orders of magnitude above it, so natural
+# audio — including the burst-envelope gaps — never trips it; a digital
+# dropout (hard-zeroed span from a transport/encoder fault) always does.
+_DROPOUT_AMP = 16
+
+
+def _longest_quiet_run(x: np.ndarray) -> int:
+    """Longest run of consecutive samples with |x| < _DROPOUT_AMP, in
+    samples. Vectorized run-length over the int16 view (two comparisons +
+    one int8 diff — no float arrays)."""
+    m = (x < _DROPOUT_AMP) & (x > -_DROPOUT_AMP)
+    if not m.any():
+        return 0
+    d = np.diff(m.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if m[0]:
+        starts = np.concatenate(([0], starts))
+    if m[-1]:
+        ends = np.concatenate((ends, [len(m)]))
+    return int((ends - starts).max())
+
+
 def decode_features(
     payload: bytes | None, codec: str, declared_sr_hz: int
-) -> tuple[bool, int, int, float, float]:
-    """→ (pcm_ok, sr_meas, dur_ms_meas, rms, clip_rate).
+) -> tuple[bool, int, int, float, float, float]:
+    """→ (pcm_ok, sr_meas, dur_ms_meas, rms, clip_rate, dropout_ms).
 
     sr_meas falls back to the declared rate for headerless codecs.
+    dropout_ms is the longest sub-noise-floor sample run — the digital-
+    dropout signal (an all-quiet clip reports its full duration, but the
+    cascade's ``audio_silence`` rule outranks ``audio_dropout`` so such
+    clips keep their silence label).
     """
     # decode_clip_i16 covers every codec (real-library flac decodes float
     # inside it and quantizes once), so there is no float-path fallback here
     x, sr_meas = decode_clip_i16(payload, codec)
     if x is None:
-        return False, 0, 0, 0.0, 0.0
+        return False, 0, 0, 0.0, 0.0, 0.0
     if len(x) == 0:
-        return False, 0, 0, 0.0, 0.0
+        return False, 0, 0, 0.0, 0.0, 0.0
     sr = sr_meas or declared_sr_hz
     dur_ms = int(round(len(x) * 1000.0 / sr)) if sr > 0 else 0
     # integer-domain features: squares fit int32 (max 2^30), the sum
@@ -227,7 +256,10 @@ def decode_features(
     clip_rate = float(
         np.count_nonzero((x >= 32766) | (x <= -32766)) / len(x)
     )
-    return True, sr, dur_ms, rms, clip_rate
+    dropout_ms = (
+        float(_longest_quiet_run(x) * 1000.0 / sr) if sr > 0 else 0.0
+    )
+    return True, sr, dur_ms, rms, clip_rate, dropout_ms
 
 
 # ---------------------------------------------------------------------------

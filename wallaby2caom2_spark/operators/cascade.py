@@ -70,6 +70,7 @@ def with_keep_drop(
         )
         .when(F.col("rms") < t.min_rms, F.lit("audio_silence"))
         .when(F.col("clip_rate") > t.max_clip_rate, F.lit("audio_clipping"))
+        .when(F.col("dropout_ms") > t.max_dropout_ms, F.lit("audio_dropout"))
         .when(F.col("n_chars") < t.min_chars, F.lit("too_short"))
         .when(F.col("n_chars") > t.max_chars, F.lit("too_long"))
         .when(F.col("rep_ratio") > t.max_repetition_ratio, F.lit("repetition"))

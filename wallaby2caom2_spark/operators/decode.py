@@ -30,6 +30,7 @@ DECODE_SCHEMA = T.StructType(
         T.StructField("dur_ms_meas", T.IntegerType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("clip_rate", T.DoubleType()),
+        T.StructField("dropout_ms", T.DoubleType()),
     ]
 )
 
@@ -47,17 +48,18 @@ def decode_features_udf(
         dur = np.zeros(n, dtype=np.int32)
         rms = np.zeros(n, dtype=np.float64)
         clip = np.zeros(n, dtype=np.float64)
+        drop = np.zeros(n, dtype=np.float64)
         codec_v = codec.to_numpy()
         sr_v = sr.to_numpy()
         for i, raw in enumerate(payload.to_numpy()):
             # NULL declared rate arrives as NaN through pandas — contained
             # by the shared NULL-safe cast (see audio.declared_sr)
-            o, s, d, r, c = audio.decode_features(
+            o, s, d, r, c, dm = audio.decode_features(
                 bytes(raw) if raw is not None else None,
                 codec_v[i],
                 audio.declared_sr(sr_v[i]),
             )
-            ok[i], srm[i], dur[i], rms[i], clip[i] = o, s, d, r, c
+            ok[i], srm[i], dur[i], rms[i], clip[i], drop[i] = o, s, d, r, c, dm
         yield pd.DataFrame(
             {
                 "pcm_ok": ok,
@@ -65,6 +67,7 @@ def decode_features_udf(
                 "dur_ms_meas": dur,
                 "rms": rms,
                 "clip_rate": clip,
+                "dropout_ms": drop,
             }
         )
 

@@ -47,6 +47,7 @@ FUSED_SCHEMA = T.StructType(
         T.StructField("dur_ms_meas", T.IntegerType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("clip_rate", T.DoubleType()),
+        T.StructField("dropout_ms", T.DoubleType()),
         T.StructField("lang", T.StringType()),
         T.StructField("lang_conf", T.FloatType()),
         T.StructField("ppl", T.DoubleType()),
@@ -91,6 +92,7 @@ _OUT_PA_SCHEMA = pa.schema(
         pa.field("dur_ms_meas", pa.int32()),
         pa.field("rms", pa.float64()),
         pa.field("clip_rate", pa.float64()),
+        pa.field("dropout_ms", pa.float64()),
         pa.field("lang", pa.string()),
         pa.field("lang_conf", pa.float32()),
         pa.field("ppl", pa.float64()),
@@ -114,13 +116,14 @@ def fused_features_arrow(
         dur = np.zeros(n, dtype=np.int32)
         rms = np.zeros(n, dtype=np.float64)
         clip = np.zeros(n, dtype=np.float64)
+        dropm = np.zeros(n, dtype=np.float64)
         codec_v = cols["codec"].to_pylist()
         # fill_null(0): a NULL declared rate must land as "no rate" (decode
         # fails sanity anyway), not as a NaN that breaks the int() cast
         sr_v = cols["sr_hz"].fill_null(0).to_numpy(zero_copy_only=False)
         for i, view in enumerate(_binary_views(cols["bytes"])):
-            o, s, d, r, c = audio.decode_features(view, codec_v[i], int(sr_v[i]))
-            ok[i], srm[i], dur[i], rms[i], clip[i] = o, s, d, r, c
+            o, s, d, r, c, dm = audio.decode_features(view, codec_v[i], int(sr_v[i]))
+            ok[i], srm[i], dur[i], rms[i], clip[i], dropm[i] = o, s, d, r, c, dm
 
         texts = cols["transcript"].to_pylist()
         langs, confs, ppls = textscore.score_batch(texts)  # hash+gather once
@@ -138,6 +141,7 @@ def fused_features_arrow(
                 pa.array(dur),
                 pa.array(rms),
                 pa.array(clip),
+                pa.array(dropm),
                 pa.array(langs.tolist(), type=pa.string()),
                 pa.array(confs),
                 pa.array(ppls),

@@ -28,7 +28,7 @@ def label_row(row: dict[str, Any], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict
     declared_sr, declared_dur = int(row["sr_hz"]), int(row["dur_ms"])
     transcript = row["transcript"]
 
-    pcm_ok, sr_meas, dur_meas, rms, clip_rate = audio.decode_features(
+    pcm_ok, sr_meas, dur_meas, rms, clip_rate, dropout_ms = audio.decode_features(
         payload, codec, declared_sr
     )
     lang, conf = langid.predict_one(transcript)
@@ -50,6 +50,8 @@ def label_row(row: dict[str, Any], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict
         drop_reason = "audio_silence"
     elif clip_rate > t.max_clip_rate:
         drop_reason = "audio_clipping"
+    elif dropout_ms > t.max_dropout_ms:
+        drop_reason = "audio_dropout"
     elif n_chars < t.min_chars:
         drop_reason = "too_short"
     elif n_chars > t.max_chars:
@@ -79,6 +81,7 @@ def label_row(row: dict[str, Any], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict
         "dur_ms_meas": dur_meas,
         "rms": rms,
         "clip_rate": clip_rate,
+        "dropout_ms": dropout_ms,
     }
 
 

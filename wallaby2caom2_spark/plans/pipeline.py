@@ -41,6 +41,7 @@ RESULT_COLUMNS = [
     "dur_ms_meas",
     "rms",
     "clip_rate",
+    "dropout_ms",
 ]
 
 

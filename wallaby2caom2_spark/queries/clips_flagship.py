@@ -35,7 +35,7 @@ from ..plans.pipeline import quality_filter, run_metrics
 from ..sources import clips as clips_src
 
 _CACHE_ROOT = "/tmp/wallaby_clips_cache"
-_GEN_VERSION = "v3"  # v3: speech-like burst envelope (VAD dynamics); v2: 1250 rows/file → ~60MB files
+_GEN_VERSION = "v4"  # v4: planted digital dropouts (audio_dropout rule); v3: speech-like burst envelope (VAD dynamics); v2: 1250 rows/file → ~60MB files
 
 # clips per scale-factor directory name (sf0.001 / sf0.01 / sf0.1);
 # sf0.1 is sized so fixed overheads (~2s) don't dominate the clips/sec metric
@@ -369,6 +369,43 @@ def audio_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_dropout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digital-dropout severity profile over all clips: the longest
+    sub-noise-floor sample run per clip (functions/audio.py
+    ``decode_features``), bucketed into severity classes around the
+    cascade's ``max_dropout_ms`` threshold. The ``dropout`` class is what
+    the flagship's ``audio_dropout`` rule rejects; ``quiet_audio`` clips
+    (whole-clip quiet run) fall to ``audio_silence`` upstream. Rows-only;
+    run-length exactness is pinned in tests/test_audio.py.
+
+    Spark shape: one pandas-UDF decode projection on the scan (payload dies
+    in the worker), codegen class cascade, one tiny aggregation."""
+    from ..config import DEFAULT_CONFIG
+    from ..operators.decode import with_decode_features
+
+    t = DEFAULT_CONFIG.thresholds
+    feats = with_decode_features(load_clips(spark, sf_dir)).drop("bytes")
+    classed = feats.withColumn(
+        "dropout_class",
+        F.when(~F.col("pcm_ok"), "undecodable")
+        .when(
+            F.col("dropout_ms") >= F.col("dur_ms_meas") * 0.95, "quiet_audio"
+        )
+        .when(F.col("dropout_ms") > t.max_dropout_ms, "dropout")
+        .when(F.col("dropout_ms") > 5.0, "minor_gap")
+        .otherwise("clean"),
+    )
+    return (
+        classed.groupBy("dropout_class")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("dropout_ms") + 1e-9, 2).alias("avg_dropout_ms"),
+            F.round(F.max("dropout_ms") + 1e-9, 2).alias("max_dropout_ms"),
+        )
+        .orderBy("dropout_class")
+    )
+
+
 def clips_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full end-to-end curation DAG (plans/curate.py): quality filter →
     one-decode audio gate pass (fingerprint+VAD+spectral,
@@ -436,6 +473,7 @@ QUERIES = {
     "audio_speed_perturb_stats": audio_speed_perturb_stats,
     "audio_speaking_rate_gate": audio_speaking_rate_gate,
     "audio_noise_mix_stats": audio_noise_mix_stats,
+    "audio_dropout_stats": audio_dropout_stats,
 }
 
 ORACLE: dict[str, str] = {}

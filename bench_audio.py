@@ -50,6 +50,12 @@ def main() -> None:
         fn(spark, SF_DIR).collect()  # warm-up
         samples = []
         for _ in range(N_RUNS):
+            # identical logical plans hit Spark's CacheManager: a re-built
+            # funnel DAG silently reuses the previous sample's persisted
+            # signal tables, turning the measurement into a warm-cache
+            # re-aggregation. Clear between samples so min-of-samples
+            # measures the cold end-to-end path.
+            spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, SF_DIR).collect()
             samples.append(round(time.time() - t0, 2))

@@ -44,6 +44,11 @@ def main() -> None:
         fn(spark, sf_dir).collect()  # warm-up
         samples = []
         for _ in range(N_RUNS):
+            # a re-built identical plan reuses the previous sample's
+            # persisted state (CacheManager plan-dedupe) — e.g. the BPE
+            # trainer's vocabulary table — so clear first: each sample is
+            # the full cold job including the corpus-scale shuffle
+            spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, sf_dir).collect()
             samples.append(round(time.time() - t0, 2))

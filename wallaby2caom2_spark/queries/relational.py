@@ -742,7 +742,82 @@ ORDER BY n_blamed DESC, s_name ASC LIMIT {_BLAME_TOPK}
 """
 
 
+def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each part, the supplier(s) offering the minimum price — the
+    TPC-H Q2 correlated-MIN-with-equality-join-back shape (``WHERE price =
+    (SELECT min(price) ... WHERE partkey = p.partkey)``), decorrelated by
+    hand the way Catalyst's RewriteCorrelatedScalarSubquery would: a
+    supplier-level offer aggregate, a per-part min over it, and an
+    equi-join back on (partkey, offer) that keeps ALL tied argmin rows —
+    tie semantics identical in both engines, values in exact integer
+    cents.
+
+    Scale shape: both aggregations partially combine map-side (the
+    (l_partkey, l_suppkey) offer agg collapses lineitem ~30x before its
+    exchange); the per-part best table is part-cardinality-sized and
+    BROADCASTS back into the offers join — no shuffle join anywhere in
+    the plan — and the supplier/nation dims broadcast too (verified:
+    three BroadcastHashJoins, zero SortMergeJoins in docs/PLANS.md).
+
+    Reference analog: the "pick the best candidate per key" selection of
+    SURVEY.md §2.3 J5 (store-if-newer picks max-mtime; this picks the min
+    offer and keeps ties)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _cents(F.col("l_extendedprice")).alias("cents")
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("cents").alias("offer_cents")
+    )
+    # rename the re-aggregated key: best derives FROM offers, so a join
+    # back on a same-named column would be a lineage-ambiguous self-join
+    best = offers.groupBy(
+        F.col("l_partkey").alias("best_partkey")
+    ).agg(F.min("offer_cents").alias("best_cents"))
+    winners = offers.join(
+        best,
+        (F.col("l_partkey") == F.col("best_partkey"))
+        & (F.col("offer_cents") == F.col("best_cents")),
+    ).select("l_partkey", "l_suppkey", "offer_cents")
+    sup = F.broadcast(load(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        winners.join(sup, winners.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "offer_cents",
+        )
+    )
+
+
+_MIN_PRICE_SUPPLIER_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         round(l_extendedprice * 100, 0)::BIGINT AS cents
+  FROM lineitem
+),
+offers AS (
+  SELECT l_partkey, l_suppkey, min(cents)::BIGINT AS offer_cents
+  FROM li GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, min(offer_cents) AS best_cents
+  FROM offers GROUP BY l_partkey
+)
+SELECT o.l_partkey AS partkey, o.l_suppkey AS suppkey,
+       s.s_name, n.n_name AS nation, o.offer_cents
+FROM offers o
+JOIN best b ON b.l_partkey = o.l_partkey AND o.offer_cents = b.best_cents
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+
 QUERIES = {
+    "min_price_supplier": min_price_supplier,
     "orders_with_returns_semi": orders_with_returns_semi,
     "suppliers_sole_blame": suppliers_sole_blame,
     "small_quantity_revenue": small_quantity_revenue,
@@ -762,6 +837,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "min_price_supplier": _MIN_PRICE_SUPPLIER_SQL,
     "orders_with_returns_semi": _SEMI_JOIN_SQL,
     "suppliers_sole_blame": _SOLE_BLAME_SQL,
     "small_quantity_revenue": _SMALL_QTY_SQL,

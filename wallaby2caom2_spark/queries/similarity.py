@@ -425,17 +425,14 @@ PQ_SUB = DIM // PQ_M
 PQ_K = 4        # centroids per block (codebook = first PQ_K vectors' slices)
 
 
-def embedding_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding: split each vector into ``PQ_M``
-    sub-vectors, assign each to its nearest codebook centroid (squared L2,
-    deterministic tie-break), pack the per-block codes into one small int.
-
-    The compressed-ANN scale path: at 10^12 vectors the 64-dim float payload
-    (256 B) collapses to a 1-byte code per block; candidate scan becomes a
-    table-lookup over codes. Codebook is tiny (PQ_M x PQ_K rows) and
-    broadcast — the only wide op is the per-(vector, block) argmin window,
-    partitioned by vec_id (uniform keys, no skew).
-    """
+def _pq_codebook_and_best(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ machinery: (codebook(m, c_id, ce), best(vec_id, m, c_id,
+    d)) — per database vector and block, the nearest codebook centroid
+    with its squared-L2 distance (deterministic tie-break). Used by the
+    encoder (``embedding_pq_code``) and the ADC search
+    (``ann_pq_topk``)."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "e", _to_double(F.col("embedding"))
     )
@@ -471,6 +468,21 @@ def embedding_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
+    return cb, best
+
+
+def embedding_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``PQ_M``
+    sub-vectors, assign each to its nearest codebook centroid (squared L2,
+    deterministic tie-break), pack the per-block codes into one small int.
+
+    The compressed-ANN scale path: at 10^12 vectors the 64-dim float payload
+    (256 B) collapses to a 1-byte code per block; candidate scan becomes a
+    table-lookup over codes. Codebook is tiny (PQ_M x PQ_K rows) and
+    broadcast — the only wide op is the per-(vector, block) argmin window,
+    partitioned by vec_id (uniform keys, no skew).
+    """
+    _, best = _pq_codebook_and_best(spark, sf_dir)
     return best.groupBy("vec_id").agg(
         F.sum(F.col("c_id") * F.pow(F.lit(float(PQ_K)), 3 - F.col("m")))
         .cast("int")
@@ -508,6 +520,119 @@ SELECT vec_id,
        sum(c_id * pow({PQ_K}, 3 - m))::INTEGER AS pq_code,
        round(sum(d) + 1e-9, 4) AS q_err
 FROM best GROUP BY vec_id
+"""
+
+PQ_PROBE_ID = PQ_K   # query vector: the first database (non-codebook) row
+PQ_TOPK = 10
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search: the query vector stays
+    uncompressed; each database vector is represented only by its per-block
+    nearest-centroid code, and its approximate distance is the sum of
+    precomputed ``||q_m - centroid||²`` lookup-table entries — the
+    Jegou-style PQ search loop, as a plan.
+
+    Scale shape: the lookup table is PQ_M x PQ_K rows (tiny, broadcast);
+    the database side touches only the code columns (at 10^12 vectors the
+    scan reads 4 bytes/vector, not the 256-byte float payload — the entire
+    point of PQ), the distance is a broadcast equi-join on (m, code) plus
+    a per-vector partial-aggregating sum, and only the k-row result sorts.
+    Same rounding discipline as the encoder so both engines sum identical
+    4-decimal table entries.
+    """
+    cb, best = _pq_codebook_and_best(spark, sf_dir)
+    probe = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == PQ_PROBE_ID)
+        .withColumn("e", _to_double(F.col("embedding")))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"), "e"
+        )
+        .select(
+            "m",
+            F.slice(
+                F.col("e"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
+            ).alias("qe"),
+        )
+    )
+    lut = probe.join(F.broadcast(cb), "m").select(
+        "m",
+        "c_id",
+        F.round(
+            _dot(F.col("qe"), F.col("qe"))
+            - 2.0 * _dot(F.col("qe"), F.col("ce"))
+            + _dot(F.col("ce"), F.col("ce"))
+            + 1e-9,
+            4,
+        ).alias("lq"),
+    )
+    adist = (
+        best.select("vec_id", "m", "c_id")
+        .join(F.broadcast(lut), ["m", "c_id"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("lq") + 1e-9, 4).alias("approx_d2"))
+    )
+    # TakeOrdered for the global cut (per-partition heaps + k-row merge —
+    # never a single-partition sort of the full table), then rank the tiny
+    # k-row result with a window
+    top = adist.orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    ).limit(PQ_TOPK)
+    w = Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc())
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "vec_id", "approx_d2", "rk"
+    )
+
+
+_PQ_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+),
+blocks AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+cb AS (
+  SELECT m, e.vec_id AS c_id,
+         list_slice(e.e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS ce
+  FROM e, blocks WHERE e.vec_id < {PQ_K}
+),
+sub AS (
+  SELECT vec_id, m, list_slice(e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS se
+  FROM e, blocks WHERE vec_id >= {PQ_K}
+),
+scored AS (
+  SELECT vec_id, sub.m AS m, c_id,
+         round(list_dot_product(se, se) - 2*list_dot_product(se, ce)
+               + list_dot_product(ce, ce) + 1e-9, 4) AS d
+  FROM sub JOIN cb ON sub.m = cb.m
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, c_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT m, list_slice(e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS qe
+  FROM e, blocks WHERE vec_id = {PQ_PROBE_ID}
+),
+lut AS (
+  SELECT cb.m AS m, c_id,
+         round(list_dot_product(qe, qe) - 2*list_dot_product(qe, ce)
+               + list_dot_product(ce, ce) + 1e-9, 4) AS lq
+  FROM probe JOIN cb ON probe.m = cb.m
+),
+adist AS (
+  SELECT vec_id, round(sum(lq) + 1e-9, 4) AS approx_d2
+  FROM best JOIN lut ON best.m = lut.m AND best.c_id = lut.c_id
+  GROUP BY vec_id
+)
+SELECT vec_id, approx_d2, rk::INTEGER AS rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY approx_d2 ASC, vec_id ASC) AS rk
+  FROM adist
+) WHERE rk <= {PQ_TOPK}
 """
 
 
@@ -645,6 +770,7 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "dedup_embedding_neardup": dedup_embedding_neardup,
     "embedding_pq_code": embedding_pq_code,
+    "ann_pq_topk": ann_pq_topk,
     "kmeans_train": kmeans_train,
 }
 
@@ -657,4 +783,5 @@ ORACLE = {
     "embedding_norm_stats": _NORM_STATS_SQL,
     "dedup_embedding_neardup": _neardup_sql(),
     "embedding_pq_code": _PQ_SQL,
+    "ann_pq_topk": _PQ_TOPK_SQL,
 }

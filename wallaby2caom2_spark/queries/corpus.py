@@ -371,7 +371,11 @@ def _bpe_learn(docs: DataFrame) -> tuple[DataFrame, F.Column]:
     )
     # vocabulary-sized state: persist so the K rounds don't re-run the
     # corpus-scale word-count shuffle K times (at 100 TB this is the
-    # difference between K corpus scans and one)
+    # difference between K corpus scans and one). LIFETIME: the returned
+    # plan still references this cache, so it cannot be unpersisted here;
+    # it stays pinned for the session (LRU-evictable). Timing harnesses
+    # must spark.catalog.clearCache() between samples or they measure a
+    # warm-cache replay via CacheManager plan-dedupe (bench_corpus.py does).
     vocab = vocab.persist()
     seq = F.col("seq")
     for _ in range(BPE_MERGES):

@@ -773,8 +773,10 @@ def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = offers.groupBy(
         F.col("l_partkey").alias("best_partkey")
     ).agg(F.min("offer_cents").alias("best_cents"))
+    # explicit hint: the docstring's no-shuffle-join claim must hold at any
+    # scale factor, not just while `best` fits the auto-broadcast threshold
     winners = offers.join(
-        best,
+        F.broadcast(best),
         (F.col("l_partkey") == F.col("best_partkey"))
         & (F.col("offer_cents") == F.col("best_cents")),
     ).select("l_partkey", "l_suppkey", "offer_cents")

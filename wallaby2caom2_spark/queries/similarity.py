@@ -491,7 +491,11 @@ def embedding_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_SQL = f"""
+# shared oracle chain for the PQ family: encoder (_PQ_SQL) and ADC search
+# (_PQ_TOPK_SQL) replay the SAME codebook / sub-vector / per-block argmin
+# CTEs — one definition, so a tie-break or rounding change cannot drift
+# between them (same pattern as corpus._bpe_chain_sql)
+_PQ_CHAIN_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 blocks AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
 cb AS (
@@ -515,7 +519,9 @@ best AS (
                                  ORDER BY d ASC, c_id ASC) AS rn
     FROM scored
   ) WHERE rn = 1
-)
+)"""
+
+_PQ_SQL = _PQ_CHAIN_SQL + f"""
 SELECT vec_id,
        sum(c_id * pow({PQ_K}, 3 - m))::INTEGER AS pq_code,
        round(sum(d) + 1e-9, 4) AS q_err
@@ -585,35 +591,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_TOPK_SQL = f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-  FROM embeddings
-),
-blocks AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
-cb AS (
-  SELECT m, e.vec_id AS c_id,
-         list_slice(e.e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS ce
-  FROM e, blocks WHERE e.vec_id < {PQ_K}
-),
-sub AS (
-  SELECT vec_id, m, list_slice(e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS se
-  FROM e, blocks WHERE vec_id >= {PQ_K}
-),
-scored AS (
-  SELECT vec_id, sub.m AS m, c_id,
-         round(list_dot_product(se, se) - 2*list_dot_product(se, ce)
-               + list_dot_product(ce, ce) + 1e-9, 4) AS d
-  FROM sub JOIN cb ON sub.m = cb.m
-),
-best AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                 ORDER BY d ASC, c_id ASC) AS rn
-    FROM scored
-  ) WHERE rn = 1
-),
-probe AS (
+_PQ_TOPK_SQL = _PQ_CHAIN_SQL + f"""
+, probe AS (
   SELECT m, list_slice(e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS qe
   FROM e, blocks WHERE vec_id = {PQ_PROBE_ID}
 ),

@@ -52,6 +52,43 @@ def test_rerun_is_idempotent(spark, export_run):
     assert again == manifest
 
 
+def test_stale_inrange_bucket_detected(spark, tmp_path):
+    """A prior export of a DIFFERENT corpus can leave in-range buckets this
+    run never writes; folding them into the manifest would hand the
+    dataloader foreign clips. The exact written-set guard must catch it
+    (review finding, round 2 — the old check only caught >= n_buckets)."""
+    clips = str(tmp_path / "clips")
+    out = str(tmp_path / "out")
+    datagen.write_clips_parquet(clips, 120, seed=13)
+    export_training_shards(spark, clips, out, n_buckets=64)
+    shards = os.path.join(out, "shards")
+    written = {
+        int(d.split("=")[1])
+        for d in os.listdir(shards)
+        if d.startswith("bucket=")
+    }
+    missing = [b for b in range(64) if b not in written]
+    assert missing, "fixture too large: every bucket written"
+    src = os.path.join(shards, f"bucket={sorted(written)[0]}")
+    shutil.copytree(src, os.path.join(shards, f"bucket={missing[0]}"))
+    with pytest.raises(ValueError, match="stale"):
+        export_training_shards(spark, clips, out, n_buckets=64)
+
+
+def test_empty_corpus_exports_zero_manifest(spark, tmp_path):
+    """Every clip dropping must yield an empty manifest, not an
+    UNABLE_TO_INFER_SCHEMA crash on the read-back."""
+    from wallaby2caom2_spark.sources.clips import CLIPS_SCHEMA
+
+    clips = str(tmp_path / "clips")
+    out = str(tmp_path / "out")
+    rows = [(f"c{i}", b"", 16000, 100, "bad", "x") for i in range(5)]
+    spark.createDataFrame(rows, CLIPS_SCHEMA).write.parquet(clips)
+    manifest = export_training_shards(spark, clips, out, n_buckets=4)
+    assert manifest["n_clips"] == 0
+    assert manifest["buckets"] == {}
+
+
 def test_validation_detects_count_mismatch(spark, export_run):
     _, out, _ = export_run
     broken = os.path.join(out, "..", "broken")

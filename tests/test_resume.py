@@ -46,6 +46,25 @@ def test_crash_then_resume_exactly_once(spark, clips_path, tmp_path):
     assert run_resumable(spark, clips_path, out, n_buckets=8)["waves"] == 0
 
 
+def test_resume_reuses_checkpoint_run_id(spark, clips_path, tmp_path):
+    """The checkpoint owns the run_id: a resume that minted a fresh uuid
+    would leave the crashed attempt's lineage under the old id and
+    double-count re-run buckets (review finding, round 2)."""
+    out = str(tmp_path / "out")
+    with pytest.raises(SimulatedCrash):
+        run_resumable(
+            spark, clips_path, out, n_buckets=8, n_waves=4, fail_after_wave=0
+        )
+    resumed = run_resumable(spark, clips_path, out, n_buckets=8, n_waves=4)
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    run_ids = [r["run_id"] for r in lineage.select("run_id").distinct().collect()]
+    assert len(run_ids) == 1, f"resume minted a new run_id: {run_ids}"
+    assert resumed["run_id"] == run_ids[0]
+    # and no bucket's lineage is recorded twice
+    dup = lineage.groupBy("bucket").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+
+
 def test_results_match_single_shot(spark, clips_path, tmp_path):
     from wallaby2caom2_spark.plans.pipeline import quality_filter
     from wallaby2caom2_spark.sources.clips import read_clips

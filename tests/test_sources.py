@@ -61,3 +61,26 @@ def test_table_name_regex_routing():
         "a.b.c.d",        # too many parts to be catalog.db.table
     ):
         assert not _TABLE_NAME_RE.fullmatch(path), path
+
+
+def test_bare_datafile_name_routes_to_path(spark):
+    """'clips.parquet' fullmatches the identifier grammar but is a
+    cwd-relative FILE — the suffix guard must route it to the parquet
+    branch (path-not-found), never the catalog (table-not-found)."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException) as ei:
+        read_clips(spark, "definitely_missing_clips.parquet").collect()
+    assert "TABLE_OR_VIEW" not in str(ei.value)
+
+
+def test_write_results_refuses_missing_partition_column(spark, tmp_path):
+    """Silently degrading to an unpartitioned overwrite would truncate
+    every committed partition — the sink must refuse instead."""
+    from wallaby2caom2_spark.sources.clips import write_results
+
+    df = spark.range(3).withColumnRenamed("id", "clip_id")
+    with pytest.raises(ValueError, match="partition column"):
+        write_results(df, str(tmp_path / "res"), partition_by="bucket")
+    # and nothing was written
+    assert not (tmp_path / "res").exists()

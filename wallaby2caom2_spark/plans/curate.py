@@ -37,7 +37,6 @@ serial per-file loop.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -197,8 +196,14 @@ def curate_corpus(
             .partitionBy("split", "bucket")
             .parquet(os.path.join(out_path, "shards"))
         )
+        from .export import _read_shards_or_empty
+
         per = (
-            spark.read.parquet(os.path.join(out_path, "shards"))
+            _read_shards_or_empty(
+                spark,
+                os.path.join(out_path, "shards"),
+                "split string, bucket int, n_frames int",
+            )
             .groupBy("split", "bucket")
             .agg(
                 F.count("*").alias("n_clips"),
@@ -234,8 +239,7 @@ def curate_corpus(
         }
         s["n_clips"] += int(r["n_clips"])
         manifest["n_clips"] += int(r["n_clips"])
-    tmp = os.path.join(out_path, "manifest.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(out_path, "manifest.json"))
+    from .export import write_manifest_atomic
+
+    write_manifest_atomic(out_path, manifest)
     return manifest

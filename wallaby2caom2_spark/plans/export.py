@@ -64,29 +64,49 @@ def export_training_shards(
         n_buckets,
     )
 
-    (
-        shard.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_path, "shards"))
-    )
+    from pyspark.storagelevel import StorageLevel
 
-    per_bucket = (
-        spark.read.parquet(os.path.join(out_path, "shards"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_clips"), F.sum("n_frames").alias("n_frames"))
-        .collect()
-    )
-    # dynamic overwrite only replaces the buckets THIS run writes; an
-    # earlier export with a larger n_buckets leaves stale partitions the
-    # read-back would silently fold into the manifest (duplicate clips to
-    # the dataloader) — fail fast instead
-    stale = sorted(int(r["bucket"]) for r in per_bucket if int(r["bucket"]) >= n_buckets)
+    shard = shard.persist(StorageLevel.DISK_ONLY)
+    try:
+        # the partitions THIS run owns — dynamic overwrite replaces only
+        # these, so the read-back is checked against this EXACT set (not a
+        # bucket-range test: a prior export of a different corpus into the
+        # same dir can leave stale IN-RANGE buckets this run didn't write,
+        # which a `>= n_buckets` check would silently fold into the
+        # manifest — foreign clips to the dataloader). Same guard as
+        # plans/curate.py.
+        written = {
+            int(r["bucket"])
+            for r in shard.select("bucket").distinct().collect()
+        }
+        (
+            shard.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_path, "shards"))
+        )
+        # always read back — even a zero-survivor export must still detect
+        # stale partitions a prior export left in the dir
+        per_bucket = (
+            _read_shards_or_empty(
+                spark,
+                os.path.join(out_path, "shards"),
+                "bucket int, n_frames int",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_clips"),
+                F.sum("n_frames").alias("n_frames"),
+            )
+            .collect()
+        )
+    finally:
+        shard.unpersist()
+    stale = sorted(int(r["bucket"]) for r in per_bucket if int(r["bucket"]) not in written)
     if stale:
         raise ValueError(
             f"shards dir has stale buckets {stale} from a previous export "
-            f"with more than n_buckets={n_buckets} — clear "
-            f"{os.path.join(out_path, 'shards')} before re-exporting"
+            f"— clear {os.path.join(out_path, 'shards')} before re-exporting"
         )
     manifest = {
         "n_clips": int(sum(r["n_clips"] for r in per_bucket)),
@@ -101,11 +121,36 @@ def export_training_shards(
             for r in per_bucket
         },
     }
+    write_manifest_atomic(out_path, manifest)
+    return manifest
+
+
+def _read_shards_or_empty(
+    spark: SparkSession, shards_path: str, empty_schema: str
+) -> DataFrame:
+    """Read-back that tolerates exactly the no-footers case (an export
+    whose every clip was filtered out writes only _SUCCESS, or nothing);
+    any other read failure propagates. ``empty_schema`` covers the columns
+    the caller's aggregation touches."""
+    from pyspark.errors import AnalysisException
+
+    from .runner import _is_schemaless_read
+
+    try:
+        return spark.read.parquet(shards_path)
+    except AnalysisException as e:
+        if not _is_schemaless_read(e):
+            raise
+        return spark.createDataFrame([], empty_schema)
+
+
+def write_manifest_atomic(out_path: str, manifest: dict) -> None:
+    """tmp-file + atomic rename: readers never observe a torn manifest.
+    Shared by this sink and plans/curate.py."""
     tmp = os.path.join(out_path, "manifest.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_path, "manifest.json"))
-    return manifest
 
 
 def validate_shards(spark: SparkSession, out_path: str) -> DataFrame:

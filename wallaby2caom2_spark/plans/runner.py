@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +34,17 @@ from .pipeline import quality_filter, run_metrics
 
 class SimulatedCrash(RuntimeError):
     """Raised by the fail-injection hook in tests (kill/restart scenario)."""
+
+
+def _is_schemaless_read(e: AnalysisException) -> bool:
+    """True only for the 'no parquet footers to infer a schema from' /
+    'path does not exist' family — the one read-back failure that means
+    "nothing was written", not "the read broke"."""
+    get = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+    cond = (get() if get else None) or ""
+    return cond.startswith(("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")) or (
+        "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e)
+    )
 
 
 def run_resumable(
@@ -49,12 +61,15 @@ def run_resumable(
 
     Returns a small summary dict (waves run, buckets committed).
     """
-    run_id = run_id or uuid.uuid4().hex[:12]
     os.makedirs(out_dir, exist_ok=True)
     results_path = os.path.join(out_dir, "results")
     ckpt = ckpt_mod.BucketCheckpoint(
         os.path.join(out_dir, "checkpoint.json"), n_buckets
     )
+    # the checkpoint OWNS the run_id: a resume must reuse the crashed
+    # attempt's id or its (run_id, bucket)-keyed lineage/metrics overwrites
+    # land under a new key and the crashed wave's rows double-count
+    run_id = ckpt.ensure_run_id(run_id or uuid.uuid4().hex[:12])
     remaining = ckpt.remaining()
     if not remaining:
         return {"run_id": run_id, "waves": 0, "buckets": []}
@@ -80,10 +95,15 @@ def run_resumable(
                 .agg(F.count("*").alias("n"))
                 .collect()
             ]
-        except Exception:
+        except AnalysisException as e:
             # an all-empty first wave writes no parquet footers at all, so
             # the read-back cannot infer a schema — commit the (empty)
-            # buckets with zero-count lineage instead of aborting the run
+            # buckets with zero-count lineage instead of aborting the run.
+            # ONLY that case: any other read failure (storage hiccup,
+            # executor loss) must abort, or the checkpoint would commit
+            # buckets with silently-zero lineage and a metrics gap.
+            if not _is_schemaless_read(e):
+                raise
             written, counts = None, []
         lineage_src.append_lineage(
             spark,

@@ -29,23 +29,48 @@ class BucketCheckpoint:
         self.path = path
         self.n_buckets = n_buckets
 
-    def load_done(self) -> set[int]:
+    def _load_state(self) -> dict:
         if not os.path.exists(self.path):
-            return set()
+            return {}
         with open(self.path) as f:
             state = json.load(f)
         if state.get("n_buckets") != self.n_buckets:
             raise ValueError(
                 f"checkpoint bucket count {state.get('n_buckets')} != {self.n_buckets}"
             )
-        return set(state.get("done", []))
+        return state
 
-    def mark_done(self, buckets: set[int]) -> None:
-        done = sorted(self.load_done() | set(buckets))
+    def _write_state(self, state: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
         with os.fdopen(fd, "w") as f:
-            json.dump({"n_buckets": self.n_buckets, "done": done}, f)
+            json.dump(state, f)
         os.replace(tmp, self.path)  # atomic commit, like a snapshot swap
+
+    def load_done(self) -> set[int]:
+        return set(self._load_state().get("done", []))
+
+    def ensure_run_id(self, candidate: str) -> str:
+        """The run_id is PART OF THE CHECKPOINT: lineage/metrics overwrite
+        idempotently on (run_id, bucket), so a resume that minted a fresh
+        id would leave the crashed attempt's rows behind under the old id
+        and double-count every re-run bucket. First call records
+        ``candidate``; every later call (resume) returns the recorded id,
+        ignoring the candidate."""
+        state = self._load_state()
+        stored = state.get("run_id")
+        if stored:
+            return stored
+        state.setdefault("n_buckets", self.n_buckets)
+        state.setdefault("done", [])
+        state["run_id"] = candidate
+        self._write_state(state)
+        return candidate
+
+    def mark_done(self, buckets: set[int]) -> None:
+        state = self._load_state()
+        state["n_buckets"] = self.n_buckets
+        state["done"] = sorted(set(state.get("done", [])) | set(buckets))
+        self._write_state(state)
 
     def remaining(self) -> list[int]:
         return sorted(set(range(self.n_buckets)) - self.load_done())

@@ -16,6 +16,9 @@ from pyspark.sql import types as T
 
 # 2-3 dot-separated identifiers (db.table or catalog.db.table)
 _TABLE_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){1,2}")
+# a bare relative filename ("clips.parquet") would fullmatch the identifier
+# grammar above; a data-file suffix always means a storage path
+_DATA_FILE_SUFFIXES = (".parquet", ".json", ".csv", ".orc", ".avro")
 
 CLIPS_SCHEMA = T.StructType(
     [
@@ -49,9 +52,13 @@ def read_clips(spark: SparkSession, path: str) -> DataFrame:
     via ``spark.read.table`` when the runtime is present.
 
     A table NAME is dot-separated identifiers only — anything with a path
-    separator or a URI scheme (``s3a://…/clips.parquet``, ``data/x.parquet``)
-    is a storage path, even though it contains dots."""
-    if _TABLE_NAME_RE.fullmatch(path):
+    separator, a URI scheme (``s3a://…/clips.parquet``, ``data/x.parquet``)
+    or a data-file suffix (a cwd-relative ``clips.parquet`` has neither
+    separator nor scheme) is a storage path, even though it contains
+    dots."""
+    if _TABLE_NAME_RE.fullmatch(path) and not path.lower().endswith(
+        _DATA_FILE_SUFFIXES
+    ):
         return spark.read.table(path)
     return spark.read.schema(CLIPS_SCHEMA).parquet(path)
 
@@ -63,7 +70,16 @@ def write_results(df: DataFrame, path: str, partition_by: str | None = "bucket")
     per-write so idempotence holds even under an externally-built session
     whose default is STATIC (which would truncate untouched partitions)."""
     writer = df.write.mode("overwrite")
-    if partition_by and partition_by in df.columns:
+    if partition_by:
+        if partition_by not in df.columns:
+            # silently falling through to an unpartitioned overwrite would
+            # TRUNCATE every previously committed partition — permanent
+            # loss the resume contract can never repair. Fail loudly.
+            raise ValueError(
+                f"write_results: partition column {partition_by!r} missing "
+                f"from result columns {df.columns} — refusing the implicit "
+                "full-table overwrite"
+            )
         writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
             partition_by
         )

@@ -110,7 +110,7 @@ SESSION_OUT_SCHEMA = T.StructType(
 
 
 def session_stream(
-    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+    events: DataFrame, gap_minutes: int = 30, watermark: str | None = None
 ) -> DataFrame:
     """Assemble per-source recording sessions from a clip event stream:
     clips from one ``source_id`` accumulate in state until no new clip
@@ -127,7 +127,17 @@ def session_stream(
     Reference analog: the time-boxed work interval of
     ``config/config.yml:67-71`` — work is closed out by data time, not by
     arrival order.
+
+    ``watermark`` defaults to the session gap itself: with a zero delay,
+    any cross-source out-of-orderness makes the surviving-row set a
+    function of micro-batch boundaries (a row older than the watermark is
+    dropped BEFORE the state function sees it), which breaks the
+    byte-identical-replay property this operator promises. A delay ≥ the
+    reorder bound restores it; pass an explicit value to trade latency
+    for tolerance.
     """
+    if watermark is None:
+        watermark = f"{gap_minutes} minutes"
     gap_ms = gap_minutes * 60 * 1000
 
     def _session_fn(

@@ -152,10 +152,11 @@ def test_null_sr_headerless_pcm_contained_in_every_operator(spark):
     assert segment.segment_clips(df).count() == 0
     assert augment.speed_perturb(df).count() == 0
     assert augment.noise_mix(df).count() == 0
-    # fingerprint: sr=0 means "analyze as-is" — must not raise, and the
-    # signal is real so the fingerprint is live
+    # fingerprint: a rateless clip cannot resample to the fixed analysis
+    # rate, so its fingerprint would be rate-VARIANT — gated out
+    # (fp_ok=false), matching the fused audio_signals pass
     row = audio_fp.with_fingerprint(df).collect()[0]
-    assert row["fp_ok"] is True
+    assert row["fp_ok"] is False
 
 
 def test_decode_null_declared_rate_is_contained(spark):

@@ -98,6 +98,42 @@ def test_with_fingerprint_spark(fp_clips):
     assert out["clip-0"][1] == local
 
 
+def test_with_fingerprint_gates_rateless_clips(spark):
+    """A decodable raw-PCM clip with a NULL declared rate has no analysis
+    rate, so its fingerprint would be rate-variant; the standalone operator
+    must gate it out (fp_ok=false) exactly like the fused audio_signals
+    pass (sig_ok=false) — the two are documented interchangeable."""
+    pcm = audio.encode_pcm_s16le(_tone(300.0, seed=10))
+    df = spark.createDataFrame(
+        [("rateless", pcm, None, 1000, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    row = audio_fp.with_fingerprint(df).collect()[0]
+    assert row["fp_ok"] is False
+
+    from wallaby2caom2_spark.operators.audio_signals import audio_signals
+
+    sig = audio_signals(df.select("clip_id", "bytes", "codec", "sr_hz"))
+    assert sig.collect()[0]["sig_ok"] is False
+
+
+def test_banded_neardup_excludes_zero_band_bucket(spark):
+    """Clips whose ONLY common band value is the degenerate all-zero band
+    (gated silent segments) must not become candidate pairs — that bucket
+    is a quadratic hot key at corpus scale."""
+    from pyspark.sql import functions as F
+
+    # fingerprints that agree ONLY on band 0 == 0 (low 15 bits zero),
+    # differing everywhere else
+    rows = [
+        ("za", True, 0b101010101010101_000000000000000_111111111111111_000000000000000),
+        ("zb", True, 0b010101010101010_111111111111111_000000000000000_000000000000000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, fp_ok boolean, fp long")
+    pairs = audio_fp.banded_neardup_pairs(df, max_hamming=60).collect()
+    assert pairs == []
+
+
 def test_banded_neardup_finds_redelivered_pair(fp_clips):
     pairs = audio_fp.banded_neardup_pairs(
         audio_fp.with_fingerprint(fp_clips), max_hamming=3

@@ -71,6 +71,33 @@ def test_every_rule_in_order_covered():
     assert tested == set(RULE_ORDER)
 
 
+def test_transcript_stats_match_python_str_split(spark):
+    """The oracle labeler tokenizes with str.split(); the Catalyst stats
+    must agree on whitespace the generator never emits too (trailing
+    newline/tabs, NBSP, empty, NULL) — a trailing '\\n' under the old
+    trim+split form created a phantom distinct token and flipped
+    repetition-boundary rows (review finding, round 2)."""
+    texts = [
+        "a a a a a a b c\n",
+        "  hello\tworld  ",
+        "x y z",
+        "",
+        "one",
+        "a\n\nb",
+        "nb sp",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "transcript string")
+    rows = cascade.with_transcript_stats(df).collect()
+    for r in rows:
+        t = r["transcript"]
+        py = t.split() if t else []
+        assert r["n_words"] == len(py), (t, r["n_words"])
+        assert r["n_distinct_words"] == len(set(py)), (t, r)
+        exp_rep = 1.0 - (len(set(py)) / len(py)) if py else 0.0
+        assert abs(r["rep_ratio"] - exp_rep) < 1e-12, (t, r["rep_ratio"])
+
+
 def test_null_codec_labeled_codec_invalid(spark):
     """NULL codec must hit the codec_invalid rule (the oracle's label),
     not fall through to decode_failed: ~isin() is NULL — not true — for a

@@ -108,3 +108,19 @@ def test_merge_upsert_bootstraps_empty_target(spark, tmp_path):
     assert summary["updated"] == 0
     got = {r["clip_id"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {"a": 3, "b": 2}
+
+
+def test_merge_upsert_accepts_map_columns(spark, tmp_path):
+    """xxhash64 rejects MapType; the content-hash tie-break must skip map
+    columns instead of crashing every upsert that carries metadata maps."""
+    from wallaby2caom2_spark.operators.upsert import merge_upsert
+
+    target = str(tmp_path / "map_table")
+    updates = spark.createDataFrame(
+        [("a", 1, {"k": "v"}), ("b", 2, {"k": "w"})],
+        "clip_id string, v int, meta map<string,string>",
+    )
+    summary = merge_upsert(spark, target, updates, n_buckets=4, order_col="v")
+    assert summary["inserted"] == 2
+    got = {r["clip_id"]: r["meta"] for r in spark.read.parquet(target).collect()}
+    assert got == {"a": {"k": "v"}, "b": {"k": "w"}}

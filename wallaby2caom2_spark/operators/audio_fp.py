@@ -60,7 +60,15 @@ def fingerprint_udf(
             samples, sr_meas = audio.decode_clip(
                 bytes(raw) if raw is not None else None, codec_v[i]
             )
-            o, f = audio.band_fingerprint(samples, sr_meas or audio.declared_sr(sr_v[i]))
+            sr_eff = sr_meas or audio.declared_sr(sr_v[i])
+            if sr_eff <= 0:
+                # rateless clip: no resample to the fixed analysis rate is
+                # possible, so the fingerprint would be rate-VARIANT. Gate
+                # it out — the same decision the fused audio_signals pass
+                # makes (sig_ok=false), keeping the two operators
+                # interchangeable as documented.
+                continue
+            o, f = audio.band_fingerprint(samples, sr_eff)
             ok[i], fps[i] = o, f
         yield pd.DataFrame({"fp_ok": ok, "fp": fps})
 
@@ -107,6 +115,13 @@ def banded_neardup_pairs(
             )
         ).alias("b"),
     ).select("clip_id", "fp", "b.band_idx", "b.band_bits")
+    # drop the all-zero band value: gated (near-silent) segments emit 15
+    # deterministic zero bits, so every clip with a silent segment at the
+    # same position would land in ONE (band_idx, 0) bucket — a quadratic
+    # hot key on the equi-join at corpus scale. Cost: a pair whose only
+    # equal band is the degenerate zero band is missed — acceptable, since
+    # an all-quiet band carries no content identity to match on.
+    bands = bands.filter(F.col("band_bits") != 0)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (

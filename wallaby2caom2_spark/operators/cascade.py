@@ -3,7 +3,7 @@
 Direct analog of the reference's first-match-wins product-type cascade
 (``wallaby2caom2/storage_name.py:101-114``: ``.rms.``→NOISE, ``.png``→PREVIEW,
 model-table names→AUXILIARY, else SCIENCE — duplicated at
-``wallaby2caom2/main_app.py:170-184``), generalized to the 12 quality rules of
+``wallaby2caom2/main_app.py:170-184``), generalized to the 13 quality rules of
 config.RULE_ORDER. The whole cascade is ONE ``F.when`` chain → stays inside
 whole-stage codegen; transcript shape stats (length, word counts, repetition
 ratio) are built-in string/array functions, not UDFs.
@@ -20,16 +20,22 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 def with_transcript_stats(df: DataFrame) -> DataFrame:
     """n_chars / n_words / rep_ratio as Catalyst expressions.
 
-    Word split matches Python ``str.split()`` (the oracle): trim, split on
-    whitespace runs, empty string → zero words.
+    Word tokenization must match Python ``str.split()`` (the oracle
+    labeler) exactly: extract maximal non-whitespace runs. The previous
+    ``trim`` + ``split('\\s+')`` form diverged on real input — SQL ``trim``
+    strips only spaces, so a trailing tab/newline left an empty trailing
+    token that inflated ``n_words`` AND counted '' as a distinct word,
+    flipping keep/drop on repetition-boundary rows. ``(?U)`` makes Java's
+    ``\\S`` Unicode-aware like Python's (NBSP etc.); the remaining corner
+    (U+001C-1F, which Python splits on but Unicode does not class as
+    whitespace) cannot appear in scrub-eligible text.
     """
-    words = F.split(F.trim(F.col("transcript")), r"\s+")
-    n_words = F.when(
-        F.length(F.trim(F.col("transcript"))) == 0, F.lit(0)
-    ).otherwise(F.size(words))
+    words = F.regexp_extract_all(
+        F.col("transcript"), F.lit(r"(?U)\S+"), 0
+    )
     return (
         df.withColumn("n_chars", F.coalesce(F.length("transcript"), F.lit(0)))
-        .withColumn("n_words", F.coalesce(n_words, F.lit(0)))
+        .withColumn("n_words", F.coalesce(F.size(words), F.lit(0)))
         .withColumn(
             "n_distinct_words",
             F.when(F.col("n_words") == 0, F.lit(0)).otherwise(

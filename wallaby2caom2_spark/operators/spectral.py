@@ -85,7 +85,11 @@ def _clip_spectrum(x: np.ndarray, sr: int) -> tuple[float, float, float] | None:
     # flatness on the normalized spectrum with a floor so empty bins don't
     # drive the geometric mean to exactly 0 (log of the floor, not -inf)
     flat = float(np.exp(np.mean(np.log(np.maximum(p, 1e-12)))) / np.mean(p))
-    freqs = np.arange(1, len(power) + 1) * (sr / 2.0 / (len(power)))
+    # bin k of an rfft over `win` samples sits at k*sr/win; deriving the
+    # step from len(power) (= win//2) instead would skew every frequency
+    # by win/(win-1) whenever the window length is odd (e.g. 44.1 kHz
+    # clips: round(44100*0.032) = 1411)
+    freqs = np.arange(1, len(power) + 1) * (float(sr) / win)
     centroid = float((freqs * p).sum())
     peak = float(p.max())
     return flat, centroid, peak

@@ -20,10 +20,12 @@ batch rewrites 0.1% of partitions, not the table.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.clips import _is_schemaless_read
 from .partitioning import with_bucket
 
 
@@ -46,8 +48,20 @@ def merge_upsert(
     counts over DISTINCT keys (intra-batch duplicates collapse first).
     """
     upd = with_bucket(updates, n_buckets, key=key)
-    # collapse intra-batch duplicate keys deterministically before counting
-    content_hash = F.xxhash64(*[F.col(c) for c in updates.columns])
+    # collapse intra-batch duplicate keys deterministically before counting.
+    # Hash only hashable columns: xxhash64 rejects MapType at analysis time
+    # (the same hazard partitioning._contains_unsaltable guards), so map
+    # columns are excluded from the tie-break identity — acceptable, since
+    # the hash only orders residual ties among rows ALREADY equal on
+    # order_col, and any non-map column difference still separates them.
+    from pyspark.sql import types as T
+
+    hashable = [
+        f.name
+        for f in updates.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
+    content_hash = F.xxhash64(*[F.col(c) for c in hashable])
     order = (
         [F.col(order_col).desc_nulls_last()] if order_col else []
     ) + [content_hash.desc()]
@@ -70,9 +84,15 @@ def merge_upsert(
         existing = target.filter(F.col("bucket").isin(touched)).withColumn(
             "_is_update", F.lit(False)
         )
-    except Exception:
+    except AnalysisException as e:
         # bootstrap: no table at target_path yet — every update row inserts
-        # (Iceberg MERGE's WHEN NOT MATCHED THEN INSERT on an empty table)
+        # (Iceberg MERGE's WHEN NOT MATCHED THEN INSERT on an empty table).
+        # ONLY the missing-path/no-footers case: treating a transient read
+        # failure as bootstrap would dynamic-overwrite the touched buckets
+        # with update rows alone, silently deleting every existing
+        # non-updated key in them.
+        if not _is_schemaless_read(e):
+            raise
         existing = upd.filter(F.lit(False)).withColumn("_is_update", F.lit(False))
 
     n_before = existing.count()

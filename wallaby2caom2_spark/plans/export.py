@@ -134,7 +134,7 @@ def _read_shards_or_empty(
     the caller's aggregation touches."""
     from pyspark.errors import AnalysisException
 
-    from .runner import _is_schemaless_read
+    from ..sources.clips import _is_schemaless_read
 
     try:
         return spark.read.parquet(shards_path)

@@ -28,6 +28,7 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.partitioning import with_bucket
 from ..sources import checkpoint as ckpt_mod
 from ..sources import clips as clips_src
+from ..sources.clips import _is_schemaless_read
 from ..sources import lineage as lineage_src
 from .pipeline import quality_filter, run_metrics
 
@@ -35,16 +36,6 @@ from .pipeline import quality_filter, run_metrics
 class SimulatedCrash(RuntimeError):
     """Raised by the fail-injection hook in tests (kill/restart scenario)."""
 
-
-def _is_schemaless_read(e: AnalysisException) -> bool:
-    """True only for the 'no parquet footers to infer a schema from' /
-    'path does not exist' family — the one read-back failure that means
-    "nothing was written", not "the read broke"."""
-    get = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
-    cond = (get() if get else None) or ""
-    return cond.startswith(("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")) or (
-        "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e)
-    )
 
 
 def run_resumable(

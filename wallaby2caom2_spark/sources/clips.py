@@ -46,6 +46,18 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _is_schemaless_read(e) -> bool:
+    """True only for the 'no parquet footers to infer a schema from' /
+    'path does not exist' family — the one read failure that means
+    "nothing was written yet", not "the read broke". Shared by every sink
+    that bootstraps or tolerates an empty table (runner, export, upsert)."""
+    get = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+    cond = (get() if get else None) or ""
+    return cond.startswith(("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")) or (
+        "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e)
+    )
+
+
 def read_clips(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan with the pinned schema → Catalyst gets pushdown +
     pruning for free; an Iceberg table name (``catalog.db.clips``) is read

@@ -43,15 +43,29 @@ _N_BY_SF = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 100000}
 
 
 def clips_path_for(sf_dir: str) -> str:
-    """Deterministic per-sf clips parquet, generated once and cached."""
+    """Deterministic per-sf clips parquet, generated once and cached.
+
+    Concurrency-safe: generation happens in a process-private temp dir
+    that is atomically renamed into place — two concurrent callers (e.g.
+    bench + oracle gate) can no longer interleave a scan with a
+    half-rewritten part file. The loser of the rename race discards its
+    copy; bytes are identical either way (seed-pinned generator)."""
     name = os.path.basename(os.path.normpath(sf_dir)) or "default"
     n = _N_BY_SF.get(name, 2000)
     path = os.path.join(_CACHE_ROOT, f"{name}-{_GEN_VERSION}-n{n}")
     marker = os.path.join(path, "_SUCCESS_GEN")
     if not os.path.exists(marker):
-        datagen.write_clips_parquet(path, n, seed=42, rows_per_file=1250)
-        with open(marker, "w") as fh:
+        tmp = f"{path}.gen-{os.getpid()}"
+        datagen.write_clips_parquet(tmp, n, seed=42, rows_per_file=1250)
+        with open(os.path.join(tmp, "_SUCCESS_GEN"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another process won the race with an identical copy
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

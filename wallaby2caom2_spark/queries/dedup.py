@@ -29,8 +29,10 @@ N_MINHASH = 8  # 4 bands x 2 rows
 _SHINGLE = 3  # words per shingle
 
 
-def _words(col: str = "text") -> F.Column:
-    return F.split(F.trim(F.col(col)), r"\s+")
+# one tokenizer and one eval-set rule for the whole corpus-query family:
+# the fuzzy (containment) and exact (n-gram) decontamination queries must
+# agree on both, so they are DEFINED in textstats and imported here
+from .textstats import _words  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -136,14 +138,23 @@ SELECT doc_id, {sigs} FROM s
 
 def _band_buckets(sig: DataFrame) -> DataFrame:
     """signature rows → (doc_id, band_idx, bucket): each band hashes two
-    adjacent signature rows; the bucket id is the LSH shuffle/join key."""
+    adjacent signature rows; the bucket id is the LSH shuffle/join key.
+
+    Shingle-less docs (NULL signature) are excluded HERE, the one choke
+    point every banding consumer shares: ``concat_ws`` skips NULLs, so
+    they would all hash to the single md5('') bucket per band — a
+    quadratic hot key AND a divergence from the oracles' ``WHERE sig0 IS
+    NOT NULL`` (confirmed: two <3-word docs produced a jaccard-1.0 pair
+    on the Spark side only)."""
     bands = F.array(
         *[
             F.md5(F.concat_ws("|", F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")))
             for b in range(N_MINHASH // 2)
         ]
     )
-    return sig.select("doc_id", F.posexplode(bands).alias("band_idx", "bucket"))
+    return sig.filter(F.col("sig0").isNotNull()).select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "bucket")
+    )
 
 
 def dedup_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +173,13 @@ def dedup_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bands_sql() -> str:
+def _bands_chain_sql() -> str:
+    """Shared oracle replay of ``_band_buckets``: signature CTE + the band
+    explosion with the same NULL-signature exclusion. One definition for
+    every LSH-family oracle (bands / verified pairs / containment) so the
+    banding rule and the sig0 filter can never drift between them — the
+    same pattern as ``similarity._PQ_CHAIN_SQL`` and
+    ``corpus._bpe_chain_sql``."""
     band_exprs = ", ".join(
         f"md5(sig{2 * b} || '|' || sig{2 * b + 1})" for b in range(N_MINHASH // 2)
     )
@@ -172,7 +189,11 @@ bands AS (
   SELECT doc_id, unnest([{band_exprs}]) AS bucket,
          unnest(generate_series(0, {N_MINHASH // 2 - 1})) AS band_idx
   FROM sig WHERE sig0 IS NOT NULL
-),
+)"""
+
+
+def _lsh_bands_sql() -> str:
+    return _bands_chain_sql() + f""",
 buckets AS (
   SELECT band_idx, bucket, count(*) AS sz FROM bands GROUP BY 1, 2
 )
@@ -229,16 +250,7 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_verified_sql() -> str:
-    band_exprs = ", ".join(
-        f"md5(sig{2 * b} || '|' || sig{2 * b + 1})" for b in range(N_MINHASH // 2)
-    )
-    return f"""
-WITH sig AS ({_minhash_sig_sql()}),
-bands AS (
-  SELECT doc_id, unnest([{band_exprs}]) AS bucket,
-         unnest(generate_series(0, {N_MINHASH // 2 - 1})) AS band_idx
-  FROM sig WHERE sig0 IS NOT NULL
-),
+    return _bands_chain_sql() + f""",
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
@@ -468,8 +480,7 @@ FROM reach GROUP BY src
 # fuzzy decontamination — shingle-set CONTAINMENT on LSH candidates
 # ---------------------------------------------------------------------------
 
-_DECON_MOD = 29          # doc_id % MOD == 0 = held-out eval set (matches
-                         # textstats.decontaminate_ngram's convention)
+from .textstats import _DECON_MOD  # noqa: E402  (shared eval-set rule)
 _CONTAINMENT_MIN = 0.3   # flag when ≥30% of an eval doc's shingles appear
 
 
@@ -534,16 +545,7 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_sql() -> str:
-    band_exprs = ", ".join(
-        f"md5(sig{2 * b} || '|' || sig{2 * b + 1})" for b in range(N_MINHASH // 2)
-    )
-    return f"""
-WITH sig AS ({_minhash_sig_sql()}),
-bands AS (
-  SELECT doc_id, unnest([{band_exprs}]) AS bucket,
-         unnest(generate_series(0, {N_MINHASH // 2 - 1})) AS band_idx
-  FROM sig WHERE sig0 IS NOT NULL
-),
+    return _bands_chain_sql() + f""",
 cand AS (
   SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
   FROM bands t

@@ -517,9 +517,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit(_SHIP_CUTOFF).cast("timestamp")
     )
-    rev_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("bigint")
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -527,11 +525,19 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev_cents).alias("revenue_cents"))
         .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
         .limit(10)
+        # format the date: a raw TimestampType collects in the DRIVER's OS
+        # timezone while DuckDB returns naive wall time — the value-hash
+        # would break on any non-UTC host (same convention as
+        # store_if_newer / hourly_event_rollup)
+        .withColumn(
+            "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")
+        )
     )
 
 
 _TOP_UNSHIPPED_SQL = f"""
-SELECT o_orderkey, o_orderdate, o_orderpriority,
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
        sum(round(l_extendedprice * (1 - l_discount) * 100, 0))::BIGINT
            AS revenue_cents
 FROM lineitem
@@ -627,7 +633,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_quantity",
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        _cents(F.col("l_extendedprice")).alias("cents"),
     )
     thr = li.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_thr")

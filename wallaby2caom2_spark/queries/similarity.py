@@ -624,14 +624,17 @@ KMEANS_ITERS = 3
 
 
 def _sq_l2_to(lit_centroid: list[float]) -> F.Column:
-    """Squared L2 distance from column ``e`` to a centroid literal, summed
-    left-to-right in whole-stage codegen (no Python)."""
+    """Squared L2 distance from column ``e`` to a centroid literal, in the
+    dot-expansion form ``e·e − 2·e·c + c·c`` — the SAME algebraic tree as
+    the oracle's ``list_dot_product`` expansion (the _PQ_CHAIN_SQL
+    discipline), so both engines accumulate identical float64 sums. The
+    earlier ``Σ(x−y)²`` fold paired with the oracle's
+    ``list_distance(..)^2`` (sqrt then square) differed by ~1 ulp — enough
+    to flip an argmin tie or a .00005 rounding boundary and then compound
+    through the Lloyd iterations."""
     c = F.array(*[F.lit(float(v)) for v in lit_centroid])
-    return F.aggregate(
-        F.zip_with(F.col("e"), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    e = F.col("e")
+    return _dot(e, e) - 2.0 * _dot(e, c) + _dot(c, c)
 
 
 def _kmeans_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -717,7 +720,8 @@ def _kmeans_sql() -> str:
     SELECT e.vec_id, e.label, e.e, c.cid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY round(list_distance(e.e, c.ce) ^ 2 + 1e-9, 4) ASC,
+             ORDER BY round(list_dot_product(e.e, e.e) - 2*list_dot_product(e.e, c.ce)
+                            + list_dot_product(c.ce, c.ce) + 1e-9, 4) ASC,
                       c.cid ASC) AS rn
     FROM e CROSS JOIN c{it} c
   ) WHERE rn = 1
@@ -735,8 +739,9 @@ def _kmeans_sql() -> str:
   FROM c{it} c LEFT JOIN u{it} u USING (cid)
 ),""")
     final = KMEANS_ITERS - 1
-    parts.append(f"""sel AS (SELECT 1)
-SELECT cid AS cluster_id, label, count(*)::BIGINT AS n_vecs
+    # the last CTE fragment carries a trailing comma by construction
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    parts.append(f"""SELECT cid AS cluster_id, label, count(*)::BIGINT AS n_vecs
 FROM a{final} GROUP BY 1, 2 ORDER BY 1, 2""")
     return "\n".join(parts)
 

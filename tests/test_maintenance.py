@@ -117,3 +117,41 @@ def test_rewrite_count_uses_pre_patch_predicate(spark, tmp_path):
     assert n == 2
     got = {r["clip_id"]: r["status"] for r in spark.read.parquet(path).collect()}
     assert got == {"a": "done", "b": "done", "c": "done"}
+
+
+def test_compact_results_job(spark, tmp_path):
+    """Compaction must shrink over-fragmented partitions to their target
+    file count, preserve every row byte-for-byte, skip already-compact
+    partitions, and be idempotent."""
+    from wallaby2caom2_spark.plans.maintenance import compact_results_job
+
+    path = str(tmp_path / "frag")
+    df = spark.range(4000).select(
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        F.concat(F.lit("c"), F.col("id")).alias("clip_id"),
+        (F.col("id") * 7 % 101).alias("v"),
+    )
+    # 12 tiny files per bucket
+    (
+        df.repartition(12)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    before = {
+        tuple(sorted(r.asDict().items()))
+        for r in spark.read.parquet(path).collect()
+    }
+    summary = compact_results_job(spark, path, target_mb=128)
+    assert sorted(summary["compacted_buckets"]) == [0, 1, 2, 3]
+    assert summary["files_after"] == 4  # one per bucket at this size
+    assert summary["files_before"] > summary["files_after"]
+    after = {
+        tuple(sorted(r.asDict().items()))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after == before
+    # idempotent: second run touches nothing
+    again = compact_results_job(spark, path, target_mb=128)
+    assert again["compacted_buckets"] == []
+    assert again["files_after"] == summary["files_after"]

@@ -66,6 +66,73 @@ def recover_rewrite(results_path: str) -> str:
     raise FileNotFoundError(f"no copy of {results_path} to recover")
 
 
+def compact_results_job(
+    spark: SparkSession, results_path: str, target_mb: int = 128
+) -> dict:
+    """Small-files compaction over the bucket-partitioned results table —
+    the Iceberg ``rewrite_data_files`` analog. Incremental writers (the
+    wave runner, streaming foreachBatch, repeated upserts) each leave a
+    few files per partition; after enough runs a 10^12-row table reads
+    thousands of kilobyte files per bucket and scan planning dominates.
+
+    Plan: a metadata-only walk sizes each partition (the stand-in for
+    Iceberg's manifest stats — no data is read), picks partitions whose
+    file count exceeds ``ceil(bytes / target_mb)``, and rewrites ONLY
+    those, one bounded dynamic-overwrite job per partition with an exact
+    output file count. Untouched partitions are never read or rewritten.
+    Idempotent: a second run finds every partition already at its target
+    and does nothing; a crash mid-run leaves earlier partitions compacted
+    and later ones untouched — both states are valid tables.
+
+    Returns {"compacted_buckets": [...], "files_before": n,
+    "files_after": m}.
+    """
+    import math
+
+    def _scan() -> dict[int, tuple[int, int]]:
+        stats: dict[int, tuple[int, int]] = {}
+        for entry in os.scandir(results_path):
+            if not entry.is_dir() or not entry.name.startswith("bucket="):
+                continue
+            files = [
+                f
+                for f in os.scandir(entry.path)
+                if f.is_file() and f.name.endswith(".parquet")
+            ]
+            stats[int(entry.name.split("=", 1)[1])] = (
+                len(files),
+                sum(f.stat().st_size for f in files),
+            )
+        return stats
+
+    before = _scan()
+    targets = {
+        b: max(1, math.ceil(nbytes / (target_mb * 1024 * 1024)))
+        for b, (n_files, nbytes) in before.items()
+    }
+    to_compact = sorted(
+        b for b, (n_files, _) in before.items() if n_files > targets[b]
+    )
+    for b in to_compact:
+        sub = spark.read.parquet(results_path).filter(F.col("bucket") == b)
+        # break lineage to the files the overwrite below replaces — same
+        # read-own-input hazard merge_upsert documents
+        sub = sub.repartition(targets[b]).localCheckpoint(eager=True)
+        (
+            sub.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(results_path)
+        )
+    spark.catalog.refreshByPath(results_path)
+    after = _scan()
+    return {
+        "compacted_buckets": to_compact,
+        "files_before": sum(n for n, _ in before.values()),
+        "files_after": sum(n for n, _ in after.values()),
+    }
+
+
 def bulk_field_rewrite_job(
     spark: SparkSession,
     results_path: str,

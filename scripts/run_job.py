@@ -13,6 +13,7 @@ same script runs unchanged — only master/memory flags move to spark-submit.
 Modes:
   batch      resumable wave runner (checkpoint → exactly-once re-runs)
   stream     availableNow structured-streaming front-end (checkpoint bookmark)
+  compact    small-files compaction of an existing results table
 """
 
 from __future__ import annotations
@@ -58,7 +59,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--config", default=None, help="YAML (or JSON) run config")
     ap.add_argument("--input", default=None)
     ap.add_argument("--output", default=None)
-    ap.add_argument("--mode", choices=("batch", "stream"), default=None)
+    ap.add_argument(
+        "--mode", choices=("batch", "stream", "compact"), default=None
+    )
+    ap.add_argument("--target-mb", type=int, default=128)
     ap.add_argument("--n-buckets", type=int, default=None)
     ap.add_argument("--n-waves", type=int, default=None)
     args = ap.parse_args(argv)
@@ -68,7 +72,10 @@ def main(argv: list[str]) -> int:
         v = getattr(args, k.replace("-", "_"))
         if v is not None:
             cfg[k] = v
-    if not cfg["input"] or not cfg["output"]:
+    if cfg["mode"] == "compact":
+        if not cfg["output"]:
+            ap.error("compact mode needs --output (the results table)")
+    elif not cfg["input"] or not cfg["output"]:
         ap.error("input and output are required (flag or config)")
 
     # spark-submit provides the session; standalone runs build one
@@ -83,7 +90,16 @@ def main(argv: list[str]) -> int:
         spark = active
     spark.sparkContext.setLogLevel("WARN")
 
-    if cfg["mode"] == "stream":
+    if cfg["mode"] == "compact":
+        from wallaby2caom2_spark.plans.maintenance import compact_results_job
+
+        summary = compact_results_job(
+            spark,
+            os.path.join(cfg["output"], "results"),
+            target_mb=int(args.target_mb),
+        )
+        summary["mode"] = "compact"
+    elif cfg["mode"] == "stream":
         from wallaby2caom2_spark.streaming.stream import run_stream
 
         run_stream(

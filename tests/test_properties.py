@@ -236,3 +236,55 @@ def test_spectrum_flatness_is_gain_invariant(samples, gain):
         return
     assert abs(a[0] - b[0]) < 5e-3  # flatness
     assert abs(a[2] - b[2]) < 5e-3  # peak share
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    arrays(
+        np.int16,
+        st.integers(min_value=0, max_value=400),
+        elements=st.integers(min_value=-32768, max_value=32767),
+    )
+)
+def test_longest_quiet_run_matches_naive(x):
+    """Vectorized run-length (functions/audio._longest_quiet_run) agrees
+    with the obvious per-sample loop on arbitrary int16 signals."""
+    from wallaby2caom2_spark.functions import audio
+
+    best = cur = 0
+    for v in x.tolist():
+        if -audio._DROPOUT_AMP < v < audio._DROPOUT_AMP:
+            cur += 1
+            best = max(best, cur)
+        else:
+            cur = 0
+    assert audio._longest_quiet_run(x) == best
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=12,
+        ),
+        max_size=8,
+    )
+)
+def test_transcript_tokens_match_python_split(spark, parts):
+    """The cascade's (?U)\\S+ tokenizer equals str.split() on arbitrary
+    text, including unicode whitespace — the oracle-parity contract
+    (skipping the U+001C-1F family Python splits on but Unicode does not
+    class as whitespace)."""
+    from wallaby2caom2_spark.operators import cascade
+
+    text = " ".join(parts)
+    if any(0x1C <= ord(c) <= 0x1F or c in "\x0b\x0c\x85" for c in text):
+        return  # documented corner: Python-only whitespace
+    df = spark.createDataFrame([(text,)], "transcript string")
+    row = cascade.with_transcript_stats(df).collect()[0]
+    py = text.split()
+    assert row["n_words"] == len(py)
+    assert row["n_distinct_words"] == len(set(py))

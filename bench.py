@@ -84,6 +84,11 @@ def main() -> None:
         _force(name, fn(spark, SF_DIR))  # warm-up (excluded)
         samples = []
         for _ in range(N_RUNS):
+            # cold-path guard shared with the other benches: none of
+            # today's HEADLINE queries persist, but a future addition that
+            # does (curation funnel, BPE) would otherwise time warm-cache
+            # replays via CacheManager plan-dedupe
+            spark.catalog.clearCache()
             t0 = time.time()
             _force(name, fn(spark, SF_DIR))
             samples.append(time.time() - t0)

@@ -75,9 +75,13 @@ def _write_chunk(args: tuple) -> None:
 
 
 def _ensure_corpus() -> str:
+    """Generate into a process-private temp dir + atomic rename (the
+    clips_path_for pattern): two concurrent benches sharing this cache
+    must never scan a half-written part file."""
     marker = os.path.join(CORPUS, "_SUCCESS_GEN")
-    docs_dir = os.path.join(CORPUS, "documents.parquet")
     if not os.path.exists(marker):
+        tmp = f"{CORPUS}.gen-{os.getpid()}"
+        docs_dir = os.path.join(tmp, "documents.parquet")
         os.makedirs(docs_dir, exist_ok=True)
         jobs = [
             (docs_dir, part, start, min(ROWS_PER_FILE, N_DOCS - start))
@@ -87,8 +91,14 @@ def _ensure_corpus() -> str:
 
         with ProcessPoolExecutor(max_workers=16) as pool:
             list(pool.map(_write_chunk, jobs))
-        with open(marker, "w") as fh:
+        with open(os.path.join(tmp, "_SUCCESS_GEN"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(tmp, CORPUS)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return CORPUS
 
 

@@ -18,7 +18,7 @@ measure the hypervisor, not the job. Protocol used instead:
 
     efficiency = (best_throughput@32 / best_throughput@8) / 4
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/scaling-{N}x{4N}.md and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -44,25 +44,34 @@ RUNS_PER_ROUND = int(os.environ.get("BENCH_RUNS", "3"))
 # Scaling corpus: large + text-heavy so per-row CPU (langid/ppl/scrub)
 # dominates fixed overheads — at 20k default-profile clips the whole job
 # finishes in ~3.5s at local[8], leaving local[32] nothing to speed up.
-SCALE_N = int(os.environ.get("BENCH_SCALE_N", "600000"))
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2000000"))  # the recorded protocol size — a smaller ad-hoc run would silently overwrite the evidence file
 SCALE_CORPUS = f"/tmp/wallaby_clips_cache/scaling-text_heavy-v4-n{SCALE_N}"
 
 
 def _ensure_corpus() -> str:
+    """Private-tmpdir + atomic rename (the clips_path_for pattern): a
+    concurrent generator must never expose a half-written part file."""
     marker = os.path.join(SCALE_CORPUS, "_SUCCESS_GEN")
     if not os.path.exists(marker):
         from wallaby2caom2_spark import datagen
 
+        tmp = f"{SCALE_CORPUS}.gen-{os.getpid()}"
         datagen.write_clips_parquet(
-            SCALE_CORPUS,
+            tmp,
             SCALE_N,
             seed=42,
             rows_per_file=12_500,
             profile="text_heavy",
             workers=16,
         )
-        with open(marker, "w") as fh:
+        with open(os.path.join(tmp, "_SUCCESS_GEN"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(tmp, SCALE_CORPUS)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return SCALE_CORPUS
 
 
@@ -170,7 +179,7 @@ def main() -> None:
         "estimator": "min-of-samples (least hypervisor interference)",
         "levels": {str(k): v for k, v in results.items()},
         "n_clips": n_clips,
-        "sf_dir": SF_DIR,
+        "corpus": SCALE_CORPUS,
         "rounds": ROUNDS,
         "runs_per_round": RUNS_PER_ROUND,
     }

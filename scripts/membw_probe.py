@@ -39,8 +39,9 @@ def _child() -> None:
 
 def _measure(k: int) -> float:
     procs = []
+    n_cores = os.cpu_count() or 1
     for i in range(k):
-        core = 31 - (i % 32)
+        core = (n_cores - 1) - (i % n_cores)
         procs.append(
             subprocess.Popen(
                 ["taskset", "-c", str(core), sys.executable,

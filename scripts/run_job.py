@@ -39,6 +39,7 @@ DEFAULTS = {
     "n_buckets": 64,
     "n_waves": 8,
     "run_id": None,
+    "target_mb": 128,
 }
 
 
@@ -62,13 +63,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument(
         "--mode", choices=("batch", "stream", "compact"), default=None
     )
-    ap.add_argument("--target-mb", type=int, default=128)
+    ap.add_argument("--target-mb", type=int, default=None)
     ap.add_argument("--n-buckets", type=int, default=None)
     ap.add_argument("--n-waves", type=int, default=None)
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
-    for k in ("input", "output", "mode", "n_buckets", "n_waves"):
+    for k in ("input", "output", "mode", "n_buckets", "n_waves", "target_mb"):
         v = getattr(args, k.replace("-", "_"))
         if v is not None:
             cfg[k] = v
@@ -96,7 +97,7 @@ def main(argv: list[str]) -> int:
         summary = compact_results_job(
             spark,
             os.path.join(cfg["output"], "results"),
-            target_mb=int(args.target_mb),
+            target_mb=int(cfg["target_mb"]),
         )
         summary["mode"] = "compact"
     elif cfg["mode"] == "stream":

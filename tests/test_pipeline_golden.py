@@ -94,3 +94,38 @@ def test_metrics_counters(spark, clips_df, oracle_labels):
     for outcome, n in want.items():
         assert got[outcome][0] == n, outcome
     assert got["kept"][1] == edits
+
+
+def test_oracle_and_pipeline_agree_on_null_metadata(spark):
+    """NULL declared sr/duration must not crash the labeler (it used to
+    TypeError on int(None)) and must produce the same keep/drop decision
+    the Spark cascade's three-valued logic yields for the same row."""
+    import numpy as np
+
+    from wallaby2caom2_spark import oracle
+    from wallaby2caom2_spark.functions import audio
+    from wallaby2caom2_spark.plans.pipeline import quality_filter
+
+    t = np.arange(16000, dtype=np.float32) / 16000
+    wav = audio.encode_wav((0.4 * np.sin(2 * np.pi * 220 * t)).astype("float32"), 16000)
+    rows = [
+        {"clip_id": "null_sr", "bytes": wav, "sr_hz": None, "dur_ms": 1000,
+         "codec": "wav",
+         "transcript": "every morning the children walk slowly towards school"},
+        {"clip_id": "null_dur", "bytes": wav, "sr_hz": 16000, "dur_ms": None,
+         "codec": "wav",
+         "transcript": "every morning the children walk slowly towards school"},
+    ]
+    labels = {l["clip_id"]: l for l in oracle.label_rows(rows)}
+    df = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+          r["codec"], r["transcript"]) for r in rows],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string",
+    )
+    got = {r["clip_id"]: r for r in quality_filter(df).collect()}
+    for cid in ("null_sr", "null_dur"):
+        assert got[cid]["keep"] == labels[cid]["keep"], cid
+        assert (got[cid]["drop_reason"] or None) == (
+            labels[cid]["drop_reason"] or None
+        ), cid

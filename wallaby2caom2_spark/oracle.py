@@ -25,11 +25,15 @@ from .functions import audio, langid, perplexity, scrub
 def label_row(row: dict[str, Any], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
     t = cfg.thresholds
     payload, codec = row["bytes"], row["codec"]
-    declared_sr, declared_dur = int(row["sr_hz"]), int(row["dur_ms"])
+    # NULL-tolerant declared metadata, mirroring the cascade's SQL
+    # three-valued logic: a NULL comparand makes the sr/duration rules
+    # no-ops (the when-branch is skipped), it never crashes the labeler
+    declared_sr = int(row["sr_hz"]) if row["sr_hz"] is not None else None
+    declared_dur = int(row["dur_ms"]) if row["dur_ms"] is not None else None
     transcript = row["transcript"]
 
     pcm_ok, sr_meas, dur_meas, rms, clip_rate, dropout_ms = audio.decode_features(
-        payload, codec, declared_sr
+        payload, codec, declared_sr or 0
     )
     lang, conf = langid.predict_one(transcript)
     ppl = perplexity.perplexity_one(transcript)
@@ -42,9 +46,12 @@ def label_row(row: dict[str, Any], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict
         drop_reason = "codec_invalid"
     elif not pcm_ok:
         drop_reason = "decode_failed"
-    elif sr_meas != declared_sr:
+    elif declared_sr is not None and sr_meas != declared_sr:
         drop_reason = "sr_mismatch"
-    elif abs(dur_meas - declared_dur) > t.duration_tolerance * declared_dur:
+    elif (
+        declared_dur is not None
+        and abs(dur_meas - declared_dur) > t.duration_tolerance * declared_dur
+    ):
         drop_reason = "duration_mismatch"
     elif rms < t.min_rms:
         drop_reason = "audio_silence"

@@ -34,6 +34,25 @@ def test_split_shares_and_disjointness(spark):
     # 98/1/1 target: train share within a few points at 500 docs
     assert by["train"]["n_docs"] / total == pytest.approx(0.98, abs=0.03)
     assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-3)
+    # DISJOINT + exhaustive: the per-document split assignment must give
+    # every doc exactly one split — the 3-row aggregate alone cannot show
+    # this, so assert it on the underlying expression directly
+    from pyspark.sql import functions as F
+
+    from wallaby2caom2_spark.queries._tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    split = (
+        F.when(curation._bucket_expr() < curation._TRAIN_LT, "train")
+        .when(curation._bucket_expr() < curation._VALID_LT, "valid")
+        .otherwise("test")
+    )
+    per_doc = docs.select("doc_id", split.alias("split"))
+    n_docs = docs.count()
+    assert per_doc.count() == n_docs
+    assert per_doc.select("doc_id").distinct().count() == n_docs
+    assert per_doc.filter(F.col("split").isNull()).count() == 0
+    assert total == n_docs  # aggregate shares partition the corpus exactly
 
 
 def test_normalization_is_idempotent(spark):

@@ -19,7 +19,7 @@ N_PARTS = 16
 
 @pytest.fixture(scope="module")
 def skewed(spark, tmp_path_factory):
-    """Heavily skewed table: 40% of rows share ONE clip_id value."""
+    """Heavily skewed table: ~29% of rows (800 of 2800) share ONE clip_id value."""
     path = str(tmp_path_factory.mktemp("skew") / "clips")
     datagen.write_clips_parquet(path, 2000, seed=13, rows_per_file=1000)
     df = spark.read.parquet(path).select("clip_id", "sr_hz", "transcript")

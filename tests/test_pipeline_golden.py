@@ -33,6 +33,9 @@ def _f1(pairs: list[tuple[bool, bool]]) -> float:
 def test_oracle_reproduces_golden(oracle_labels):
     """Drift guard: the live oracle still produces the committed fixture."""
     golden = _load_golden()
+    # 1:1, not subset: stale extra rows in the committed file (an old or
+    # larger fixture) must fail the guard too
+    assert len(oracle_labels) == len(golden)
     for l in oracle_labels:
         g = golden[l["clip_id"]]
         assert l["keep"] == g["keep"]

@@ -261,7 +261,7 @@ def test_longest_quiet_run_matches_naive(x):
     assert audio._longest_quiet_run(x) == best
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(
     st.lists(
         st.text(
@@ -283,8 +283,14 @@ def test_transcript_tokens_match_python_split(spark, parts):
     text = " ".join(parts)
     if any(0x1C <= ord(c) <= 0x1F or c in "\x0b\x0c\x85" for c in text):
         return  # documented corner: Python-only whitespace
-    df = spark.createDataFrame([(text,)], "transcript string")
-    row = cascade.with_transcript_stats(df).collect()[0]
-    py = text.split()
-    assert row["n_words"] == len(py)
-    assert row["n_distinct_words"] == len(set(py))
+    # several variants per hypothesis example — one Spark job each example,
+    # not one per string
+    variants = [text, " " + text, text + "\n", "\t" + text + "  "]
+    df = spark.createDataFrame(
+        [(v,) for v in variants], "transcript string"
+    )
+    rows = cascade.with_transcript_stats(df).collect()
+    for r in rows:
+        py = r["transcript"].split()
+        assert r["n_words"] == len(py), r["transcript"]
+        assert r["n_distinct_words"] == len(set(py)), r["transcript"]

@@ -36,7 +36,7 @@ def _run_once(spark, in_dir: str, out: list, ckpt: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    assert q.awaitTermination(300), "stream did not finish in 300s"
 
 
 def test_cross_batch_dedup(spark, tmp_path):
@@ -110,11 +110,20 @@ def _run_sessions(spark, in_dir: str, out: list, ckpt: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    assert q.awaitTermination(300), "stream did not finish in 300s"
 
 
 def _ts(h: int, m: int = 0) -> _dt.datetime:
     return _dt.datetime(2024, 1, 1, h, m)
+
+
+def _ms(h: int, m: int = 0) -> int:
+    """Expected epoch millis as the UTC-pinned pipeline computes them —
+    naive .timestamp() would shift by the HOST timezone offset and fail
+    these tests on any non-UTC machine."""
+    return int(
+        _ts(h, m).replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+    )
 
 
 def test_session_closed_by_event_time_not_arrival(spark, tmp_path):
@@ -131,7 +140,7 @@ def test_session_closed_by_event_time_not_arrival(spark, tmp_path):
     out: list = []
     _run_sessions(spark, in_dir, out, ckpt)
     assert out == [
-        ("s1", 2, int(_ts(10, 0).timestamp() * 1000), int(_ts(10, 5).timestamp() * 1000))
+        ("s1", 2, _ms(10, 0), _ms(10, 5))
     ]
     # s2 still open; a later event in a NEW run flushes it via the
     # checkpointed state store (state survives restart)
@@ -139,7 +148,7 @@ def test_session_closed_by_event_time_not_arrival(spark, tmp_path):
     out2: list = []
     _run_sessions(spark, in_dir, out2, ckpt)
     assert out2 == [
-        ("s2", 1, int(_ts(12, 0).timestamp() * 1000), int(_ts(12, 0).timestamp() * 1000))
+        ("s2", 1, _ms(12, 0), _ms(12, 0))
     ]
 
 
@@ -152,7 +161,7 @@ def test_session_gap_keeps_one_session_open(spark, tmp_path):
     out: list = []
     _run_sessions(spark, in_dir, out, ckpt)
     assert out == [
-        ("s1", 2, int(_ts(9, 0).timestamp() * 1000), int(_ts(9, 20).timestamp() * 1000))
+        ("s1", 2, _ms(9, 0), _ms(9, 20))
     ]
 
 
@@ -191,7 +200,7 @@ def _run_quota(spark, in_dir: str, out: list, ckpt: str, quota: int) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    assert q.awaitTermination(300), "stream did not finish in 300s"
 
 
 def test_quota_enforced_across_batches(spark, tmp_path):

@@ -69,7 +69,8 @@ def test_streaming_run_matches_batch(spark, split_events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    x = q.awaitTermination(180)
+    assert x, "stream-stream join did not finish in 180s"
     res = spark.read.parquet(out)
     got = {(r["base_event"], r["follow_event"]) for r in res.collect()}
     assert got == _expected_pairs(spark, base_dir, follow_dir)

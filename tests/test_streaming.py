@@ -81,19 +81,44 @@ def test_windowed_rollup_batch_equivalence(spark):
 
 def test_windowed_rollup_streaming_drops_stale(spark, tmp_path):
     """Late rows beyond the watermark are dropped in streaming mode."""
+    from datetime import timedelta
+
     ev_dir = str(tmp_path / "ev")
-    out: list = []
+    batches: list = []
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").orderBy("ts")
     ev.limit(2000).write.parquet(ev_dir)
     stream = spark.readStream.schema(ev.schema).parquet(ev_dir)
     q = (
         windowed_rollup(stream, "1 hour", "2 hours")
-        .writeStream.foreachBatch(lambda df, _id: out.append(df.count()))
+        .writeStream.foreachBatch(
+            lambda df, _id: batches.append(df.collect())
+        )
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    # append mode emits only windows finalized by the watermark
-    assert sum(out) >= 0  # ran to completion with bounded state
+    assert q.awaitTermination(300), "streaming rollup did not finish in 300s"
+    emitted = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for b in batches
+        for r in b
+    }
+    # batch truth for the same slice
+    full_df = windowed_rollup(
+        spark.read.parquet(ev_dir), "1 hour", "2 hours"
+    ).collect()
+    full = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in full_df
+    }
+    wm = max(r["window_start"] for r in full_df) - timedelta(hours=2)
+    # append mode emits ONLY windows finalized by the watermark: something
+    # must emit, the head-of-stream windows must be withheld, and every
+    # finalized window must carry the exact batch aggregate
+    assert emitted, "append mode emitted nothing"
+    assert set(emitted) < set(full), "watermark withheld no windows"
+    for (start, _etype), agg in emitted.items():
+        assert start + timedelta(hours=1) <= wm + timedelta(seconds=1)
+    for key, agg in emitted.items():
+        assert full[key] == agg, key

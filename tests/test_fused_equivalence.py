@@ -30,6 +30,52 @@ def test_fused_equals_split(spark, clips_df):
     assert fused == split
 
 
+def test_kept_clips_matches_quality_filter(spark, clips_df):
+    """The zero-Exchange narrow recompute (scalar fused UDF + codegen
+    cascade) must select EXACTLY the quality_filter keep set and return the
+    original payload rows unchanged."""
+    from pyspark.sql import functions as F
+
+    from wallaby2caom2_spark.plans.pipeline import kept_clips
+
+    expect = {
+        r["clip_id"]
+        for r in quality_filter(clips_df).filter(F.col("keep")).collect()
+    }
+    got = kept_clips(clips_df).collect()
+    assert {r["clip_id"] for r in got} == expect
+    assert set(kept_clips(clips_df).columns) == set(clips_df.columns)
+    # payload fidelity: rows are the source rows, not a re-encode
+    src = {r["clip_id"]: r["bytes"] for r in clips_df.collect()}
+    for r in got:
+        assert r["bytes"] == src[r["clip_id"]]
+
+
+def test_retaining_scalar_udf_equals_maparrow_stage(spark, clips_df):
+    """with_fused_features_retaining (scalar pandas UDF, payload kept
+    JVM-side) must emit the identical feature struct as the flagship's
+    mapInArrow fused stage for every clip."""
+    from wallaby2caom2_spark.operators.fused_stage import (
+        with_fused_features,
+        with_fused_features_retaining,
+    )
+
+    feat_cols = [
+        "pcm_ok", "sr_meas", "dur_ms_meas", "rms", "clip_rate", "dropout_ms",
+        "lang", "lang_conf", "ppl", "scrubbed_all", "scrub_edits_all",
+    ]
+
+    def by_id(df):
+        return {
+            r["clip_id"]: tuple(r[c] for c in feat_cols)
+            for r in df.select("clip_id", *feat_cols).collect()
+        }
+
+    arrow_form = by_id(with_fused_features(clips_df))
+    scalar_form = by_id(with_fused_features_retaining(clips_df))
+    assert arrow_form == scalar_form
+
+
 def test_binary_views_zero_copy_and_slicing():
     """_binary_views must return content-correct per-row views for plain,
     null-bearing, and SLICED (non-zero offset) BinaryArrays — the layouts a

@@ -156,6 +156,83 @@ def test_tonality_gate_single_decode_crossing(spark):
     assert count(plan, "MapInPandas (") == 1, plan
 
 
+# payload-bearing binary columns — source bytes plus every operator-produced
+# payload (segments, augmented audio, tensors, thumbnails). None of them may
+# ever enter an exchange: at 10^12 rows they are the ~50 KB/row traffic the
+# whole pipeline design exists to keep out of the shuffle system.
+PAYLOAD_COLS = frozenset(
+    ["bytes", "seg_bytes", "aug_bytes", "norm_bytes", "feat_bytes", "thumb_png"]
+)
+
+CLIPS_QUERIES = [
+    "clips_quality_filter",
+    "clips_metrics",
+    "clips_curation_funnel",
+    "clips_waveform_preview",
+    "clips_duration_histogram",
+    "multimodal_media_meta",
+    "audio_fingerprint_neardup",
+    "audio_segment_stats",
+    "audio_normalize_stats",
+    "audio_feature_stats",
+    "audio_vad_stats",
+    "audio_tonality_gate",
+    "audio_trim_stats",
+    "audio_speed_perturb_stats",
+    "audio_speaking_rate_gate",
+    "audio_noise_mix_stats",
+    "audio_dropout_stats",
+]
+
+
+def exchange_inputs(plan: str) -> list[tuple[str, str]]:
+    """(node header, Input line) for every Exchange / BroadcastExchange
+    detail block of a formatted plan."""
+    out = []
+    for block in plan.split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines:
+            continue
+        head = lines[0]
+        if head.startswith("(") and "Exchange" in head:
+            inp = next((l for l in lines if l.startswith("Input")), "")
+            out.append((head, inp))
+    return out
+
+
+@pytest.mark.parametrize("name", CLIPS_QUERIES)
+def test_no_payload_column_crosses_an_exchange(spark, name):
+    """THE byte-shuffle contract (plans/pipeline.py module docstring), now
+    pinned at the plan level for every payload-consuming query: no Exchange
+    of any kind (shuffle or broadcast) may list a payload column in its
+    input. Round 2 violated this latently — kept-clips payloads were
+    re-attached by a semi-join that only AQE's broadcast kept off the wire;
+    the narrow ``kept_clips`` recompute removes the join entirely."""
+    import re
+
+    plan = plan_of(spark, name)
+    for head, inp in exchange_inputs(plan):
+        cols = set(re.findall(r"(\w+)#\d+", inp))
+        bad = cols & PAYLOAD_COLS
+        assert not bad, f"{name}: {head} shuffles {bad}: {inp}"
+
+
+def test_kept_clips_is_zero_exchange_single_scan(spark):
+    """The kept-clips building block itself: scan → fused scalar UDF →
+    codegen filter. ZERO exchanges, ONE parquet scan (the round-2 semi-join
+    form planned two scans of the payload table)."""
+    from wallaby2caom2_spark.plans.pipeline import kept_clips
+    from wallaby2caom2_spark.queries.clips_flagship import load_clips
+
+    df = kept_clips(load_clips(spark, SF))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert count(plan, "Exchange") == 0, plan
+    assert count(plan, "Location: InMemoryFileIndex") == 1, plan
+
+
 def test_sole_blame_subqueries_are_keyed_joins(spark):
     """suppliers_sole_blame: the EXISTS/NOT EXISTS pair must plan as
     hash semi/anti joins keyed on l_orderkey with the supplier inequality

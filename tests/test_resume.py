@@ -128,6 +128,24 @@ def test_crash_after_sinks_does_not_double_count(spark, clips_path, tmp_path):
     assert kept_total == single.filter(F.col("keep")).count()
 
 
+def test_partially_empty_wave_backfills_zero_lineage(spark, tmp_path):
+    """A wave where SOME buckets produce rows and others none: the empty
+    buckets must still get an explicit zero-count lineage row (the groupBy
+    over written results only sees non-empty buckets), so lineage bucket
+    coverage is identical to the all-empty path."""
+    inp = str(tmp_path / "sparse_in")
+    # 3 clips across 64 buckets, one wave → most buckets in the wave are empty
+    datagen.write_clips_parquet(inp, 3, seed=5, rows_per_file=3)
+    out = str(tmp_path / "sparse_out")
+    summary = run_resumable(spark, inp, out, n_buckets=64, n_waves=1)
+    assert set(summary["buckets"]) == set(range(64))
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    rows = {int(r["bucket"]): int(r["clips"]) for r in lineage.collect()}
+    assert set(rows) == set(range(64))  # EVERY committed bucket has a row
+    assert sum(rows.values()) == 3
+    assert 0 in set(rows.values())  # the empty buckets carry explicit zeros
+
+
 def test_empty_input_commits_zero_count_lineage(spark, tmp_path):
     """An input with zero rows writes no parquet footers; the runner must
     still commit every bucket with zero-count lineage instead of aborting

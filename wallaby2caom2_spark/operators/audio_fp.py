@@ -91,10 +91,21 @@ def banded_neardup_pairs(
     """Near-dup clip pairs via LSH banding over the 60-bit fingerprint.
 
     Input needs columns ``clip_id, fp_ok, fp``. Pairs within hamming
-    ``max_hamming`` (< N_BANDS guarantees a shared band by pigeonhole) are
-    found by exploding each fingerprint into 4 ``(band_idx, band_bits)``
-    keys, equi-joining on the band key, then verifying the full hamming
-    distance with JVM ``bit_count`` — all codegen after the one UDF stage.
+    ``max_hamming`` are found by exploding each fingerprint into 4
+    ``(band_idx, band_bits)`` keys, equi-joining on the band key, then
+    verifying the full hamming distance with JVM ``bit_count`` — all
+    codegen after the one UDF stage.
+
+    Recall guarantee (qualified): hamming ≤ 3 across 60 bits must leave at
+    least one of the 4 bands untouched (pigeonhole), BUT the hot-key filter
+    below drops the all-zero band value — so a true near-dup pair whose
+    ONLY untouched band encodes exactly 0 (a gated silent segment, or a
+    live segment whose 15 comparisons all came out false) is missed. This
+    is deliberate: a zero band is either silence (no content identity to
+    match on) or a degenerate monotone-down spectrum shared by unrelated
+    clips, and keeping it would recreate the quadratic (band_idx, 0) LSH
+    hot bucket at corpus scale. Pairs with ≥1 nonzero shared band — every
+    case the golden fixtures exercise — are always found.
     """
     base = fp_df.filter(F.col("fp_ok")).select("clip_id", "fp")
     bands = base.select(

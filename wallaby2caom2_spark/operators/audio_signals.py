@@ -51,6 +51,80 @@ SIGNALS_SCHEMA = T.StructType(
 )
 
 
+class _SignalArrays:
+    """Per-batch output accumulators for the gate signals, shared by the
+    survivors-only pass (``audio_signals``) and the whole-corpus fused pass
+    (``quality_and_signals``) so the two can never diverge numerically
+    (pinned by tests/test_audio_signals.py)."""
+
+    def __init__(self, n: int):
+        self.ok = np.zeros(n, dtype=bool)
+        self.fp_ok = np.zeros(n, dtype=bool)
+        self.fp = np.zeros(n, dtype=np.int64)
+        self.n_fr = np.zeros(n, dtype=np.int32)
+        self.n_sp = np.zeros(n, dtype=np.int32)
+        self.runs = np.zeros(n, dtype=np.int32)
+        self.snr = np.zeros(n, dtype=np.float64)
+        self.sp_ok = np.zeros(n, dtype=bool)
+        self.flat = np.zeros(n, dtype=np.float64)
+        self.cent = np.zeros(n, dtype=np.float64)
+        self.peak = np.zeros(n, dtype=np.float64)
+
+    def fill_row(
+        self, i: int, raw, codec, sr_decl, frame_ms: int, hop_ms: int, gate_db: float
+    ) -> None:
+        """Decode one clip (zero-copy int16 view) and write every gate
+        signal for row ``i``; undecodable / rateless clips leave the
+        containment defaults (ok=False)."""
+        # pass the Arrow buffer through as-is: decode_clip_i16 views it
+        # zero-copy (a bytes() wrap here would memcpy the full payload —
+        # the exact traffic this fused pass exists to avoid)
+        x16, sr_meas = audio.decode_clip_i16(raw, codec)
+        if x16 is None or len(x16) == 0:
+            return
+        sr = sr_meas or audio.declared_sr(sr_decl)
+        if sr <= 0:
+            return
+        self.ok[i] = True
+        self.n_fr[i], self.n_sp[i], self.runs[i], self.snr[i] = _clip_vad(
+            x16, sr, frame_ms, hop_ms, gate_db
+        )
+        # the one int16→float conversion of the pass — the same
+        # _FULL_SCALE scaling decode_clip applies, so fp/spectrum
+        # match the standalone operators bit-for-bit
+        xf = x16.astype(np.float32) / audio._FULL_SCALE
+        self.fp_ok[i], self.fp[i] = audio.band_fingerprint(xf, sr)
+        res = _clip_spectrum(xf, sr)
+        if res is not None:
+            self.sp_ok[i] = True
+            self.flat[i], self.cent[i], self.peak[i] = res
+
+    def columns(self, n: int) -> dict:
+        return {
+            "sig_ok": self.ok,
+            "fp_ok": self.fp_ok,
+            "fp": self.fp,
+            "n_frames": self.n_fr,
+            "n_speech_frames": self.n_sp,
+            "speech_ratio": np.round(
+                np.divide(
+                    self.n_sp,
+                    self.n_fr,
+                    out=np.zeros(n, dtype=np.float64),
+                    where=self.n_fr > 0,
+                )
+                + 1e-12,
+                6,
+            ),
+            "n_speech_runs": self.runs,
+            "snr_db": np.round(self.snr + 1e-9, 3),
+            "spec_ok": self.sp_ok,
+            "flatness": np.round(self.flat + 1e-12, 6),
+            "centroid_hz": np.round(self.cent + 1e-9, 2),
+            "peak_share": np.round(self.peak + 1e-12, 6),
+        }
+
+
 def audio_signals(
     df: DataFrame,
     frame_ms: int = 20,
@@ -62,69 +136,113 @@ def audio_signals(
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            ok = np.zeros(n, dtype=bool)
-            fp_ok = np.zeros(n, dtype=bool)
-            fp = np.zeros(n, dtype=np.int64)
-            n_fr = np.zeros(n, dtype=np.int32)
-            n_sp = np.zeros(n, dtype=np.int32)
-            runs = np.zeros(n, dtype=np.int32)
-            snr = np.zeros(n, dtype=np.float64)
-            sp_ok = np.zeros(n, dtype=bool)
-            flat = np.zeros(n, dtype=np.float64)
-            cent = np.zeros(n, dtype=np.float64)
-            peak = np.zeros(n, dtype=np.float64)
+            sig = _SignalArrays(n)
             for i, (raw, codec, sr_decl) in enumerate(
                 zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
             ):
-                # pass the Arrow buffer through as-is: decode_clip_i16
-                # views it zero-copy (a bytes() wrap here would memcpy the
-                # full payload — the exact traffic this fused pass exists
-                # to avoid)
-                x16, sr_meas = audio.decode_clip_i16(raw, codec)
-                if x16 is None or len(x16) == 0:
-                    continue
-                sr = sr_meas or audio.declared_sr(sr_decl)
-                if sr <= 0:
-                    continue
-                ok[i] = True
-                n_fr[i], n_sp[i], runs[i], snr[i] = _clip_vad(
-                    x16, sr, frame_ms, hop_ms, gate_db
-                )
-                # the one int16→float conversion of the pass — the same
-                # _FULL_SCALE scaling decode_clip applies, so fp/spectrum
-                # match the standalone operators bit-for-bit
-                xf = x16.astype(np.float32) / audio._FULL_SCALE
-                fp_ok[i], fp[i] = audio.band_fingerprint(xf, sr)
-                res = _clip_spectrum(xf, sr)
-                if res is not None:
-                    sp_ok[i] = True
-                    flat[i], cent[i], peak[i] = res
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "sig_ok": ok,
-                    "fp_ok": fp_ok,
-                    "fp": fp,
-                    "n_frames": n_fr,
-                    "n_speech_frames": n_sp,
-                    "speech_ratio": np.round(
-                        np.divide(
-                            n_sp,
-                            n_fr,
-                            out=np.zeros(n, dtype=np.float64),
-                            where=n_fr > 0,
-                        )
-                        + 1e-12,
-                        6,
-                    ),
-                    "n_speech_runs": runs,
-                    "snr_db": np.round(snr + 1e-9, 3),
-                    "spec_ok": sp_ok,
-                    "flatness": np.round(flat + 1e-12, 6),
-                    "centroid_hz": np.round(cent + 1e-9, 2),
-                    "peak_share": np.round(peak + 1e-12, 6),
-                }
-            )
+                sig.fill_row(i, raw, codec, sr_decl, frame_ms, hop_ms, gate_db)
+            cols = sig.columns(n)
+            yield pd.DataFrame({"clip_id": pdf["clip_id"], **cols})
 
     cols = ["clip_id", "bytes", "codec", "sr_hz"]
     return df.select(*cols).mapInPandas(_run, SIGNALS_SCHEMA)
+
+
+QUALITY_SIGNALS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        # quality-filter features (same fields the fused flagship stage emits)
+        T.StructField("pcm_ok", T.BooleanType()),
+        T.StructField("sr_meas", T.IntegerType()),
+        T.StructField("dur_ms_meas", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("clip_rate", T.DoubleType()),
+        T.StructField("dropout_ms", T.DoubleType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("lang_conf", T.FloatType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("scrubbed_all", T.StringType()),
+        T.StructField("scrub_edits_all", T.IntegerType()),
+    ]
+    + [f for f in SIGNALS_SCHEMA.fields if f.name != "clip_id"]
+)
+
+
+def quality_and_signals(
+    df: DataFrame,
+    frame_ms: int = 20,
+    hop_ms: int = 10,
+    gate_db: float = 10.0,
+) -> DataFrame:
+    """The curation DAG's single payload pass: quality-filter features AND
+    every audio gate signal from ONE decode of ONE scan.
+
+    The round-2 funnel ran two payload passes (quality filter over all
+    clips, then ``audio_signals`` over survivors) stitched by a
+    ``clips ⋈ kept_ids`` semi-join — a second full read of the payload
+    column and, past broadcast scale, a payload shuffle. This pass reads
+    each clip once, computes the decode-sanity struct
+    (``audio.decode_features`` — byte-identical to the flagship stage), the
+    text models, and the fingerprint/VAD/spectral signals (shared
+    ``_SignalArrays`` helper — byte-identical to ``audio_signals``), so the
+    whole funnel downstream is codegen + slim joins. Signals computed for
+    clips the cascade then drops are wasted CPU proportional to the drop
+    rate; at 100 TB that trade buys a full corpus read and removes the only
+    payload-bearing join in the DAG. The container header is parsed twice
+    per clip (decode_features + the signal decode) — both return zero-copy
+    int16 views, so no sample data is copied either time."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import scrub, textscore
+
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            srm = np.zeros(n, dtype=np.int32)
+            dur = np.zeros(n, dtype=np.int32)
+            rms = np.zeros(n, dtype=np.float64)
+            clip = np.zeros(n, dtype=np.float64)
+            dropm = np.zeros(n, dtype=np.float64)
+            sig = _SignalArrays(n)
+            for i, (raw, codec, sr_decl) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                sr_d = audio.declared_sr(sr_decl)
+                o, s, d, r, c, dm = audio.decode_features(raw, codec, sr_d)
+                ok[i], srm[i], dur[i], rms[i], clip[i], dropm[i] = (
+                    o, s, d, r, c, dm,
+                )
+                sig.fill_row(i, raw, codec, sr_decl, frame_ms, hop_ms, gate_db)
+            texts = [
+                t if isinstance(t, str) else None for t in pdf["transcript"]
+            ]
+            langs, confs, ppls = textscore.score_batch(texts)
+            out_t, out_n = scrub.scrub_batch(texts)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "sr_hz": pdf["sr_hz"],
+                    "dur_ms": pdf["dur_ms"],
+                    "codec": pdf["codec"],
+                    "transcript": pdf["transcript"],
+                    "pcm_ok": ok,
+                    "sr_meas": srm,
+                    "dur_ms_meas": dur,
+                    "rms": rms,
+                    "clip_rate": clip,
+                    "dropout_ms": dropm,
+                    "lang": langs,
+                    "lang_conf": confs,
+                    "ppl": ppls,
+                    "scrubbed_all": pd.array(out_t, dtype="string"),
+                    "scrub_edits_all": pd.array(out_n, dtype="int32"),
+                    **sig.columns(n),
+                }
+            )
+
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    return df.select(*cols).mapInPandas(_run, QUALITY_SIGNALS_SCHEMA)

@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -160,3 +161,92 @@ def with_fused_features(df: DataFrame) -> DataFrame:
     (java.util.regex backtracking) and ~65 us/row for Python ``re``."""
     cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
     return df.select(*cols).mapInArrow(fused_features_arrow, FUSED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# payload-retaining variant (scalar pandas UDF)
+# ---------------------------------------------------------------------------
+
+FUSED_UDF_SCHEMA = T.StructType(
+    [
+        T.StructField("pcm_ok", T.BooleanType()),
+        T.StructField("sr_meas", T.IntegerType()),
+        T.StructField("dur_ms_meas", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("clip_rate", T.DoubleType()),
+        T.StructField("dropout_ms", T.DoubleType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("lang_conf", T.FloatType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("scrubbed_all", T.StringType()),
+        T.StructField("scrub_edits_all", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(FUSED_UDF_SCHEMA)
+def fused_features_udf(
+    batches: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
+) -> Iterator[pd.DataFrame]:
+    """Scalar-UDF form of the fused stage: same ONE JVM→Python crossing, but
+    the original row — including the payload — stays JVM-side. The payload
+    is serialized INTO the worker once (the decode needs the bytes anyway)
+    and only the slim feature struct comes back: nothing payload-sized ever
+    re-crosses Arrow or enters an exchange. Semantics are shared with the
+    mapInArrow form (same functions/ helpers), pinned by
+    tests/test_fused_equivalence.py."""
+    from ..functions import audio, scrub, textscore
+
+    for payload, codec, sr, transcript in batches:
+        n = len(payload)
+        ok = np.zeros(n, dtype=bool)
+        srm = np.zeros(n, dtype=np.int32)
+        dur = np.zeros(n, dtype=np.int32)
+        rms = np.zeros(n, dtype=np.float64)
+        clip = np.zeros(n, dtype=np.float64)
+        dropm = np.zeros(n, dtype=np.float64)
+        codec_v = codec.to_numpy()
+        sr_v = sr.to_numpy()
+        for i, raw in enumerate(payload.to_numpy()):
+            o, s, d, r, c, dm = audio.decode_features(
+                raw, codec_v[i], audio.declared_sr(sr_v[i])
+            )
+            ok[i], srm[i], dur[i], rms[i], clip[i], dropm[i] = o, s, d, r, c, dm
+        texts = [t if isinstance(t, str) else None for t in transcript.to_numpy()]
+        langs, confs, ppls = textscore.score_batch(texts)
+        out_t, out_n = scrub.scrub_batch(texts)
+        yield pd.DataFrame(
+            {
+                "pcm_ok": ok,
+                "sr_meas": srm,
+                "dur_ms_meas": dur,
+                "rms": rms,
+                "clip_rate": clip,
+                "dropout_ms": dropm,
+                "lang": langs,
+                "lang_conf": confs,
+                "ppl": ppls,
+                "scrubbed_all": pd.array(out_t, dtype="string"),
+                "scrub_edits_all": pd.array(out_n, dtype="int32"),
+            }
+        )
+
+
+def with_fused_features_retaining(df: DataFrame) -> DataFrame:
+    """Append the fused feature struct while RETAINING every input column
+    (notably ``bytes``) in the JVM row — the building block of the
+    zero-Exchange kept-clips path (plans/pipeline.py ``kept_clips``).
+    Use when a downstream stage needs survivor payloads: the alternative —
+    running the slim fused stage and semi-joining payloads back — plans a
+    second scan and, once the kept set outgrows a broadcast, shuffles the
+    payload column (forbidden, see plans/pipeline.py module docstring)."""
+    return (
+        df.withColumn(
+            "_f",
+            fused_features_udf(
+                F.col("bytes"), F.col("codec"), F.col("sr_hz"), F.col("transcript")
+            ),
+        )
+        .select("*", "_f.*")
+        .drop("_f")
+    )

@@ -42,11 +42,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import audio_fp, spectral
-from ..operators.audio_signals import audio_signals
+from ..config import DEFAULT_CONFIG
+from ..operators import audio_fp, cascade, spectral, text_stage
+from ..operators.audio_signals import quality_and_signals
 from ..operators.features import feature_frames
 from ..operators.partitioning import with_bucket
-from ..plans.pipeline import quality_filter
 from ..sources.clips import read_clips
 
 # gate thresholds (corpus-calibrated; the SHAPE is the deliverable);
@@ -75,39 +75,48 @@ def _staged(clips: DataFrame, caches: list | None = None) -> DataFrame:
     {1_quality_dropped, 2_undecodable, 2_tonal_artifact, 2_no_speech,
      3_neardup_dropped, 4_train, 4_valid, 4_test}.
     """
-    # persist the two slim UDF-stage outputs at their branch points: each
-    # feeds 2+ join arms of ONE action, and Spark has no cross-branch
-    # common-subexpression elimination for mapInPandas subtrees — without
-    # the cache the payload column would be decoded once PER BRANCH,
-    # silently breaking the one-decode contract this module advertises.
-    # Both frames are payload-free (~100 B/clip), so caching them costs
-    # ~0.01% of the corpus they summarize. Lifetime: the cache must outlive
-    # the returned LAZY frame (the caller's action populates and reads it),
+    # ONE payload pass for the entire DAG (operators/audio_signals.py
+    # ``quality_and_signals``): quality features + text models + every gate
+    # signal come back slim from a single decode of a single scan — the
+    # round-2 form ran a second payload pass over survivors stitched by a
+    # ``clips ⋈ kept_ids`` semi-join (a second corpus read, and a payload
+    # shuffle once the kept set outgrows a broadcast). Persist the slim
+    # labeled frame at its branch point: it feeds the final label select,
+    # the gate classification, and the dedup candidates — all codegen over
+    # the cached rows, so the UDF pass executes exactly once per action.
+    # Payload-free (~100 B/clip + transcript), so caching costs ~0.01% of
+    # the corpus. Lifetime: the cache must outlive the returned LAZY frame,
     # so _staged cannot unpersist — callers that fully materialize
     # (curate_corpus) clean up via ``caches``; lazy callers (the funnel
     # query) leave the slim blocks to Spark's LRU.
-    result = (
-        quality_filter(clips)
-        .select("clip_id", "keep", "lang", "scrubbed_transcript")
+    labeled = (
+        quality_and_signals(clips)
+        .transform(cascade.with_transcript_stats)
+        .transform(lambda d: cascade.with_keep_drop(d, DEFAULT_CONFIG))
+        .transform(text_stage.mask_scrub)
+        .withColumn(
+            "gate_stage",
+            F.when(~F.col("keep"), F.lit(None).cast("string"))
+            .when(~F.col("sig_ok"), "2_undecodable")
+            .when(spectral.tonal_artifact_cond(), "2_tonal_artifact")
+            .when(F.col("speech_ratio") < MIN_SPEECH_RATIO, "2_no_speech")
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .select(
+            "clip_id",
+            "keep",
+            "lang",
+            "scrubbed_transcript",
+            "gate_stage",
+            "fp_ok",
+            "fp",
+        )
         .persist()
     )
     if caches is not None:
-        caches.append(result)
-    survivors = clips.join(
-        result.filter(F.col("keep")).select("clip_id"), "clip_id", "left_semi"
-    )
-    sig = audio_signals(survivors)
-    gated = sig.withColumn(
-        "gate_stage",
-        F.when(~F.col("sig_ok"), "2_undecodable")
-        .when(spectral.tonal_artifact_cond(), "2_tonal_artifact")
-        .when(F.col("speech_ratio") < MIN_SPEECH_RATIO, "2_no_speech")
-        .otherwise(F.lit(None).cast("string")),
-    ).persist()
-    if caches is not None:
-        caches.append(gated)
-    # dedup candidates come only from clips that passed the gates
-    passed = gated.filter(F.col("gate_stage").isNull())
+        caches.append(labeled)
+    # dedup candidates come only from clips that passed filter + gates
+    passed = labeled.filter(F.col("keep") & F.col("gate_stage").isNull())
     losers = (
         audio_fp.banded_neardup_pairs(passed, max_hamming=MAX_HAMMING)
         .select(F.col("clip_b").alias("clip_id"))
@@ -121,10 +130,7 @@ def _staged(clips: DataFrame, caches: list | None = None) -> DataFrame:
         .otherwise(F.concat(F.lit("4_"), _split_col()))
     )
     return (
-        result.join(
-            gated.select("clip_id", "gate_stage"), "clip_id", "left"
-        )
-        .join(losers, "clip_id", "left")
+        labeled.join(losers, "clip_id", "left")
         .select("clip_id", "lang", "scrubbed_transcript", stage.alias("stage"))
     )
 
@@ -144,12 +150,25 @@ def curate_corpus(
     clips_path: str,
     out_path: str,
     n_buckets: int = 8,
+    clips_table: str | None = None,
 ) -> dict:
     """Run the full curation DAG and export (split, bucket)-partitioned
-    training shards + manifest. Returns the manifest dict."""
+    training shards + manifest. Returns the manifest dict.
+
+    The one irreducible payload join left in the DAG is the final-survivor
+    attach below (``clips ⋈ final_ids`` — the survivor set is decided by
+    the dedup join, so no narrow recompute can reproduce it). Pass
+    ``clips_table`` — a table written ``bucketBy(clip_id)``
+    (sources/bucketed.py) — to read the payload side with bucketing
+    metadata: the sort-merge join then exchanges ONLY the slim id side into
+    the existing buckets and the payload column never enters a shuffle
+    (plan pinned in tests/test_plan_shapes.py). Without it (path read),
+    correctness is identical but the payload side relies on AQE choosing a
+    broadcast of the id side — fine at sandbox scale, not at 10^12 rows."""
     from pyspark.storagelevel import StorageLevel
 
     clips = read_clips(spark, clips_path)
+    attach_side = spark.table(clips_table) if clips_table else clips
     # every frame persisted inside this run is materialized before return,
     # so it can (and must) be unpersisted — a long-lived session running
     # many exports would otherwise accumulate cached blocks until LRU
@@ -167,7 +186,7 @@ def curate_corpus(
             "scrubbed_transcript",
             F.substring("stage", 3, 10).alias("split"),
         )
-        survivors = clips.join(
+        survivors = attach_side.join(
             final.select("clip_id"), "clip_id", "left_semi"
         )
         feats = feature_frames(survivors).filter(F.col("feat_ok"))

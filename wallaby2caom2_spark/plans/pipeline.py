@@ -95,6 +95,30 @@ def quality_filter(
     return df
 
 
+def kept_clips(clips: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Quality-filter survivors WITH their payloads — the zero-Exchange form.
+
+    Downstream payload stages (segmentation, tensor extraction, trim,
+    augmentation — queries/clips_flagship.py) need (bytes + keep). Joining
+    payloads back to the slim filter output (``clips ⋈ kept_ids`` left-semi)
+    reads the corpus twice and, once the kept set outgrows a broadcast
+    (~50% of 10^12 rows), plans a sort-merge join that shuffles the ~50 KB
+    payload column — violating this module's "bytes never cross a shuffle"
+    contract. Instead the keep decision is recomputed NARROWLY: the fused
+    feature struct is attached by a scalar pandas UDF (payload stays in the
+    JVM row), the cascade runs in codegen, and the filter prunes in place —
+    scan → UDF → filter, ONE scan, ZERO exchanges of any kind. Pinned by
+    tests/test_plan_shapes.py (no Exchange carries a payload column) and
+    tests/test_fused_equivalence.py (same kept set as ``quality_filter``).
+    """
+    labeled = (
+        clips.transform(fused_stage.with_fused_features_retaining)
+        .transform(cascade.with_transcript_stats)
+        .transform(lambda d: cascade.with_keep_drop(d, cfg))
+    )
+    return labeled.filter(F.col("keep")).select(*clips.columns)
+
+
 def run_metrics(result: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """North-rule counters: clips seen / kept / dropped-by-rule / scrub edits.
 

@@ -96,12 +96,19 @@ def run_resumable(
             if not _is_schemaless_read(e):
                 raise
             written, counts = None, []
+        # every committed bucket gets a lineage row: in a partially-empty
+        # wave the groupBy sees only buckets that produced rows, so the
+        # empty ones are back-filled with an explicit 0 — the same row the
+        # all-empty (schemaless read) case writes, keeping lineage bucket
+        # coverage identical across the two paths
+        have = {b for b, _ in counts}
+        counts.extend((b, 0) for b in bucket_group if b not in have)
         lineage_src.append_lineage(
             spark,
             os.path.join(out_dir, "lineage"),
             run_id,
             wave_i,
-            counts or [(b, 0) for b in bucket_group],
+            counts,
         )
         if written is not None:
             lineage_src.append_metrics(

@@ -31,7 +31,7 @@ from ..operators import (
     spectral,
     vad,
 )
-from ..plans.pipeline import quality_filter, run_metrics
+from ..plans.pipeline import kept_clips, quality_filter, run_metrics
 from ..sources import clips as clips_src
 
 _CACHE_ROOT = "/tmp/wallaby_clips_cache"
@@ -75,13 +75,12 @@ def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kept_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clips that survive the quality filter, with their payloads — the
-    single definition of "kept" every downstream stat query shares (a
-    left-semi join back to the scan; the filter output itself no longer
-    carries ``bytes``)."""
-    kept = quality_filter(load_clips(spark, sf_dir)).filter(F.col("keep"))
-    return load_clips(spark, sf_dir).join(
-        kept.select("clip_id"), "clip_id", "left_semi"
-    )
+    single definition of "kept" every downstream stat query shares.
+    Zero-Exchange narrow recompute (plans/pipeline.py ``kept_clips``): one
+    scan, keep decided in place, no payload ever enters a shuffle — the
+    round-2 semi-join form read the corpus twice and would have shuffled
+    the payload column once the kept set outgrew a broadcast."""
+    return kept_clips(load_clips(spark, sf_dir))
 
 
 def clips_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

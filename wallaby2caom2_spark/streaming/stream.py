@@ -70,24 +70,30 @@ def run_stream(
         # write would re-run the whole fused decode+model pipeline from the
         # source files — doubling the dominant cost of every epoch
         batch.persist()
-        (
-            batch.write.mode("overwrite")
-            # per-write dynamic overwrite: the exactly-once contract must
-            # not depend on who built the session (STATIC would truncate
-            # every earlier batch's partitions)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "bucket")
-            .parquet(results_path)
-        )
-        (
-            run_metrics(batch.drop("batch_id"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(metrics_path)
-        )
-        batch.unpersist()
+        # try/finally: a failed write raises into the streaming engine,
+        # which RETRIES the batch with a fresh sink call — without the
+        # finally, every retry would leak one more cached copy of the
+        # micro-batch into executor memory
+        try:
+            (
+                batch.write.mode("overwrite")
+                # per-write dynamic overwrite: the exactly-once contract
+                # must not depend on who built the session (STATIC would
+                # truncate every earlier batch's partitions)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "bucket")
+                .parquet(results_path)
+            )
+            (
+                run_metrics(batch.drop("batch_id"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(metrics_path)
+            )
+        finally:
+            batch.unpersist()
 
     writer = (
         result.writeStream.foreachBatch(sink)

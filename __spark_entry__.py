@@ -41,13 +41,17 @@ def oracle_sql() -> dict[str, str]:
     recomputes it from the same cached clips parquet (path baked in at
     sf0.01 — the driver's comparison scale; generated here if absent)."""
     from wallaby2caom2_spark.queries.clips_flagship import (
+        dropout_stats_oracle,
         duration_histogram_oracle,
         media_meta_oracle,
+        vad_stats_oracle,
     )
 
+    sf = "/root/testdata/sf0.01"
     out = dict(ALL_ORACLE)
-    out["multimodal_media_meta"] = media_meta_oracle("/root/testdata/sf0.01")
-    out["clips_duration_histogram"] = duration_histogram_oracle(
-        "/root/testdata/sf0.01"
-    )
+    out["multimodal_media_meta"] = media_meta_oracle(sf)
+    out["clips_duration_histogram"] = duration_histogram_oracle(sf)
+    # integer-domain audio stats replayed from the decoded-features fixture
+    out["audio_dropout_stats"] = dropout_stats_oracle(sf)
+    out["audio_vad_stats"] = vad_stats_oracle(sf)
     return out

@@ -28,17 +28,47 @@ def test_registry_shape():
         "audio_segment_stats",
         "audio_normalize_stats",
         "audio_feature_stats",
-        "audio_vad_stats",
         "audio_tonality_gate",
         "clips_curation_funnel",
         "audio_trim_stats",
         "audio_speed_perturb_stats",
         "audio_speaking_rate_gate",
         "audio_noise_mix_stats",
-        "audio_dropout_stats",
     }
     for name, sql in o.items():
         assert sql.strip(), name
+
+
+def test_manifest_in_sync_with_registry():
+    """docs/QUERIES.json is the committed, machine-readable registry view
+    (name → family → oracle kind → backing pytest) — regenerate it here and
+    fail on drift so any correctness-gate sampler always sees what each
+    rows-only entry is backed by."""
+    import os
+
+    from wallaby2caom2_spark.queries import manifest as m
+
+    generated = m.manifest_json()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "docs", "QUERIES.json")
+    with open(path) as fh:
+        committed = fh.read()
+    assert committed == generated, (
+        "docs/QUERIES.json is stale — regenerate with: python -c "
+        '"from wallaby2caom2_spark.queries.manifest import manifest_json; '
+        "open('docs/QUERIES.json','w').write(manifest_json())\""
+    )
+    built = m.build_manifest()
+    # every registry query appears exactly once
+    assert set(built) == set(entry.queries())
+    # every rows-only entry names an existing pytest file
+    for name, info in built.items():
+        if not info["has_oracle"]:
+            assert info["backing_pytest"], name
+            assert os.path.exists(os.path.join(repo, info["backing_pytest"])), name
+    # oracle bookkeeping matches the live oracle_sql() surface
+    live_oracles = set(entry.oracle_sql())
+    assert {n for n, i in built.items() if i["has_oracle"]} == live_oracles
 
 
 @pytest.mark.parametrize(

@@ -218,6 +218,53 @@ def _write_chunk(args: tuple) -> str:
     return fqn
 
 
+def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic image-mix rows (clip_id, bytes) for the multimodal
+    operator: real PNGs (hand-encoded via functions/preview.py — the SAME
+    in-tree encoder the preview sink uses), JPEG-magic stubs, plus raw and
+    empty payloads, so every branch of the media-kind sniff and the real
+    IHDR geometry parse is exercised by data both engines can read."""
+    from .functions.preview import encode_png_gray
+
+    rows: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed + 7_000_000, i)
+        kind_roll = i % 10
+        if kind_roll < 5:  # real PNG, varied geometry
+            w = 16 + int(rng.integers(0, 100))
+            h = 16 + int(rng.integers(0, 80))
+            img = (
+                (np.arange(w * h, dtype=np.int64) * (i + 3)) % 251
+            ).astype(np.uint8).reshape(h, w)
+            payload = encode_png_gray(img)
+        elif kind_roll < 8:  # JPEG magic + deterministic filler (stub path)
+            body_len = 64 + int(rng.integers(0, 4096))
+            payload = b"\xff\xd8\xff\xe0" + bytes(
+                (i * 31 + j) % 256 for j in range(body_len)
+            )
+        elif kind_roll < 9:  # unrecognized container
+            payload = b"GARB" + bytes((i + j) % 256 for j in range(40))
+        else:  # empty
+            payload = b""
+        rows.append({"clip_id": f"media_{i:06d}", "bytes": payload})
+    return rows
+
+
+def write_media_parquet(path: str, n: int, seed: int = 42) -> str:
+    """Write the image-mix side table (one file; it is branch-coverage
+    data, not scale data — the clips table provides the volume)."""
+    os.makedirs(path, exist_ok=True)
+    rows = generate_media_rows(n, seed)
+    table = pa.table(
+        {
+            "clip_id": pa.array([r["clip_id"] for r in rows], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        }
+    )
+    pq.write_table(table, os.path.join(path, "part-000.parquet"))
+    return path
+
+
 def write_clips_parquet(
     path: str,
     n: int,

@@ -3,8 +3,10 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with typed
 metadata, per the 100 TB training-data-pipeline design: the Spark-side
 plumbing (schema, Arrow batch shape, iterator lifecycle, partitioning) is
-real and tested; the actual pixel/frame decode is STUBBED because the
-image/audio libraries are not in this container.
+real and tested. PNG geometry is REAL (stdlib IHDR parse — the repo
+hand-writes PNGs in functions/preview.py, so the format knowledge is
+in-tree); only the JPEG pixel decode remains stubbed because the image
+libraries are not in this container.
 
 Reference analog: the preview/thumbnail visitor (S11,
 ``wallaby2caom2/preview_augmentation.py:77-97``) — a per-item binary →
@@ -57,14 +59,25 @@ def _sniff_kind(payload: bytes | None) -> str:
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB: real decode needs PIL/libvips (absent here) — swap this body
-    for ``PIL.Image.open(io.BytesIO(payload)).size`` when wiring the real
-    path. Always emits a deterministic fake geometry derived from payload
-    length so the downstream plumbing (resize planning, batch accounting)
-    is exercised — unconditionally, so a host where PIL merely happens to
-    be importable doesn't turn every png/jpeg row into a task crash."""
+    """JPEG STUB: real decode needs PIL/libvips (absent here) — swap this
+    body for ``PIL.Image.open(io.BytesIO(payload)).size`` when wiring the
+    real path. Always emits a deterministic fake geometry derived from
+    payload length so the downstream plumbing (resize planning, batch
+    accounting) is exercised — unconditionally, so a host where PIL merely
+    happens to be importable doesn't turn every jpeg row into a task
+    crash."""
     n = len(payload)
     return 16 + n % 64, 16 + (n // 64) % 64
+
+
+def _png_dims(payload: bytes) -> tuple[int, int]:
+    """REAL PNG geometry: IHDR width/height, big-endian uint32 at byte
+    offsets 16 and 20 (8-byte signature + 4-byte chunk length + 4-byte
+    ``IHDR`` tag precede them — fixed by the PNG spec, the IHDR chunk MUST
+    come first). No PIL needed. Caller guarantees ``len(payload) >= 24``."""
+    import struct
+
+    return struct.unpack_from(">II", payload, 16)
 
 
 def extract_media_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -75,10 +88,17 @@ def extract_media_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             payload = bytes(raw) if raw is not None else None
             kind = _sniff_kind(payload)
             n = len(payload) if payload else 0
-            ok = kind not in ("empty", "raw") and n > 12
+            # a PNG needs its full IHDR (sig + chunk header + 8 dim bytes =
+            # 24) to be decodable; other kinds keep the header floor of 12
+            ok = kind not in ("empty", "raw") and (
+                n >= 24 if kind == "png" else n > 12
+            )
             w = h = frames = 0
             if ok:
-                if kind in ("png", "jpeg"):
+                if kind == "png":
+                    w, h = _png_dims(payload)
+                    frames = 1
+                elif kind == "jpeg":
                     w, h = _decode_image_stub(payload)
                     frames = 1
                 else:  # audio container: frame-sample plan = 1 frame / 100ms
@@ -108,4 +128,8 @@ def media_kind_summary(df: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.sum(F.when(F.col("media_ok"), 1).otherwise(0)).cast("bigint").alias("n_ok"),
         F.sum("n_frames").cast("bigint").alias("total_frames"),
+        # geometry sums pin the IHDR parse (png) and the stub arithmetic
+        # (jpeg) under the DuckDB oracle; 0 for non-image kinds
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
     )

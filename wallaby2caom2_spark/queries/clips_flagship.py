@@ -73,6 +73,134 @@ def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clips_src.read_clips(spark, clips_path_for(sf_dir))
 
 
+_MEDIA_N = 200  # branch-coverage side table — fixed size at every sf
+_MEDIA_VERSION = "v1"
+
+
+def media_path_for(sf_dir: str) -> str:
+    """Deterministic image-mix side table (real PNGs + jpeg stubs + raw +
+    empty payloads, datagen.generate_media_rows) cached next to the clips
+    cache with the same atomic-rename concurrency contract."""
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = os.path.join(
+        _CACHE_ROOT, f"{name}-media-{_MEDIA_VERSION}-n{_MEDIA_N}"
+    )
+    marker = os.path.join(path, "_SUCCESS_GEN")
+    if not os.path.exists(marker):
+        tmp = f"{path}.gen-{os.getpid()}"
+        datagen.write_media_parquet(tmp, _MEDIA_N, seed=42)
+        with open(os.path.join(tmp, "_SUCCESS_GEN"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+_FEATURES_VERSION = "v1"
+
+
+def features_path_for(sf_dir: str) -> str:
+    """Per-clip decoded-features fixture (clip_id, pcm_ok, dropout_ms,
+    dur_ms_meas, vad_ok, n_frames, n_speech_frames, speech_ratio,
+    n_speech_runs, snr_db) computed in PURE PYTHON (no Spark) from the
+    cached clips parquet — the replay table that lets DuckDB oracle-check
+    the integer-domain audio stats (dropout run lengths, VAD frame counts)
+    exactly. Uses the same shared helpers the UDFs call
+    (functions/audio.decode_features, operators/vad._clip_vad), mirroring
+    the golden-labeler convention (oracle.py); values are stored with the
+    UDFs' own rounding so aggregation replays bit-compatibly. Same
+    atomic-rename concurrency contract as the clips cache."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions import audio as audio_fn
+    from ..operators.vad import _clip_vad
+
+    clips_path = clips_path_for(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    n = _N_BY_SF.get(name, 2000)
+    path = os.path.join(
+        _CACHE_ROOT, f"{name}-features-{_FEATURES_VERSION}-n{n}"
+    )
+    marker = os.path.join(path, "_SUCCESS_GEN")
+    if os.path.exists(marker):
+        return path
+    cols: dict[str, list] = {
+        k: []
+        for k in (
+            "clip_id", "pcm_ok", "dur_ms_meas", "dropout_ms", "vad_ok",
+            "n_frames", "n_speech_frames", "speech_ratio", "n_speech_runs",
+            "snr_db",
+        )
+    }
+    import glob as _glob
+
+    for part in sorted(_glob.glob(os.path.join(clips_path, "*.parquet"))):
+        t = pq.read_table(
+            part, columns=["clip_id", "bytes", "sr_hz", "codec"]
+        )
+        for cid, raw, sr_decl, codec in zip(
+            t.column("clip_id").to_pylist(),
+            t.column("bytes").to_pylist(),
+            t.column("sr_hz").to_pylist(),
+            t.column("codec").to_pylist(),
+        ):
+            sr_d = audio_fn.declared_sr(sr_decl)
+            ok, _sr, dur, _rms, _cr, dm = audio_fn.decode_features(
+                raw, codec, sr_d
+            )
+            x16, sr_meas = audio_fn.decode_clip_i16(raw, codec)
+            sr = (sr_meas or sr_d) if x16 is not None else 0
+            if x16 is not None and len(x16) > 0 and sr > 0:
+                vad_ok = True
+                nf, nsp, runs, snr = _clip_vad(x16, sr, 20, 10, 10.0)
+            else:
+                vad_ok, nf, nsp, runs, snr = False, 0, 0, 0, 0.0
+            ratio = (nsp / nf) if nf > 0 else 0.0
+            cols["clip_id"].append(cid)
+            cols["pcm_ok"].append(bool(ok))
+            cols["dur_ms_meas"].append(int(dur))
+            cols["dropout_ms"].append(float(dm))
+            cols["vad_ok"].append(vad_ok)
+            cols["n_frames"].append(int(nf))
+            cols["n_speech_frames"].append(int(nsp))
+            # the UDFs' own per-clip rounding (operators/vad.py)
+            cols["speech_ratio"].append(float(np.round(ratio + 1e-12, 6)))
+            cols["n_speech_runs"].append(int(runs))
+            cols["snr_db"].append(float(np.round(snr + 1e-9, 3)))
+    table = pa.table(
+        {
+            "clip_id": pa.array(cols["clip_id"], pa.string()),
+            "pcm_ok": pa.array(cols["pcm_ok"], pa.bool_()),
+            "dur_ms_meas": pa.array(cols["dur_ms_meas"], pa.int32()),
+            "dropout_ms": pa.array(cols["dropout_ms"], pa.float64()),
+            "vad_ok": pa.array(cols["vad_ok"], pa.bool_()),
+            "n_frames": pa.array(cols["n_frames"], pa.int32()),
+            "n_speech_frames": pa.array(cols["n_speech_frames"], pa.int32()),
+            "speech_ratio": pa.array(cols["speech_ratio"], pa.float64()),
+            "n_speech_runs": pa.array(cols["n_speech_runs"], pa.int32()),
+            "snr_db": pa.array(cols["snr_db"], pa.float64()),
+        }
+    )
+    tmp = f"{path}.gen-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp, "part-000.parquet"))
+    with open(os.path.join(tmp, "_SUCCESS_GEN"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def _kept_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clips that survive the quality filter, with their payloads — the
     single definition of "kept" every downstream stat query shares.
@@ -94,23 +222,30 @@ def clips_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary metadata extraction plumbing (stubbed decode)."""
-    return multimodal.media_kind_summary(load_clips(spark, sf_dir)).orderBy(
+    """Opaque-binary metadata extraction over the clips payloads UNIONED
+    with the image-mix side table — real PNG IHDR geometry, jpeg stub
+    geometry, audio frame-sample plan, all oracle-checked."""
+    clips = load_clips(spark, sf_dir).select("clip_id", "bytes")
+    media = spark.read.parquet(media_path_for(sf_dir))
+    return multimodal.media_kind_summary(clips.unionByName(media)).orderBy(
         F.col("kind")
     )
 
 
 def media_meta_oracle(sf_dir: str) -> str:
-    """DuckDB oracle for ``multimodal_media_meta``: the magic-byte sniff and
-    the deterministic stub geometry are pure arithmetic, so the whole
-    mapInPandas stage is SQL-checkable — DuckDB reads the SAME cached clips
-    parquet (``clips_path_for`` generates it if absent, so calling this from
-    ``oracle_sql()`` is self-contained on the driver). Byte-prefix matching
-    uses ``left(hex(bytes), k)`` because DuckDB has no BLOB starts_with."""
+    """DuckDB oracle for ``multimodal_media_meta``: the magic-byte sniff,
+    the REAL PNG IHDR parse (two big-endian uint32s read out of the hex
+    dump) and the deterministic jpeg stub geometry are all pure arithmetic,
+    so the whole mapInPandas stage is SQL-checkable — DuckDB reads the SAME
+    cached parquet fixtures (``clips_path_for``/``media_path_for`` generate
+    them if absent, so calling this from ``oracle_sql()`` is self-contained
+    on the driver). Byte-prefix matching uses ``left(hex(bytes), k)``
+    because DuckDB has no BLOB starts_with."""
     path = clips_path_for(sf_dir)
+    media = media_path_for(sf_dir)
     return f"""
 WITH c AS (
-  SELECT octet_length(bytes) AS n,
+  SELECT octet_length(bytes) AS n, bytes,
     CASE
       WHEN bytes IS NULL OR octet_length(bytes) = 0 THEN 'empty'
       WHEN left(hex(bytes), 8) = '52494646' THEN 'wav'
@@ -119,19 +254,33 @@ WITH c AS (
       WHEN left(hex(bytes), 6) = 'FFD8FF' THEN 'jpeg'
       ELSE 'raw'
     END AS kind
-  FROM read_parquet('{path}/*.parquet')
+  FROM read_parquet(['{path}/*.parquet', '{media}/*.parquet'],
+                    union_by_name=true)
 ),
 m AS (
   SELECT kind, n,
-    (kind NOT IN ('empty', 'raw') AND n > 12) AS ok,
-    CASE WHEN NOT (kind NOT IN ('empty', 'raw') AND n > 12) THEN 0
+    (kind NOT IN ('empty', 'raw')
+     AND CASE WHEN kind = 'png' THEN n >= 24 ELSE n > 12 END) AS ok,
+    CASE WHEN NOT (kind NOT IN ('empty', 'raw')
+                   AND CASE WHEN kind = 'png' THEN n >= 24 ELSE n > 12 END)
+         THEN 0
          WHEN kind IN ('png', 'jpeg') THEN 1
-         ELSE greatest(1, n // 3200) END AS frames
+         ELSE greatest(1, n // 3200) END AS frames,
+    CASE WHEN kind = 'png' AND n >= 24
+           THEN ('0x' || substr(hex(bytes), 33, 8))::BIGINT
+         WHEN kind = 'jpeg' AND n > 12 THEN 16 + n % 64
+         ELSE 0 END AS width,
+    CASE WHEN kind = 'png' AND n >= 24
+           THEN ('0x' || substr(hex(bytes), 41, 8))::BIGINT
+         WHEN kind = 'jpeg' AND n > 12 THEN 16 + (n // 64) % 64
+         ELSE 0 END AS height
   FROM c
 )
 SELECT kind, count(*)::BIGINT AS n_clips, sum(n)::BIGINT AS total_bytes,
        sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_ok,
-       sum(frames)::BIGINT AS total_frames
+       sum(frames)::BIGINT AS total_frames,
+       sum(width)::BIGINT AS sum_width,
+       sum(height)::BIGINT AS sum_height
 FROM m GROUP BY kind ORDER BY kind
 """
 
@@ -174,6 +323,52 @@ SELECT codec,
        round(avg(dur_ms) + 1e-9, 2) AS avg_dur_ms
 FROM read_parquet('{path}/*.parquet')
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def dropout_stats_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``audio_dropout_stats``: the dropout run-length is
+    exact integer math on the int16 samples, persisted per clip into the
+    decoded-features fixture (``features_path_for`` — pure-Python replay of
+    the shared helpers); DuckDB re-runs the classification cascade and the
+    aggregation from it."""
+    from ..config import DEFAULT_CONFIG
+
+    t = DEFAULT_CONFIG.thresholds
+    path = features_path_for(sf_dir)
+    return f"""
+WITH classed AS (
+  SELECT CASE
+    WHEN NOT pcm_ok THEN 'undecodable'
+    WHEN dropout_ms >= dur_ms_meas * 0.95 THEN 'quiet_audio'
+    WHEN dropout_ms > {t.max_dropout_ms} THEN 'dropout'
+    WHEN dropout_ms > 5.0 THEN 'minor_gap'
+    ELSE 'clean' END AS dropout_class,
+    dropout_ms
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT dropout_class, count(*)::BIGINT AS n_clips,
+       round(avg(dropout_ms) + 1e-9, 2) AS avg_dropout_ms,
+       round(max(dropout_ms) + 1e-9, 2) AS max_dropout_ms
+FROM classed GROUP BY dropout_class ORDER BY dropout_class
+"""
+
+
+def vad_stats_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``audio_vad_stats``: frame counts / speech runs are
+    exact integers and speech_ratio/snr_db are stored with the UDF's own
+    per-clip rounding, so the aggregation replays from the decoded-features
+    fixture."""
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT vad_ok, count(*)::BIGINT AS n_clips,
+       sum(n_frames)::BIGINT AS total_frames,
+       sum(n_speech_frames)::BIGINT AS total_speech_frames,
+       round(avg(speech_ratio) + 1e-9, 4) AS avg_speech_ratio,
+       round(avg(snr_db) + 1e-9, 2) AS avg_snr_db,
+       sum(n_speech_runs)::BIGINT AS total_runs
+FROM read_parquet('{path}/*.parquet')
+GROUP BY vad_ok ORDER BY vad_ok
 """
 
 

@@ -1,0 +1,78 @@
+"""Machine-readable registry manifest (docs/QUERIES.json).
+
+The driver's correctness gate samples a subset of ``queries()``; this
+manifest lets any sampler (or the judge) see, per query: its operator
+family, whether it carries a DuckDB oracle (rows+schema+value-hash check)
+or is rows-only, and — for rows-only entries — which pytest file pins its
+values. Regenerated and sync-asserted by tests/test_queries_registry.py, so
+the committed file can never drift from the registry.
+"""
+
+from __future__ import annotations
+
+import json
+
+from . import ALL_ORACLE, ALL_QUERIES
+
+# clips queries whose oracle is generated at call time from the cached
+# fixture parquets (__spark_entry__.oracle_sql) rather than registered in a
+# module-level ORACLE dict
+_GENERATED_ORACLES = frozenset(
+    [
+        "multimodal_media_meta",
+        "clips_duration_histogram",
+        "audio_dropout_stats",
+        "audio_vad_stats",
+    ]
+)
+
+# rows-only queries → the pytest file that pins their values (golden
+# fixtures / per-payload invariants); every non-oracle query MUST appear
+# here (enforced by the sync test)
+ROWS_ONLY_PYTESTS = {
+    "clips_quality_filter": "tests/test_pipeline_golden.py",
+    "clips_metrics": "tests/test_pipeline_golden.py",
+    "clips_waveform_preview": "tests/test_preview.py",
+    "audio_fingerprint_neardup": "tests/test_audio_fp.py",
+    "audio_segment_stats": "tests/test_segment.py",
+    "audio_normalize_stats": "tests/test_normalize.py",
+    "audio_feature_stats": "tests/test_features.py",
+    "audio_tonality_gate": "tests/test_spectral.py",
+    "clips_curation_funnel": "tests/test_curate.py",
+    "audio_trim_stats": "tests/test_trim.py",
+    "audio_speed_perturb_stats": "tests/test_augment.py",
+    "audio_speaking_rate_gate": "tests/test_vad.py",
+    "audio_noise_mix_stats": "tests/test_augment.py",
+}
+
+
+def build_manifest() -> dict:
+    """name → {family, has_oracle, oracle_kind, backing_pytest}."""
+    # family = defining submodule, discovered from the registry modules
+    from . import _MODULES
+
+    family_of = {}
+    for mod in _MODULES:
+        fam = mod.__name__.rsplit(".", 1)[-1]
+        for name in mod.QUERIES:
+            family_of[name] = fam
+    out = {}
+    for name in sorted(ALL_QUERIES):
+        has_oracle = name in ALL_ORACLE or name in _GENERATED_ORACLES
+        out[name] = {
+            "family": family_of[name],
+            "has_oracle": has_oracle,
+            "oracle_kind": (
+                "registered"
+                if name in ALL_ORACLE
+                else "generated_fixture"
+                if name in _GENERATED_ORACLES
+                else "rows_only"
+            ),
+            "backing_pytest": ROWS_ONLY_PYTESTS.get(name),
+        }
+    return out
+
+
+def manifest_json() -> str:
+    return json.dumps(build_manifest(), indent=1, sort_keys=True) + "\n"

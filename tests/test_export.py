@@ -75,6 +75,66 @@ def test_stale_inrange_bucket_detected(spark, tmp_path):
         export_training_shards(spark, clips, out, n_buckets=64)
 
 
+def test_manifest_bucket_bound_enforced(spark, tmp_path):
+    """The per-bucket manifest collect is bounded: a bucket count above
+    MANIFEST_MAX_BUCKETS must fail before any Spark work runs."""
+    import pytest as _pytest
+
+    from wallaby2caom2_spark.plans.export import (
+        MANIFEST_MAX_BUCKETS,
+        export_training_shards,
+    )
+
+    with _pytest.raises(ValueError, match="MANIFEST_MAX_BUCKETS"):
+        export_training_shards(
+            spark,
+            str(tmp_path / "unused"),
+            str(tmp_path / "out"),
+            n_buckets=MANIFEST_MAX_BUCKETS + 1,
+        )
+
+
+def test_export_plan_is_join_free_and_payload_shuffle_free(spark, tmp_path):
+    """The shard frame must plan with no join operator at all (keep + scrub
+    + tensors flow through passthrough columns) and no Exchange carrying the
+    payload or tensor columns."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from wallaby2caom2_spark import datagen
+    from wallaby2caom2_spark.operators import cascade, text_stage
+    from wallaby2caom2_spark.operators.features import feature_frames
+    from wallaby2caom2_spark.operators.fused_stage import (
+        with_fused_features_retaining,
+    )
+
+    inp = str(tmp_path / "clips")
+    datagen.write_clips_parquet(inp, 50, seed=3, rows_per_file=50)
+    clips = spark.read.parquet(inp)
+    labeled = (
+        clips.transform(with_fused_features_retaining)
+        .transform(cascade.with_transcript_stats)
+        .transform(lambda d: cascade.with_keep_drop(d))
+        .transform(text_stage.mask_scrub)
+    )
+    kept = labeled.filter(F.col("keep")).select(
+        "clip_id", "bytes", "codec", "sr_hz", "lang", "scrubbed_transcript"
+    )
+    feats = feature_frames(
+        kept, passthrough=("lang", "scrubbed_transcript")
+    ).filter(F.col("feat_ok"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        feats.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan  # fully narrow up to the sink
+    assert not re.search(r"\bbytes#\d+", plan.split("== Physical Plan ==")[0])
+
+
 def test_empty_corpus_exports_zero_manifest(spark, tmp_path):
     """Every clip dropping must yield an empty manifest, not an
     UNABLE_TO_INFER_SCHEMA crash on the read-back."""

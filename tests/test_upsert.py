@@ -124,3 +124,81 @@ def test_merge_upsert_accepts_map_columns(spark, tmp_path):
     assert summary["inserted"] == 2
     got = {r["clip_id"]: r["meta"] for r in spark.read.parquet(target).collect()}
     assert got == {"a": {"k": "v"}, "b": {"k": "w"}}
+
+
+def test_supports_merge_into_false_without_lakehouse(spark, tmp_path):
+    """No Iceberg/Delta jar in this container: a plain parquet catalog table
+    and a nonexistent table both probe False."""
+    from wallaby2caom2_spark.operators import upsert
+
+    df = spark.createDataFrame([("a", 1)], "clip_id string, v int")
+    df.write.mode("overwrite").option(
+        "path", str(tmp_path / "plain_tbl")
+    ).saveAsTable("plain_tbl")
+    try:
+        assert upsert.supports_merge_into(spark, "plain_tbl") is False
+        assert upsert.supports_merge_into(spark, "no_such_table_xyz") is False
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plain_tbl")
+
+
+def test_gated_dispatch_chooses_merge_when_available(spark, monkeypatch):
+    """When the provider probe says MERGE-capable, merge_upsert_auto must
+    route to the MERGE INTO path with DEDUPED updates — and never touch the
+    parquet fallback."""
+    from wallaby2caom2_spark.operators import upsert
+
+    calls = {}
+    monkeypatch.setattr(upsert, "supports_merge_into", lambda s, t: True)
+
+    def fake_merge(s, table, updates, key):
+        calls["table"] = table
+        calls["keys"] = sorted(
+            r["clip_id"] for r in updates.select("clip_id").collect()
+        )
+        calls["rows"] = {r["clip_id"]: r["v"] for r in updates.collect()}
+        return {"engine": "merge_into", "table": table}
+
+    def boom(*a, **k):
+        raise AssertionError("fallback must not run when MERGE is available")
+
+    monkeypatch.setattr(upsert, "_run_merge_into", fake_merge)
+    monkeypatch.setattr(upsert, "merge_upsert", boom)
+
+    updates = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 2)], "clip_id string, v int"
+    )
+    out = upsert.merge_upsert_auto(
+        spark, "lake.results", updates, order_col="v"
+    )
+    assert out == {"engine": "merge_into", "table": "lake.results"}
+    assert calls["keys"] == ["a", "b"]  # intra-batch dedup before MERGE
+    assert calls["rows"] == {"a": 3, "b": 2}  # latest-wins winner
+
+
+def test_gated_dispatch_falls_back_on_path_target(spark, tmp_path):
+    """A path target (or a non-MERGE provider) routes to the partition-
+    overwrite stand-in with identical row results."""
+    from wallaby2caom2_spark.operators.upsert import merge_upsert_auto
+
+    target = str(tmp_path / "auto_tbl")
+    updates = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "clip_id string, v int"
+    )
+    out = merge_upsert_auto(spark, target, updates, n_buckets=4, order_col="v")
+    assert out["engine"] == "partition_overwrite"
+    assert out["inserted"] == 2
+    got = {r["clip_id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_build_merge_sql_shape():
+    from wallaby2caom2_spark.operators.upsert import build_merge_sql
+
+    sql = build_merge_sql("lake.results", "src_view", "clip_id")
+    assert sql == (
+        "MERGE INTO lake.results t USING src_view s "
+        "ON t.clip_id = s.clip_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )

@@ -78,14 +78,25 @@ def feature_frames(
     hop_ms: int = 10,
     n_bands: int = 12,
     sr_out: int = 16000,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(clip_id, bytes, codec, sr_hz) → one feature-tensor row per decodable
-    clip (feat_ok=false containment row otherwise, same contract as decode)."""
+    clip (feat_ok=false containment row otherwise, same contract as decode).
+
+    ``passthrough`` copies extra input columns verbatim onto the output
+    (same contract as operators/vad.py): compute slim values (lang,
+    scrubbed transcript) BEFORE this stage and carry them through, so a
+    consumer like the shard exporter needs ZERO joins instead of re-keying
+    two derivations of the same scan on clip_id."""
     win = int(round(frame_ms * sr_out / 1000.0))
     hop = int(round(hop_ms * sr_out / 1000.0))
     hann = np.hanning(win).astype(np.float64)
     n_bins = win // 2 + 1
     bands = _band_matrix(n_bins, n_bands)
+
+    schema = T.StructType(
+        list(FEATURE_SCHEMA.fields) + [df.schema[name] for name in passthrough]
+    )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,19 +135,20 @@ def feature_frames(
                         )
                 for k, v in row.items():
                     out[k].append(v)
-            yield pd.DataFrame(
-                {
-                    "clip_id": pd.Series(out["clip_id"], dtype=object),
-                    "feat_ok": pd.Series(out["feat_ok"], dtype=bool),
-                    "n_frames": pd.Series(out["n_frames"], dtype=np.int32),
-                    "n_bands": pd.Series(out["n_bands"], dtype=np.int32),
-                    "feat_bytes": pd.Series(out["feat_bytes"], dtype=object),
-                    "mean_log_energy": pd.Series(
-                        out["mean_log_energy"], dtype=np.float64
-                    ),
-                }
-            )
+            cols = {
+                "clip_id": pd.Series(out["clip_id"], dtype=object),
+                "feat_ok": pd.Series(out["feat_ok"], dtype=bool),
+                "n_frames": pd.Series(out["n_frames"], dtype=np.int32),
+                "n_bands": pd.Series(out["n_bands"], dtype=np.int32),
+                "feat_bytes": pd.Series(out["feat_bytes"], dtype=object),
+                "mean_log_energy": pd.Series(
+                    out["mean_log_energy"], dtype=np.float64
+                ),
+            }
+            for name in passthrough:
+                cols[name] = pdf[name]
+            yield pd.DataFrame(cols)
 
-    return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
-        _extract, FEATURE_SCHEMA
-    )
+    return df.select(
+        "clip_id", "bytes", "codec", "sr_hz", *passthrough
+    ).mapInPandas(_extract, schema)

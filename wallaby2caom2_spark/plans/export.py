@@ -6,17 +6,19 @@ bucket-partitioned parquet shards with a manifest recording per-bucket
 counts (the contract a dataloader validates before reading).
 
 Scale shape:
-- pass 1 (filter) and pass 2 (features) are both narrow single-Arrow-
-  crossing stages over the scan; the kept-id semi join prunes pass 2's
-  payload decode to survivors only;
-- the final transcript⋈tensor equi-join shuffles each side ONCE on
-  clip_id — both inputs are slim (the payload died inside the feature
-  worker; a tensor row is ~3% of its payload);
+- ONE scan, ZERO joins: the keep decision + scrubbed transcript attach via
+  the payload-retaining fused stage (operators/fused_stage.py — payload
+  stays JVM-side), the codegen cascade filters in place, and the feature
+  stage carries (lang, scrubbed_transcript) through as passthrough columns
+  — so pass 2's tensor extract runs on survivors only and nothing is ever
+  re-keyed on clip_id. The round-2 form read the corpus twice (semi-join)
+  and shuffled two slim sides; this form shuffles only the final shard
+  rows into their bucket partitions via the write.
 - the write is dynamic-partition-overwrite keyed on the deterministic
   bucket hash, so re-running a crashed export converges to the same
   shards (same idempotence contract as the wave runner);
 - the manifest derives from ONE tiny aggregation (n_buckets rows) — the
-  only driver-side collect.
+  only driver-side collect, explicitly bounded by MANIFEST_MAX_BUCKETS.
 
 Reference analog: the record sink + success/progress bookkeeping pair
 (``wallaby2caom2/composable.py`` store + ``config/config.yml:28-54`` logs),
@@ -31,10 +33,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import DEFAULT_CONFIG
+from ..operators import cascade, text_stage
 from ..operators.features import feature_frames
+from ..operators.fused_stage import with_fused_features_retaining
 from ..operators.partitioning import with_bucket
-from ..plans.pipeline import quality_filter
 from ..sources.clips import read_clips
+
+# the per-bucket manifest collect is the export's only driver round-trip;
+# it returns exactly one row per written bucket, so the bound is the bucket
+# count itself — a mis-parameterized export (per-clip "buckets") must fail
+# loudly instead of collecting millions of rows onto the driver
+MANIFEST_MAX_BUCKETS = 100_000
 
 
 def export_training_shards(
@@ -43,23 +53,38 @@ def export_training_shards(
     out_path: str,
     n_buckets: int = 8,
 ) -> dict:
-    """Run filter → features → join → bucketed shard write + manifest.
+    """Run filter → features (join-free) → bucketed shard write + manifest.
 
     Returns the manifest dict: {"n_clips": N, "n_buckets": B,
     "buckets": {bucket: {"n_clips": n, "n_frames": f}}}.
     """
+    if n_buckets > MANIFEST_MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds MANIFEST_MAX_BUCKETS="
+            f"{MANIFEST_MAX_BUCKETS}: the manifest is a driver-side JSON of "
+            "one entry per bucket — shard into coarser buckets or split the "
+            "export"
+        )
     clips = read_clips(spark, clips_path)
-    kept = (
-        quality_filter(clips)
-        .filter(F.col("keep"))
-        .select("clip_id", "lang", "scrubbed_transcript")
+    # keep decision + scrub attach narrowly (payload stays JVM-side, zero
+    # exchanges — same building block as plans/pipeline.kept_clips, kept
+    # inline here because the lang/scrubbed columns must survive the filter)
+    labeled = (
+        clips.transform(with_fused_features_retaining)
+        .transform(cascade.with_transcript_stats)
+        .transform(lambda d: cascade.with_keep_drop(d, DEFAULT_CONFIG))
+        .transform(text_stage.mask_scrub)
     )
-    survivors = clips.join(kept.select("clip_id"), "clip_id", "left_semi")
-    feats = feature_frames(survivors).filter(F.col("feat_ok"))
+    kept_payload = labeled.filter(F.col("keep")).select(
+        "clip_id", "bytes", "codec", "sr_hz", "lang", "scrubbed_transcript"
+    )
+    feats = feature_frames(
+        kept_payload, passthrough=("lang", "scrubbed_transcript")
+    ).filter(F.col("feat_ok"))
     shard = with_bucket(
-        kept.join(
-            feats.select("clip_id", "n_frames", "n_bands", "feat_bytes"),
-            "clip_id",
+        feats.select(
+            "clip_id", "lang", "scrubbed_transcript", "n_frames", "n_bands",
+            "feat_bytes",
         ),
         n_buckets,
     )

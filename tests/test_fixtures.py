@@ -1,0 +1,111 @@
+"""Bit-compatibility pins for the oracle-replay fixture (fixtures.py).
+
+The fixture-backed DuckDB oracles only prove anything if the pure-Python
+fixture values are BIT-identical to what the Spark UDFs emit — down to raw
+(unrounded) doubles, since the gate's value hash rounds to 9 decimals.
+These tests diff every fixture column against the live operators on the
+same rows, using the gate's own normalization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from scripts.check_oracle import norm_cell
+
+
+def _norm(v):
+    return norm_cell(v)
+
+
+@pytest.fixture(scope="module")
+def fixture_rows(tmp_path_factory):
+    from wallaby2caom2_spark import datagen
+    from wallaby2caom2_spark.fixtures import build_features_fixture
+
+    base = tmp_path_factory.mktemp("fixture")
+    clips_path = str(base / "clips")
+    datagen.write_clips_parquet(clips_path, 400, seed=13, rows_per_file=100)
+    out = build_features_fixture(clips_path, str(base / "features"), workers=4)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for part in sorted(glob.glob(f"{out}/*.parquet")):
+        rows.extend(pq.read_table(part).to_pylist())
+    return clips_path, {r["clip_id"]: r for r in rows}
+
+
+def _clips_df(spark, clips_path):
+    return spark.read.parquet(clips_path)
+
+
+def test_fixture_matches_quality_filter_bitwise(spark, fixture_rows):
+    from wallaby2caom2_spark.plans.pipeline import RESULT_COLUMNS, quality_filter
+
+    clips_path, fix = fixture_rows
+    got = quality_filter(_clips_df(spark, clips_path)).collect()
+    assert len(got) == len(fix)
+    for r in got:
+        f = fix[r["clip_id"]]
+        for col in RESULT_COLUMNS:
+            if col == "clip_id":
+                continue
+            assert _norm(r[col]) == _norm(f[col]), (r["clip_id"], col)
+
+
+def test_fixture_matches_vad_and_fingerprint_and_preview(spark, fixture_rows):
+    from pyspark.sql import functions as F
+
+    from wallaby2caom2_spark.operators import preview, vad
+    from wallaby2caom2_spark.operators.audio_fp import with_fingerprint
+
+    clips_path, fix = fixture_rows
+    clips = _clips_df(spark, clips_path)
+
+    vad_cols = [
+        "vad_ok", "n_frames", "n_speech_frames", "speech_ratio",
+        "n_speech_runs", "snr_db",
+    ]
+    for r in vad.vad_stats(clips).collect():
+        f = fix[r["clip_id"]]
+        for col in vad_cols:
+            assert _norm(r[col]) == _norm(f[col]), (r["clip_id"], col)
+
+    # fingerprint: the operator's rate gate (measured wins, rateless gated)
+    for r in with_fingerprint(clips).select("clip_id", "fp_ok", "fp").collect():
+        f = fix[r["clip_id"]]
+        assert (r["fp_ok"], r["fp"]) == (f["fp_ok"], f["fp"]), r["clip_id"]
+
+    # preview: ok flag, exact PNG byte length, reference-style name
+    prev = preview.with_previews(clips).select(
+        "clip_id", "prev_ok", F.length("thumb_png").alias("len"), "thumb_name"
+    )
+    for r in prev.collect():
+        f = fix[r["clip_id"]]
+        assert r["prev_ok"] == f["prev_ok"], r["clip_id"]
+        assert (r["len"] or 0) == f["thumb_len"], r["clip_id"]
+        assert r["thumb_name"] == f["thumb_name"], r["clip_id"]
+
+
+def test_fixture_n_chars_matches_transcripts(spark, fixture_rows):
+    clips_path, fix = fixture_rows
+    for row in _clips_df(spark, clips_path).select(
+        "clip_id", "transcript"
+    ).collect():
+        expect = len(row["transcript"]) if row["transcript"] is not None else 0
+        assert fix[row["clip_id"]]["n_chars"] == expect
+
+
+def test_fixture_lang_conf_is_float32(fixture_rows):
+    """lang_conf must be stored as float32: the pipeline casts to
+    FloatType, so a float64 fixture value would hash differently after the
+    9-decimal rounding."""
+    _, fix = fixture_rows
+    some = next(iter(fix.values()))
+    assert isinstance(some["lang_conf"], float)
+    # widened float32 round-trips exactly through np.float32
+    for f in list(fix.values())[:50]:
+        assert f["lang_conf"] == float(np.float32(f["lang_conf"]))

@@ -21,10 +21,6 @@ def test_registry_shape():
     # clips/multimodal are the only rows-only entries (pandas-UDF stages)
     rows_only = set(q) - set(o)
     assert rows_only == {
-        "clips_quality_filter",
-        "clips_metrics",
-        "clips_waveform_preview",
-        "audio_fingerprint_neardup",
         "audio_segment_stats",
         "audio_normalize_stats",
         "audio_feature_stats",
@@ -32,7 +28,6 @@ def test_registry_shape():
         "clips_curation_funnel",
         "audio_trim_stats",
         "audio_speed_perturb_stats",
-        "audio_speaking_rate_gate",
         "audio_noise_mix_stats",
     }
     for name, sql in o.items():

@@ -5,11 +5,16 @@ synthesised deterministically (datagen.py, seed 42) into a per-sf cache under
 /tmp — same seed → byte-identical parquet, mirroring how the reference
 commits golden fixtures (``wallaby2caom2/tests/data/**``).
 
-No ``oracle_sql`` entries: the pipeline's pandas-UDF stages (PCM decode,
-langid, perplexity, scrub) are not ANSI-SQL-expressible; the driver records
-the weaker rows-only check, and the real correctness gate is the golden
-pytest suite (tests/test_pipeline_golden.py — per-row F1/equality vs the
-pure-Python oracle labeler).
+Oracle strategy: the pandas-UDF stages (PCM decode, langid, perplexity,
+scrub) are not ANSI-SQL-expressible, but their per-clip outputs ARE
+deterministic — so they are persisted once per sf by the pure-Python
+oracle-replay fixture (fixtures.py, same shared helpers as the golden
+labeler) and DuckDB replays every downstream classification/aggregation
+under the full rows+schema+value-hash check (the ``*_oracle`` functions
+below, wired in __spark_entry__.oracle_sql). The queries whose payload math
+has no compact per-clip summary (segmentation, normalization, tensors,
+augmentation, the funnel) stay rows-only, each pinned by a dedicated golden
+pytest (docs/QUERIES.json maps query → backing test).
 """
 
 from __future__ import annotations
@@ -100,26 +105,17 @@ def media_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v1"
+_FEATURES_VERSION = "v2"  # v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
-    """Per-clip decoded-features fixture (clip_id, pcm_ok, dropout_ms,
-    dur_ms_meas, vad_ok, n_frames, n_speech_frames, speech_ratio,
-    n_speech_runs, snr_db) computed in PURE PYTHON (no Spark) from the
-    cached clips parquet — the replay table that lets DuckDB oracle-check
-    the integer-domain audio stats (dropout run lengths, VAD frame counts)
-    exactly. Uses the same shared helpers the UDFs call
-    (functions/audio.decode_features, operators/vad._clip_vad), mirroring
-    the golden-labeler convention (oracle.py); values are stored with the
-    UDFs' own rounding so aggregation replays bit-compatibly. Same
-    atomic-rename concurrency contract as the clips cache."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ..functions import audio as audio_fn
-    from ..operators.vad import _clip_vad
+    """Per-clip oracle-replay fixture (fixtures.py): quality-filter labels,
+    VAD stats, content fingerprint, preview geometry — every deterministic
+    per-clip output of the pipeline, computed in PURE PYTHON from the
+    cached clips parquet so DuckDB can replay the clips queries under the
+    full rows+schema+value-hash check. Bit-compatibility with the UDFs is
+    pinned in tests/test_fixtures.py."""
+    from ..fixtures import build_features_fixture
 
     clips_path = clips_path_for(sf_dir)
     name = os.path.basename(os.path.normpath(sf_dir)) or "default"
@@ -127,78 +123,7 @@ def features_path_for(sf_dir: str) -> str:
     path = os.path.join(
         _CACHE_ROOT, f"{name}-features-{_FEATURES_VERSION}-n{n}"
     )
-    marker = os.path.join(path, "_SUCCESS_GEN")
-    if os.path.exists(marker):
-        return path
-    cols: dict[str, list] = {
-        k: []
-        for k in (
-            "clip_id", "pcm_ok", "dur_ms_meas", "dropout_ms", "vad_ok",
-            "n_frames", "n_speech_frames", "speech_ratio", "n_speech_runs",
-            "snr_db",
-        )
-    }
-    import glob as _glob
-
-    for part in sorted(_glob.glob(os.path.join(clips_path, "*.parquet"))):
-        t = pq.read_table(
-            part, columns=["clip_id", "bytes", "sr_hz", "codec"]
-        )
-        for cid, raw, sr_decl, codec in zip(
-            t.column("clip_id").to_pylist(),
-            t.column("bytes").to_pylist(),
-            t.column("sr_hz").to_pylist(),
-            t.column("codec").to_pylist(),
-        ):
-            sr_d = audio_fn.declared_sr(sr_decl)
-            ok, _sr, dur, _rms, _cr, dm = audio_fn.decode_features(
-                raw, codec, sr_d
-            )
-            x16, sr_meas = audio_fn.decode_clip_i16(raw, codec)
-            sr = (sr_meas or sr_d) if x16 is not None else 0
-            if x16 is not None and len(x16) > 0 and sr > 0:
-                vad_ok = True
-                nf, nsp, runs, snr = _clip_vad(x16, sr, 20, 10, 10.0)
-            else:
-                vad_ok, nf, nsp, runs, snr = False, 0, 0, 0, 0.0
-            ratio = (nsp / nf) if nf > 0 else 0.0
-            cols["clip_id"].append(cid)
-            cols["pcm_ok"].append(bool(ok))
-            cols["dur_ms_meas"].append(int(dur))
-            cols["dropout_ms"].append(float(dm))
-            cols["vad_ok"].append(vad_ok)
-            cols["n_frames"].append(int(nf))
-            cols["n_speech_frames"].append(int(nsp))
-            # the UDFs' own per-clip rounding (operators/vad.py)
-            cols["speech_ratio"].append(float(np.round(ratio + 1e-12, 6)))
-            cols["n_speech_runs"].append(int(runs))
-            cols["snr_db"].append(float(np.round(snr + 1e-9, 3)))
-    table = pa.table(
-        {
-            "clip_id": pa.array(cols["clip_id"], pa.string()),
-            "pcm_ok": pa.array(cols["pcm_ok"], pa.bool_()),
-            "dur_ms_meas": pa.array(cols["dur_ms_meas"], pa.int32()),
-            "dropout_ms": pa.array(cols["dropout_ms"], pa.float64()),
-            "vad_ok": pa.array(cols["vad_ok"], pa.bool_()),
-            "n_frames": pa.array(cols["n_frames"], pa.int32()),
-            "n_speech_frames": pa.array(cols["n_speech_frames"], pa.int32()),
-            "speech_ratio": pa.array(cols["speech_ratio"], pa.float64()),
-            "n_speech_runs": pa.array(cols["n_speech_runs"], pa.int32()),
-            "snr_db": pa.array(cols["snr_db"], pa.float64()),
-        }
-    )
-    tmp = f"{path}.gen-{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq.write_table(table, os.path.join(tmp, "part-000.parquet"))
-    with open(os.path.join(tmp, "_SUCCESS_GEN"), "w") as fh:
-        fh.write("ok")
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-    return path
+    return build_features_fixture(clips_path, path)
 
 
 def _kept_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,6 +297,106 @@ GROUP BY vad_ok ORDER BY vad_ok
 """
 
 
+def quality_filter_oracle(sf_dir: str) -> str:
+    """Row-level DuckDB oracle for the FLAGSHIP query itself: the fixture
+    holds the pure-Python labeler's full result row per clip
+    (bit-identical to the pipeline — verified per field in
+    tests/test_fixtures.py), so the oracle is a projection."""
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT clip_id, keep, drop_reason, scrubbed_transcript, scrub_edits,
+       lang, lang_conf, ppl, pcm_ok, sr_meas, dur_ms_meas, rms, clip_rate,
+       dropout_ms
+FROM read_parquet('{path}/*.parquet')
+"""
+
+
+def metrics_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``clips_metrics`` (run_metrics replay)."""
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT coalesce(drop_reason, 'kept') AS outcome,
+       count(*)::BIGINT AS clips,
+       sum(scrub_edits)::BIGINT AS scrub_edits,
+       (coalesce(drop_reason, 'kept') = 'kept') AS kept
+FROM read_parquet('{path}/*.parquet')
+GROUP BY 1
+"""
+
+
+def speaking_rate_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``audio_speaking_rate_gate``: the rate cascade is
+    per-row arithmetic on (n_chars, VAD frame counts) from the fixture."""
+    path = features_path_for(sf_dir)
+    return f"""
+WITH classed AS (
+  -- 0.010 must be DOUBLE: a bare decimal literal makes DuckDB compute in
+  -- DECIMAL, which rounds differently from Spark's double arithmetic
+  SELECT n_chars, n_speech_frames * 0.010::DOUBLE AS speech_s,
+    CASE
+      WHEN (NOT vad_ok) OR n_speech_frames = 0 THEN 'no_speech'
+      WHEN n_chars / (n_speech_frames * 0.010::DOUBLE) < 60.0 THEN 'too_slow'
+      WHEN n_chars / (n_speech_frames * 0.010::DOUBLE) > 400.0 THEN 'too_fast'
+      ELSE 'ok' END AS rate_class
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT rate_class, count(*)::BIGINT AS n_clips,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(sum(speech_s) + 1e-9, 2) AS total_speech_s
+FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+def fingerprint_neardup_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``audio_fingerprint_neardup``: the WHOLE operator
+    replays in SQL — md5-keyed redelivery sample, 4x15-bit band explode
+    (zero-band hot-key filter included), banded equi-self-join, xor +
+    bit_count hamming verify, pair dedup, histogram."""
+    path = features_path_for(sf_dir)
+    return f"""
+WITH base AS (
+  SELECT clip_id, fp FROM read_parquet('{path}/*.parquet') WHERE fp_ok
+),
+delivered AS (
+  SELECT clip_id, fp FROM base
+  UNION ALL
+  SELECT 'redeliver-' || clip_id, fp FROM base
+  WHERE ('0x' || substr(md5(clip_id), 1, 4))::BIGINT % 20 = 0
+),
+bands AS (
+  SELECT clip_id, fp, b.band_idx,
+         (fp >> (b.band_idx * 15)) % 32768 AS band_bits
+  FROM delivered, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+live AS (SELECT * FROM bands WHERE band_bits != 0),
+pairs AS (
+  SELECT DISTINCT l.clip_id AS ca, r.clip_id AS cb,
+                  l.fp AS fa, r.fp AS fb
+  FROM live l JOIN live r
+    ON l.band_idx = r.band_idx AND l.band_bits = r.band_bits
+   AND l.clip_id < r.clip_id
+)
+SELECT bit_count(xor(fa, fb))::INT AS hamming, count(*)::BIGINT AS n_pairs
+FROM pairs
+WHERE bit_count(xor(fa, fb)) <= 3
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def waveform_preview_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``clips_waveform_preview``: per-clip thumb length
+    / name / ok come from the fixture (the PNG encoder is deterministic),
+    the aggregation replays in SQL."""
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT prev_ok, count(*)::BIGINT AS n_clips,
+       sum(thumb_len)::BIGINT AS thumb_bytes,
+       count(DISTINCT thumb_name)::BIGINT AS n_names
+FROM read_parquet('{path}/*.parquet')
+GROUP BY prev_ok ORDER BY prev_ok
+"""
+
+
 def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 real preview generation: decoded PCM → waveform-thumbnail PNG
     binary column (operators/preview.py), summarized so the driver's
@@ -392,6 +417,17 @@ def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redeliver_cond() -> F.Column:
+    """1-in-20 content-redelivery sample: first 4 md5 hex chars mod 20."""
+    return (
+        F.conv(F.substring(F.md5(F.col("clip_id")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 20
+        == 0
+    )
+
+
 def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-identity dedup over AUDIO (operators/audio_fp.py): every 20th
     clip is re-delivered under a new ``clip_id`` (byte-identical payload —
@@ -401,8 +437,11 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's rows-only check sees a small stable relation; pair-level
     assertions live in tests/test_audio_fp.py."""
     clips = load_clips(spark, sf_dir)
+    # deterministic 1-in-20 redelivery sample keyed on an md5 prefix (not
+    # xxhash64: DuckDB computes the identical md5 hex, which makes the
+    # whole query — banding join, hamming verify — oracle-replayable)
     redelivered = (
-        clips.filter(F.xxhash64("clip_id") % 20 == 0)
+        clips.filter(_redeliver_cond())
         .withColumn("clip_id", F.concat(F.lit("redeliver-"), F.col("clip_id")))
     )
     both = clips.unionByName(redelivered)

@@ -23,6 +23,11 @@ _GENERATED_ORACLES = frozenset(
         "clips_duration_histogram",
         "audio_dropout_stats",
         "audio_vad_stats",
+        "clips_quality_filter",
+        "clips_metrics",
+        "audio_speaking_rate_gate",
+        "audio_fingerprint_neardup",
+        "clips_waveform_preview",
     ]
 )
 
@@ -30,10 +35,6 @@ _GENERATED_ORACLES = frozenset(
 # fixtures / per-payload invariants); every non-oracle query MUST appear
 # here (enforced by the sync test)
 ROWS_ONLY_PYTESTS = {
-    "clips_quality_filter": "tests/test_pipeline_golden.py",
-    "clips_metrics": "tests/test_pipeline_golden.py",
-    "clips_waveform_preview": "tests/test_preview.py",
-    "audio_fingerprint_neardup": "tests/test_audio_fp.py",
     "audio_segment_stats": "tests/test_segment.py",
     "audio_normalize_stats": "tests/test_normalize.py",
     "audio_feature_stats": "tests/test_features.py",
@@ -41,7 +42,6 @@ ROWS_ONLY_PYTESTS = {
     "clips_curation_funnel": "tests/test_curate.py",
     "audio_trim_stats": "tests/test_trim.py",
     "audio_speed_perturb_stats": "tests/test_augment.py",
-    "audio_speaking_rate_gate": "tests/test_vad.py",
     "audio_noise_mix_stats": "tests/test_augment.py",
 }
 

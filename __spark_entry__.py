@@ -41,29 +41,16 @@ def oracle_sql() -> dict[str, str]:
     recomputes it from the same cached clips parquet (path baked in at
     sf0.01 — the driver's comparison scale; generated here if absent)."""
     from wallaby2caom2_spark.queries.clips_flagship import (
-        dropout_stats_oracle,
-        duration_histogram_oracle,
-        fingerprint_neardup_oracle,
-        media_meta_oracle,
-        metrics_oracle,
-        quality_filter_oracle,
-        speaking_rate_oracle,
-        vad_stats_oracle,
-        waveform_preview_oracle,
+        CLIPS_ORACLE_BUILDERS,
     )
 
+    # clips queries replay from per-sf fixture parquets (the clips cache,
+    # the image-mix side table, and the pure-Python oracle fixture —
+    # wallaby2caom2_spark/fixtures.py, bit-identical to the UDFs, pinned in
+    # tests/test_fixtures.py), so their SQL is BUILT here at the driver's
+    # comparison scale; scripts/check_oracle.py re-derives for other scales
     sf = "/root/testdata/sf0.01"
     out = dict(ALL_ORACLE)
-    out["multimodal_media_meta"] = media_meta_oracle(sf)
-    out["clips_duration_histogram"] = duration_histogram_oracle(sf)
-    # clips queries replayed from the pure-Python oracle fixture
-    # (wallaby2caom2_spark/fixtures.py — labeler + shared per-clip helpers,
-    # bit-identical to the UDFs, pinned in tests/test_fixtures.py)
-    out["audio_dropout_stats"] = dropout_stats_oracle(sf)
-    out["audio_vad_stats"] = vad_stats_oracle(sf)
-    out["clips_quality_filter"] = quality_filter_oracle(sf)
-    out["clips_metrics"] = metrics_oracle(sf)
-    out["audio_speaking_rate_gate"] = speaking_rate_oracle(sf)
-    out["audio_fingerprint_neardup"] = fingerprint_neardup_oracle(sf)
-    out["clips_waveform_preview"] = waveform_preview_oracle(sf)
+    for name, build in CLIPS_ORACLE_BUILDERS.items():
+        out[name] = build(sf)
     return out

@@ -58,16 +58,15 @@ def main() -> int:
         print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
         return 2
     if SF_DIR != "/root/testdata/sf0.01":
-        # the entry contract bakes the clips-parquet oracle path at the
-        # driver's comparison scale (sf0.01); re-derive it for local runs
-        # at other scales so both engines read the same cache
+        # the entry contract bakes the clips-fixture oracle paths at the
+        # driver's comparison scale (sf0.01); re-derive EVERY clips oracle
+        # for local runs at other scales so both engines read the same cache
         from wallaby2caom2_spark.queries.clips_flagship import (
-            duration_histogram_oracle,
-            media_meta_oracle,
+            CLIPS_ORACLE_BUILDERS,
         )
 
-        oracles["multimodal_media_meta"] = media_meta_oracle(SF_DIR)
-        oracles["clips_duration_histogram"] = duration_histogram_oracle(SF_DIR)
+        for name, build in CLIPS_ORACLE_BUILDERS.items():
+            oracles[name] = build(SF_DIR)
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in (

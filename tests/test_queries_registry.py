@@ -18,18 +18,10 @@ def test_registry_shape():
     o = entry.oracle_sql()
     assert len(q) >= 20
     assert set(o) <= set(q)
-    # clips/multimodal are the only rows-only entries (pandas-UDF stages)
+    # since round 3 EVERY query carries a DuckDB oracle: the clips family
+    # replays from the pure-Python fixture (wallaby2caom2_spark/fixtures.py)
     rows_only = set(q) - set(o)
-    assert rows_only == {
-        "audio_segment_stats",
-        "audio_normalize_stats",
-        "audio_feature_stats",
-        "audio_tonality_gate",
-        "clips_curation_funnel",
-        "audio_trim_stats",
-        "audio_speed_perturb_stats",
-        "audio_noise_mix_stats",
-    }
+    assert rows_only == set()
     for name, sql in o.items():
         assert sql.strip(), name
 

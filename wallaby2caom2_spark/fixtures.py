@@ -65,6 +65,47 @@ FIXTURE_SCHEMA = pa.schema(
         ("prev_ok", pa.bool_()),
         ("thumb_len", pa.int32()),
         ("thumb_name", pa.string()),
+        # segmentation (operators/segment.py @ 250 ms / 16 kHz), classified
+        # by the stats query's own boundary (seg_dur_ms == 250)
+        ("segf_n", pa.int32()),
+        ("segf_bytes", pa.int64()),
+        ("segp_n", pa.int32()),
+        ("segp_bytes", pa.int64()),
+        # loudness normalization (operators/normalize.py defaults)
+        ("norm_ok", pa.bool_()),
+        ("norm_peak_limited", pa.bool_()),
+        ("norm_len", pa.int32()),
+        ("norm_gain_db", pa.float64()),
+        ("norm_out_rms_dbfs", pa.float64()),
+        # filterbank features (operators/features.py defaults)
+        ("feat_ok", pa.bool_()),
+        ("feat_n_frames", pa.int32()),
+        ("feat_len", pa.int32()),
+        ("feat_mle", pa.float64()),
+        # endpoint trim (operators/trim.py defaults)
+        ("trim_ok", pa.bool_()),
+        ("trim_dur_in", pa.int32()),
+        ("trim_dur_out", pa.int32()),
+        # spectral shape (operators/spectral.py, per-clip UDF rounding)
+        ("spec_ok", pa.bool_()),
+        ("flatness", pa.float64()),
+        ("centroid_hz", pa.float64()),
+        ("peak_share", pa.float64()),
+        # speed perturbation at the standard 0.9 / 1.0 / 1.1 factors
+        ("aug_ok", pa.bool_()),
+        ("sp09_dur", pa.int32()),
+        ("sp09_len", pa.int32()),
+        ("sp09_rms", pa.float64()),
+        ("sp10_dur", pa.int32()),
+        ("sp10_len", pa.int32()),
+        ("sp10_rms", pa.float64()),
+        ("sp11_dur", pa.int32()),
+        ("sp11_len", pa.int32()),
+        ("sp11_rms", pa.float64()),
+        # noise mix @ 20 dB SNR
+        ("mix_ok", pa.bool_()),
+        ("mix_len", pa.int32()),
+        ("mix_rms", pa.float64()),
     ]
 )
 
@@ -123,6 +164,8 @@ def _fixture_chunk(args: tuple[str, str]) -> str:
         cols["thumb_len"].append(len(png) if png is not None else 0)
         cols["thumb_name"].append(f"{row['clip_id']}_prev_{THUMB_W}.png")
 
+        _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row)
+
     arrays = [
         pa.array(cols[f.name], f.type) for f in FIXTURE_SCHEMA
     ]
@@ -130,6 +173,168 @@ def _fixture_chunk(args: tuple[str, str]) -> str:
         pa.table(dict(zip(FIXTURE_SCHEMA.names, arrays))), out_part
     )
     return out_part
+
+
+_SEG_COLS = (
+    "segf_n", "segf_bytes", "segp_n", "segp_bytes",
+    "norm_ok", "norm_peak_limited", "norm_len", "norm_gain_db",
+    "norm_out_rms_dbfs",
+    "feat_ok", "feat_n_frames", "feat_len", "feat_mle",
+    "trim_ok", "trim_dur_in", "trim_dur_out",
+    "spec_ok", "flatness", "centroid_hz", "peak_share",
+    "aug_ok", "sp09_dur", "sp09_len", "sp09_rms",
+    "sp10_dur", "sp10_len", "sp10_rms", "sp11_dur", "sp11_len", "sp11_rms",
+    "mix_ok", "mix_len", "mix_rms",
+)
+
+
+def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
+    """Replay the payload operators (segment / normalize / features / trim /
+    spectral / augment / noise-mix) for ONE clip — exact per-clip math of
+    each operator's UDF body (defaults pinned), equality asserted against
+    the live operators in tests/test_fixtures.py."""
+    from .functions import audio
+    from .operators.augment import _clip_seed
+    from .operators.features import _band_matrix, _frame_matrix
+    from .operators.spectral import _clip_spectrum
+    from .operators.trim import _speech_span
+
+    out = {k: 0 for k in _SEG_COLS}
+    out.update(
+        norm_ok=False, norm_peak_limited=False,
+        norm_gain_db=0.0, norm_out_rms_dbfs=-120.0,
+        feat_ok=False, feat_mle=0.0,
+        trim_ok=False, spec_ok=False,
+        flatness=0.0, centroid_hz=0.0, peak_share=0.0,
+        aug_ok=False, sp09_rms=0.0, sp10_rms=0.0, sp11_rms=0.0,
+        mix_ok=False, mix_rms=0.0,
+    )
+    decodable = samples is not None and len(samples) > 0 and sr_f > 0
+    if decodable:
+        # --- segmentation (window_ms=250, sr_out=16000, keep_partial) ---
+        win_samples = 4000  # round(250 * 16000 / 1000)
+        s16k = audio.resample_linear(samples, sr_f, 16000)
+        n_full, tail = divmod(len(s16k), win_samples)
+        segf_n = n_full
+        segf_bytes = n_full * win_samples * 2
+        segp_n = segp_bytes = 0
+        if tail:
+            dur = int(round(tail * 1000.0 / 16000))
+            if dur == 250:  # partial that ROUNDS to the full-window class
+                segf_n += 1
+                segf_bytes += tail * 2
+            else:
+                segp_n, segp_bytes = 1, tail * 2
+        out.update(
+            segf_n=segf_n, segf_bytes=segf_bytes,
+            segp_n=segp_n, segp_bytes=segp_bytes,
+        )
+
+        # --- normalization (target -20 dBFS, ceiling -1 dBFS) ---
+        rms = float(np.sqrt(np.mean(np.square(samples, dtype=np.float64))))
+        peak = float(np.max(np.abs(samples)))
+        if rms >= 1e-5 and peak > 0.0:
+            target_rms = 10.0 ** (-20.0 / 20.0)
+            peak_ceiling = 10.0 ** (-1.0 / 20.0)
+            gain = target_rms / rms
+            limited = gain * peak > peak_ceiling
+            if limited:
+                gain = peak_ceiling / peak
+            scaled = np.clip(
+                samples.astype(np.float64) * gain, -1.0, 1.0
+            ).astype(np.float32)
+            out_rms = float(
+                np.sqrt(np.mean(np.square(scaled, dtype=np.float64)))
+            )
+
+            def dbfs(x: float) -> float:
+                return 20.0 * float(np.log10(max(x, 1e-12)))
+
+            out.update(
+                norm_ok=True,
+                norm_peak_limited=bool(limited),
+                norm_len=len(scaled) * 2,
+                norm_gain_db=dbfs(gain),
+                norm_out_rms_dbfs=dbfs(out_rms),
+            )
+
+        # --- filterbank features (25 ms / 10 ms / 12 bands / 16 kHz) ---
+        win, hop, n_bands = 400, 160, 12
+        hann = np.hanning(win).astype(np.float64)
+        bands = _band_matrix(win // 2 + 1, n_bands)
+        xf = s16k.astype(np.float64)
+        frames = _frame_matrix(xf, win, hop)
+        if len(frames):
+            spec = np.fft.rfft(frames * hann, axis=1)
+            power = spec.real**2 + spec.imag**2
+            feats = np.log10(power @ bands + 1e-10).astype(np.float32)
+            out.update(
+                feat_ok=True,
+                feat_n_frames=int(feats.shape[0]),
+                feat_len=int(feats.shape[0]) * n_bands * 4,
+                feat_mle=float(feats.mean()),
+            )
+
+        # --- spectral shape (per-clip UDF rounding of spectral_stats) ---
+        res = _clip_spectrum(samples, sr_f)
+        if res is not None:
+            out.update(
+                spec_ok=True,
+                flatness=float(np.round(res[0] + 1e-12, 6)),
+                centroid_hz=float(np.round(res[1] + 1e-9, 2)),
+                peak_share=float(np.round(res[2] + 1e-12, 6)),
+            )
+
+        # --- speed perturbation (0.9 / 1.0 / 1.1) ---
+        out["aug_ok"] = True
+        for f, pre in ((0.9, "sp09"), (1.0, "sp10"), (1.1, "sp11")):
+            y = (
+                samples
+                if f == 1.0
+                else audio.resample_linear(samples, int(round(sr_f * f)), sr_f)
+            )
+            if len(y) == 0:
+                continue
+            out[f"{pre}_dur"] = int(round(len(y) * 1000.0 / sr_f))
+            out[f"{pre}_len"] = 44 + 2 * len(y)  # encode_wav container size
+            out[f"{pre}_rms"] = float(
+                np.sqrt(np.mean(np.square(y, dtype=np.float64)))
+            )
+
+        # --- noise mix @ 20 dB SNR (content-seeded) ---
+        ok = rms > 0.0
+        if ok:
+            rng = np.random.default_rng(_clip_seed(str(row["clip_id"])))
+            noise_rms = rms / (10.0 ** (20.0 / 20.0))
+            y = np.clip(
+                samples
+                + (noise_rms * rng.standard_normal(len(samples))).astype(
+                    np.float32
+                ),
+                -1.0,
+                1.0,
+            )
+        else:
+            y = samples
+        out.update(
+            mix_ok=ok,
+            mix_len=44 + 2 * len(y),
+            mix_rms=float(np.sqrt(np.mean(np.square(y, dtype=np.float64)))),
+        )
+
+    # --- trim (int16 path; dur_ms_in is set even when no speech found) ---
+    if x16 is not None and len(x16) > 0 and sr_i > 0:
+        out["trim_dur_in"] = int(round(len(x16) * 1000.0 / sr_i))
+        span = _speech_span(x16, sr_i, 20, 10, 10.0)
+        if span is not None:
+            pad = int(round(sr_i * 100 / 1000.0))
+            a = max(0, span[0] - pad)
+            b = min(len(x16), span[1] + pad)
+            out["trim_ok"] = True
+            out["trim_dur_out"] = int(round((b - a) * 1000.0 / sr_i))
+
+    for k in _SEG_COLS:
+        cols[k].append(out[k])
 
 
 def build_features_fixture(

@@ -324,7 +324,15 @@ def band_fingerprint(
             bits <<= _FP_BANDS - 1
             continue
         n_live += 1
-        spec = np.abs(np.fft.rfft(seg))[1:]  # drop DC
+        # FFT at the next power-of-2 length (zero-padded): an arbitrary
+        # seg_len routinely lands on large-prime sizes where pocketfft
+        # falls off its fast path (measured 202 us for rfft(1594) vs 18 us
+        # for rfft(2048) — the fingerprint was the single hottest line of
+        # the 1M-clip funnel). Zero-padding a demeaned segment only
+        # interpolates the spectrum; band ENERGIES stay deterministic and
+        # the gain/rate invariances are untouched.
+        nfft = 1 << (len(seg) - 1).bit_length()
+        spec = np.abs(np.fft.rfft(seg, n=nfft))[1:]  # drop DC
         edges = np.linspace(0, len(spec), _FP_BANDS, endpoint=False).astype(int)
         bands = np.add.reduceat(spec * spec, edges)
         ups = bands[1:] > bands[:-1] * (1.0 + 1e-6)

@@ -93,8 +93,20 @@ class _SignalArrays:
         # _FULL_SCALE scaling decode_clip applies, so fp/spectrum
         # match the standalone operators bit-for-bit
         xf = x16.astype(np.float32) / audio._FULL_SCALE
-        self.fp_ok[i], self.fp[i] = audio.band_fingerprint(xf, sr)
-        res = _clip_spectrum(xf, sr)
+        # ONE decimation to the shared 4 kHz analysis rate: fingerprint and
+        # spectrum both open with exactly this resample_linear call, so
+        # pre-applying it is bit-identical to the standalone operators
+        # (pinned in tests/test_audio_signals.py) and halves the second-
+        # hottest line of the fused pass
+        if sr > audio._FP_ANALYSIS_SR:
+            xd, sr_d = (
+                audio.resample_linear(xf, sr, audio._FP_ANALYSIS_SR),
+                audio._FP_ANALYSIS_SR,
+            )
+        else:
+            xd, sr_d = xf, sr
+        self.fp_ok[i], self.fp[i] = audio.band_fingerprint(xd, sr_d)
+        res = _clip_spectrum(xd, sr_d)
         if res is not None:
             self.sp_ok[i] = True
             self.flat[i], self.cent[i], self.peak[i] = res

@@ -58,8 +58,24 @@ SPLIT_BUCKETS = 1000
 TRAIN_LT, VALID_LT = 980, 990  # 98 / 1 / 1
 
 
+def _split_bucket() -> F.Column:
+    """Content-stable split bucket: first 12 md5 hex chars of clip_id mod
+    1000. Engine-portable (DuckDB computes the identical value, which is
+    what lets the funnel be oracle-replayed end-to-end — same rationale as
+    queries/curation.py's multiply-xor-shift); 48 bits fits exactly in a
+    BIGINT on both engines. Layout-independent like the xxhash64 form it
+    replaced: a backfill rerun never migrates a clip across the eval
+    boundary."""
+    return (
+        F.conv(F.substring(F.md5(F.col("clip_id")), 1, 12), 16, 10).cast(
+            "long"
+        )
+        % SPLIT_BUCKETS
+    )
+
+
 def _split_col() -> F.Column:
-    b = F.pmod(F.xxhash64(F.col("clip_id"), F.lit(42)), F.lit(SPLIT_BUCKETS))
+    b = _split_bucket()
     return (
         F.when(b < TRAIN_LT, F.lit("train"))
         .when(b < VALID_LT, F.lit("valid"))

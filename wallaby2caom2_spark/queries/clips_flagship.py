@@ -105,7 +105,7 @@ def media_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v2"  # v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v4"  # v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -397,6 +397,117 @@ GROUP BY prev_ok ORDER BY prev_ok
 """
 
 
+def segment_stats_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``audio_segment_stats``: per-clip segment counts /
+    byte volumes (classified by the query's own seg_dur_ms == 250 boundary)
+    replay from the fixture over the labeler's keep set."""
+    path = features_path_for(sf_dir)
+    return f"""
+WITH kept AS (
+  SELECT * FROM read_parquet('{path}/*.parquet') WHERE keep
+)
+SELECT false AS is_full_window,
+       sum(segp_n)::BIGINT AS n_segments,
+       count(*) FILTER (segp_n > 0)::BIGINT AS n_clips,
+       sum(segp_bytes)::BIGINT AS payload_bytes
+FROM kept HAVING sum(segp_n) > 0
+UNION ALL
+SELECT true AS is_full_window,
+       sum(segf_n)::BIGINT AS n_segments,
+       count(*) FILTER (segf_n > 0)::BIGINT AS n_clips,
+       sum(segf_bytes)::BIGINT AS payload_bytes
+FROM kept HAVING sum(segf_n) > 0
+ORDER BY is_full_window
+"""
+
+
+def normalize_stats_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT norm_ok, norm_peak_limited AS peak_limited,
+       count(*)::BIGINT AS n_clips,
+       sum(norm_len)::BIGINT AS payload_bytes,
+       round(avg(norm_gain_db) + 1e-9, 3) AS avg_gain_db,
+       round(avg(norm_out_rms_dbfs) + 1e-9, 3) AS avg_out_rms_dbfs
+FROM read_parquet('{path}/*.parquet')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def feature_stats_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT feat_ok, count(*)::BIGINT AS n_clips,
+       sum(feat_n_frames)::BIGINT AS total_frames,
+       sum(feat_len)::BIGINT AS tensor_bytes,
+       round(avg(feat_mle) + 1e-9, 3) AS avg_log_energy
+FROM read_parquet('{path}/*.parquet') WHERE keep
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def trim_stats_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT trim_ok, count(*)::BIGINT AS n_clips,
+       sum(trim_dur_in)::BIGINT AS dur_ms_in,
+       sum(trim_dur_out)::BIGINT AS dur_ms_out,
+       round(1.0 - sum(trim_dur_out) / (1.0 * sum(trim_dur_in)) + 1e-9, 4)
+         AS saved_frac
+FROM read_parquet('{path}/*.parquet') WHERE keep
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def tonality_gate_oracle(sf_dir: str) -> str:
+    """Class boundaries injected from operators/spectral.py — the single
+    source both the Spark gate and this oracle read."""
+    from ..operators import spectral as sp
+
+    path = features_path_for(sf_dir)
+    return f"""
+WITH classed AS (
+  SELECT CASE
+    WHEN NOT spec_ok THEN 'no_signal'
+    WHEN peak_share > {sp.TONAL_PEAK_SHARE}
+         AND flatness < {sp.TONAL_FLATNESS} THEN 'tonal_artifact'
+    WHEN peak_share > {sp._NARROWBAND_PEAK} THEN 'narrowband'
+    ELSE 'broadband' END AS tonality,
+    flatness, centroid_hz, peak_share
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT tonality, count(*)::BIGINT AS n_clips,
+       round(avg(flatness) + 1e-9, 4) AS avg_flatness,
+       round(avg(centroid_hz) + 1e-9, 1) AS avg_centroid_hz,
+       round(avg(peak_share) + 1e-9, 4) AS avg_peak_share
+FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+def speed_perturb_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    rows = []
+    for f, pre in ((0.9, "sp09"), (1.0, "sp10"), (1.1, "sp11")):
+        rows.append(f"""
+SELECT {f}::DOUBLE AS factor, count(*)::BIGINT AS n_clips,
+       sum({pre}_dur)::BIGINT AS total_dur_ms,
+       sum({pre}_len)::BIGINT AS payload_bytes,
+       round(avg({pre}_rms) + 1e-9, 4) AS avg_rms
+FROM read_parquet('{path}/*.parquet') WHERE keep AND aug_ok""")
+    return " UNION ALL ".join(rows) + " ORDER BY factor"
+
+
+def noise_mix_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT mix_ok, count(*)::BIGINT AS n_clips,
+       sum(mix_len)::BIGINT AS payload_bytes,
+       round(avg(mix_rms) + 1e-9, 4) AS avg_rms
+FROM read_parquet('{path}/*.parquet') WHERE keep AND aug_ok
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 real preview generation: decoded PCM → waveform-thumbnail PNG
     binary column (operators/preview.py), summarized so the driver's
@@ -653,6 +764,67 @@ def audio_dropout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_funnel_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for the END-TO-END curation funnel: quality keep (the
+    labeler's decision), audio gates (signal fields from the fixture), the
+    LSH-banded fingerprint dedup (same SQL replay as the fingerprint
+    oracle), and the engine-portable md5 split — the whole DAG's stage
+    histogram recomputed independently. Constants injected from
+    plans/curate.py and operators/spectral.py (single source)."""
+    from ..operators import spectral as sp
+    from ..plans import curate as cu
+
+    path = features_path_for(sf_dir)
+    return f"""
+WITH fix AS (
+  SELECT * FROM read_parquet('{path}/*.parquet')
+),
+gated AS (
+  SELECT clip_id, keep, fp_ok, fp,
+    CASE WHEN NOT keep THEN NULL
+         WHEN NOT vad_ok THEN '2_undecodable'
+         WHEN spec_ok AND peak_share > {sp.TONAL_PEAK_SHARE}
+              AND flatness < {sp.TONAL_FLATNESS} THEN '2_tonal_artifact'
+         WHEN speech_ratio < {cu.MIN_SPEECH_RATIO} THEN '2_no_speech'
+         ELSE NULL END AS gate_stage
+  FROM fix
+),
+passed AS (
+  SELECT clip_id, fp FROM gated
+  WHERE keep AND gate_stage IS NULL AND fp_ok
+),
+bands AS (
+  SELECT clip_id, fp, b.band_idx,
+         (fp >> (b.band_idx * 15)) % 32768 AS band_bits
+  FROM passed, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+live AS (SELECT * FROM bands WHERE band_bits != 0),
+losers AS (
+  SELECT DISTINCT r.clip_id
+  FROM live l JOIN live r
+    ON l.band_idx = r.band_idx AND l.band_bits = r.band_bits
+   AND l.clip_id < r.clip_id
+  WHERE bit_count(xor(l.fp, r.fp)) <= {cu.MAX_HAMMING}
+),
+staged AS (
+  SELECT CASE
+    WHEN NOT g.keep THEN '1_quality_dropped'
+    WHEN g.gate_stage IS NOT NULL THEN g.gate_stage
+    WHEN lo.clip_id IS NOT NULL THEN '3_neardup_dropped'
+    ELSE '4_' || (CASE
+      WHEN ('0x' || substr(md5(g.clip_id), 1, 12))::BIGINT
+           % {cu.SPLIT_BUCKETS} < {cu.TRAIN_LT} THEN 'train'
+      WHEN ('0x' || substr(md5(g.clip_id), 1, 12))::BIGINT
+           % {cu.SPLIT_BUCKETS} < {cu.VALID_LT} THEN 'valid'
+      ELSE 'test' END)
+    END AS stage
+  FROM gated g LEFT JOIN losers lo ON g.clip_id = lo.clip_id
+)
+SELECT stage, count(*)::BIGINT AS n_clips
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
 def clips_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full end-to-end curation DAG (plans/curate.py): quality filter →
     one-decode audio gate pass (fingerprint+VAD+spectral,
@@ -723,4 +895,28 @@ QUERIES = {
     "audio_dropout_stats": audio_dropout_stats,
 }
 
+# static ORACLE stays empty: the clips oracles embed an sf-dependent
+# fixture path, so they are BUILT at oracle_sql() time from this registry
+# (one row per fixture-backed query; __spark_entry__ bakes the driver's
+# sf0.01, scripts/check_oracle.py re-derives for other scales)
 ORACLE: dict[str, str] = {}
+
+CLIPS_ORACLE_BUILDERS = {
+    "multimodal_media_meta": media_meta_oracle,
+    "clips_duration_histogram": duration_histogram_oracle,
+    "audio_dropout_stats": dropout_stats_oracle,
+    "audio_vad_stats": vad_stats_oracle,
+    "clips_quality_filter": quality_filter_oracle,
+    "clips_metrics": metrics_oracle,
+    "audio_speaking_rate_gate": speaking_rate_oracle,
+    "audio_fingerprint_neardup": fingerprint_neardup_oracle,
+    "clips_waveform_preview": waveform_preview_oracle,
+    "audio_segment_stats": segment_stats_oracle,
+    "audio_normalize_stats": normalize_stats_oracle,
+    "audio_feature_stats": feature_stats_oracle,
+    "audio_trim_stats": trim_stats_oracle,
+    "audio_tonality_gate": tonality_gate_oracle,
+    "audio_speed_perturb_stats": speed_perturb_oracle,
+    "audio_noise_mix_stats": noise_mix_oracle,
+    "clips_curation_funnel": curation_funnel_oracle,
+}

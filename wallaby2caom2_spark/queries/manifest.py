@@ -16,34 +16,16 @@ from . import ALL_ORACLE, ALL_QUERIES
 
 # clips queries whose oracle is generated at call time from the cached
 # fixture parquets (__spark_entry__.oracle_sql) rather than registered in a
-# module-level ORACLE dict
-_GENERATED_ORACLES = frozenset(
-    [
-        "multimodal_media_meta",
-        "clips_duration_histogram",
-        "audio_dropout_stats",
-        "audio_vad_stats",
-        "clips_quality_filter",
-        "clips_metrics",
-        "audio_speaking_rate_gate",
-        "audio_fingerprint_neardup",
-        "clips_waveform_preview",
-    ]
-)
+# module-level ORACLE dict — single source: the builders registry itself
+from .clips_flagship import CLIPS_ORACLE_BUILDERS
 
-# rows-only queries → the pytest file that pins their values (golden
-# fixtures / per-payload invariants); every non-oracle query MUST appear
-# here (enforced by the sync test)
-ROWS_ONLY_PYTESTS = {
-    "audio_segment_stats": "tests/test_segment.py",
-    "audio_normalize_stats": "tests/test_normalize.py",
-    "audio_feature_stats": "tests/test_features.py",
-    "audio_tonality_gate": "tests/test_spectral.py",
-    "clips_curation_funnel": "tests/test_curate.py",
-    "audio_trim_stats": "tests/test_trim.py",
-    "audio_speed_perturb_stats": "tests/test_augment.py",
-    "audio_noise_mix_stats": "tests/test_augment.py",
-}
+_GENERATED_ORACLES = frozenset(CLIPS_ORACLE_BUILDERS)
+
+# rows-only queries → the pytest file that pins their values. EMPTY since
+# round 3: every registered query now carries a DuckDB oracle (the clips
+# family via the pure-Python replay fixture); kept for the schema so a
+# future genuinely non-replayable op documents its backing test here.
+ROWS_ONLY_PYTESTS: dict[str, str] = {}
 
 
 def build_manifest() -> dict:

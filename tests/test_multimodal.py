@@ -1,6 +1,7 @@
 """Multimodal plumbing tests: opaque-binary metadata extraction via
 mapInPandas (S11 analog — the preview visitor re-expressed as one
-Arrow-batched stage; decode itself is stubbed, the plumbing is real)."""
+Arrow-batched stage). Geometry is real for both image kinds: PNG IHDR
+parse and JPEG SOF marker walk, both stdlib."""
 
 from __future__ import annotations
 
@@ -51,10 +52,46 @@ def test_kind_summary_totals(spark, tmp_path):
     assert sum_total == raw_total
 
 
-def test_image_stub_is_deterministic():
-    w1, h1 = multimodal._decode_image_stub(b"\x89PNG" + b"x" * 100)
-    w2, h2 = multimodal._decode_image_stub(b"\x89PNG" + b"x" * 100)
-    assert (w1, h1) == (w2, h2)
+def test_jpeg_sof_walk_is_real():
+    """JPEG width/height come from walking the marker chain to SOF0 (stdlib
+    parse) — plain layout, COM-segment layout, fill bytes before a marker,
+    and every corrupt-chain bail-out branch."""
+    from wallaby2caom2_spark.datagen import encode_jpeg_header
+
+    plain = encode_jpeg_header(640, 480, b"entropy" * 9)
+    with_com = encode_jpeg_header(1920, 1080, b"x" * 50, comment=b"meta!")
+    assert multimodal._jpeg_dims(plain) == (640, 480)
+    assert multimodal._jpeg_dims(with_com) == (1920, 1080)
+    # fill bytes (repeated 0xFF) before a marker are legal padding
+    padded = plain[:2] + b"\xff\xff\xff" + plain[2:]
+    assert multimodal._jpeg_dims(padded) == (640, 480)
+    # corrupt chains: stuffed byte where a marker belongs, zero segment
+    # length, SOS before SOF, truncation inside the SOF segment
+    assert multimodal._jpeg_dims(b"\xff\xd8\xff\x00" + b"z" * 64) is None
+    assert multimodal._jpeg_dims(b"\xff\xd8\xff\xe0\x00\x01" + b"z" * 8) is None
+    assert multimodal._jpeg_dims(b"\xff\xd8\xff\xda\x00\x04ab" + b"z" * 8) is None
+    assert multimodal._jpeg_dims(plain[:24]) is None
+    assert multimodal._jpeg_dims(b"\xff\xd8") is None
+
+
+def test_jpeg_geometry_through_spark(spark):
+    """End-to-end through the mapInPandas stage: real geometry for both
+    layouts, media_ok=false (zero geometry) for the corrupt row."""
+    from wallaby2caom2_spark.datagen import encode_jpeg_header
+
+    rows = [
+        ("a", bytearray(encode_jpeg_header(300, 200, b"e" * 40))),
+        ("b", bytearray(encode_jpeg_header(77, 55, b"e" * 9, comment=b"cc"))),
+        ("bad", bytearray(b"\xff\xd8\xff\x00" + b"e" * 40)),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {
+        r["clip_id"]: (r["media_ok"], r["width"], r["height"], r["n_frames"])
+        for r in multimodal.with_media_meta(df).collect()
+    }
+    assert got["a"] == (True, 300, 200, 1)
+    assert got["b"] == (True, 77, 55, 1)
+    assert got["bad"] == (False, 0, 0, 0)
 
 
 def test_png_geometry_is_real(spark):
@@ -91,11 +128,28 @@ def test_media_fixture_covers_all_kinds(spark):
     rows = dg.generate_media_rows(40, seed=42)
     kinds = {multimodal._sniff_kind(r["bytes"]) for r in rows}
     assert kinds == {"png", "jpeg", "raw", "empty"}
-    for r in rows:
-        if multimodal._sniff_kind(r["bytes"]) == "png":
+    n_jpeg_ok = n_jpeg_bad = 0
+    for i, r in enumerate(rows):
+        kind = multimodal._sniff_kind(r["bytes"])
+        if kind == "png":
             img = decode_png_gray(bytes(r["bytes"]))
             w, h = multimodal._png_dims(r["bytes"])
             assert (h, w) == img.shape
+        elif kind == "jpeg":
+            dims = multimodal._jpeg_dims(bytes(r["bytes"]))
+            if i % 10 == 7:  # the corrupt layout
+                assert dims is None
+                n_jpeg_bad += 1
+            else:
+                # independent expectation: replay the generator's rng draws
+                # (body_len, then w, then h) rather than re-parsing bytes
+                rng = dg._rng(42 + 7_000_000, i)
+                rng.integers(0, 4096)  # body_len draw
+                w = 16 + int(rng.integers(0, 2000))
+                h = 16 + int(rng.integers(0, 1200))
+                assert dims == (w, h)
+                n_jpeg_ok += 1
+    assert n_jpeg_ok >= 4 and n_jpeg_bad >= 2
     # determinism (the oracle regenerates the same table)
     again = dg.generate_media_rows(40, seed=42)
     assert [r["bytes"] for r in again] == [r["bytes"] for r in rows]

@@ -218,12 +218,45 @@ def _write_chunk(args: tuple) -> str:
     return fqn
 
 
+def encode_jpeg_header(
+    width: int, height: int, filler: bytes, comment: bytes | None = None
+) -> bytes:
+    """Minimal-but-REAL JPEG byte stream: SOI, JFIF APP0, an optional COM
+    segment (so a dimensions parser must genuinely walk the marker chain
+    instead of assuming a fixed SOF offset), a baseline SOF0 carrying the
+    true height/width, entropy filler, EOI. Any SOF-walking reader (ours,
+    PIL, exiftool) recovers the same geometry; only the entropy data is
+    fake — there is no DHT/SOS, which a geometry parse never reaches."""
+    import struct
+
+    out = [
+        b"\xff\xd8",  # SOI
+        # APP0/JFIF: len 16 = len(2) + 'JFIF\0'(5) + version(2) + units(1)
+        # + density(4) + thumbnail(2)
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00",
+    ]
+    if comment is not None:
+        out.append(b"\xff\xfe" + struct.pack(">H", 2 + len(comment)) + comment)
+    # SOF0, 1 grayscale component: len 11 = len(2) + precision(1) + h(2)
+    # + w(2) + ncomp(1) + component(3)
+    out.append(
+        b"\xff\xc0" + struct.pack(">HBHH", 11, 8, height, width)
+        + b"\x01\x11\x00"
+    )
+    out.append(filler)
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
 def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic image-mix rows (clip_id, bytes) for the multimodal
     operator: real PNGs (hand-encoded via functions/preview.py — the SAME
-    in-tree encoder the preview sink uses), JPEG-magic stubs, plus raw and
-    empty payloads, so every branch of the media-kind sniff and the real
-    IHDR geometry parse is exercised by data both engines can read."""
+    in-tree encoder the preview sink uses), real JPEG headers in two
+    layouts (plain and with a COM segment before SOF0) plus a corrupt
+    JPEG-magic payload, plus raw and empty payloads — so every branch of
+    the media-kind sniff, the IHDR parse, and the SOF marker walk is
+    exercised by data both engines can read."""
     from .functions.preview import encode_png_gray
 
     rows: list[dict] = []
@@ -237,11 +270,22 @@ def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
                 (np.arange(w * h, dtype=np.int64) * (i + 3)) % 251
             ).astype(np.uint8).reshape(h, w)
             payload = encode_png_gray(img)
-        elif kind_roll < 8:  # JPEG magic + deterministic filler (stub path)
+        elif kind_roll < 8:  # JPEG: two real header layouts + one corrupt
             body_len = 64 + int(rng.integers(0, 4096))
-            payload = b"\xff\xd8\xff\xe0" + bytes(
-                (i * 31 + j) % 256 for j in range(body_len)
-            )
+            filler = bytes((i * 31 + j) % 256 for j in range(body_len))
+            if kind_roll == 7:
+                # JPEG magic then a stuffed-byte 0xFF00 where the first
+                # marker belongs: sniffs as jpeg, fails the SOF walk
+                payload = b"\xff\xd8\xff\x00" + filler
+            else:
+                w = 16 + int(rng.integers(0, 2000))  # 2-byte widths too
+                h = 16 + int(rng.integers(0, 1200))
+                payload = encode_jpeg_header(
+                    w,
+                    h,
+                    filler,
+                    comment=(b"m" * (3 + i % 9)) if kind_roll == 6 else None,
+                )
         elif kind_roll < 9:  # unrecognized container
             payload = b"GARB" + bytes((i + j) % 256 for j in range(40))
         else:  # empty

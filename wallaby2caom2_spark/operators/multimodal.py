@@ -3,10 +3,12 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with typed
 metadata, per the 100 TB training-data-pipeline design: the Spark-side
 plumbing (schema, Arrow batch shape, iterator lifecycle, partitioning) is
-real and tested. PNG geometry is REAL (stdlib IHDR parse — the repo
-hand-writes PNGs in functions/preview.py, so the format knowledge is
-in-tree); only the JPEG pixel decode remains stubbed because the image
-libraries are not in this container.
+real and tested. Geometry is REAL for both image kinds, no PIL needed:
+PNG via a stdlib IHDR parse (the repo hand-writes PNGs in
+functions/preview.py, so the format knowledge is in-tree) and JPEG via a
+stdlib SOF marker-segment walk. Only full pixel decode would need an
+image library (absent in this container) — geometry extraction, the part
+a curation pipeline actually filters on, does not.
 
 Reference analog: the preview/thumbnail visitor (S11,
 ``wallaby2caom2/preview_augmentation.py:77-97``) — a per-item binary →
@@ -21,13 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # pragma: no cover - not present in this container
-    from PIL import Image as _pil_image  # type: ignore  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -58,16 +53,48 @@ def _sniff_kind(payload: bytes | None) -> str:
     return "raw"
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """JPEG STUB: real decode needs PIL/libvips (absent here) — swap this
-    body for ``PIL.Image.open(io.BytesIO(payload)).size`` when wiring the
-    real path. Always emits a deterministic fake geometry derived from
-    payload length so the downstream plumbing (resize planning, batch
-    accounting) is exercised — unconditionally, so a host where PIL merely
-    happens to be importable doesn't turn every jpeg row into a task
-    crash."""
+# every SOFn marker that carries frame geometry (C0-CF minus DHT C4,
+# JPG C8 and DAC CC, which are table/extension segments)
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL JPEG geometry, stdlib only: walk the marker segments after SOI
+    until a start-of-frame (SOFn) marker and read its big-endian
+    height/width fields (offsets +5/+7 past the marker: length(2),
+    precision(1), height(2), width(2)). Skips 0xFF fill bytes and
+    standalone markers (TEM/RSTn), follows each variable segment via its
+    2-byte length. Returns None — media_ok=false downstream — on a
+    corrupt chain (stuffed byte where a marker belongs, segment length
+    < 2, EOI/SOS before any SOF, or a truncated stream)."""
+    import struct
+
     n = len(payload)
-    return 16 + n % 64, 16 + (n // 64) % 64
+    i = 2  # past SOI
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker in _SOF_MARKERS:
+            if i + 9 > n:
+                return None
+            height, width = struct.unpack_from(">HH", payload, i + 5)
+            return int(width), int(height)
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM/RSTn/SOI: bare
+            i += 2
+            continue
+        if marker in (0x00, 0xD9, 0xDA):  # stuffed byte / EOI / SOS
+            return None
+        seglen = struct.unpack_from(">H", payload, i + 2)[0]
+        if seglen < 2:
+            return None
+        i += 2 + seglen
+    return None
 
 
 def _png_dims(payload: bytes) -> tuple[int, int]:
@@ -89,20 +116,26 @@ def extract_media_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             kind = _sniff_kind(payload)
             n = len(payload) if payload else 0
             # a PNG needs its full IHDR (sig + chunk header + 8 dim bytes =
-            # 24) to be decodable; other kinds keep the header floor of 12
-            ok = kind not in ("empty", "raw") and (
-                n >= 24 if kind == "png" else n > 12
-            )
+            # 24) to be decodable; a JPEG is ok only if the SOF walk
+            # recovers geometry; audio keeps the header floor of 12
             w = h = frames = 0
-            if ok:
-                if kind == "png":
+            if kind == "png":
+                ok = n >= 24
+                if ok:
                     w, h = _png_dims(payload)
                     frames = 1
-                elif kind == "jpeg":
-                    w, h = _decode_image_stub(payload)
+            elif kind == "jpeg":
+                dims = _jpeg_dims(payload)
+                ok = dims is not None
+                if ok:
+                    w, h = dims
                     frames = 1
-                else:  # audio container: frame-sample plan = 1 frame / 100ms
+            elif kind in ("wav", "flac"):
+                ok = n > 12
+                if ok:  # audio container: frame-sample plan = 1 frame/100ms
                     frames = max(1, n // 3200)
+            else:
+                ok = False
             out["clip_id"].append(cid)
             out["kind"].append(kind)
             out["n_bytes"].append(n)
@@ -128,7 +161,7 @@ def media_kind_summary(df: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.sum(F.when(F.col("media_ok"), 1).otherwise(0)).cast("bigint").alias("n_ok"),
         F.sum("n_frames").cast("bigint").alias("total_frames"),
-        # geometry sums pin the IHDR parse (png) and the stub arithmetic
+        # geometry sums pin the IHDR parse (png) and the SOF marker walk
         # (jpeg) under the DuckDB oracle; 0 for non-image kinds
         F.sum("width").cast("bigint").alias("sum_width"),
         F.sum("height").cast("bigint").alias("sum_height"),

@@ -79,13 +79,14 @@ def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_N = 200  # branch-coverage side table — fixed size at every sf
-_MEDIA_VERSION = "v1"
+_MEDIA_VERSION = "v2"  # v2: real JPEG headers (SOF0 geometry + corrupt row)
 
 
 def media_path_for(sf_dir: str) -> str:
-    """Deterministic image-mix side table (real PNGs + jpeg stubs + raw +
-    empty payloads, datagen.generate_media_rows) cached next to the clips
-    cache with the same atomic-rename concurrency contract."""
+    """Deterministic image-mix side table (real PNGs, real JPEG headers in
+    two marker layouts plus a corrupt one, raw and empty payloads —
+    datagen.generate_media_rows) cached next to the clips cache with the
+    same atomic-rename concurrency contract."""
     name = os.path.basename(os.path.normpath(sf_dir)) or "default"
     path = os.path.join(
         _CACHE_ROOT, f"{name}-media-{_MEDIA_VERSION}-n{_MEDIA_N}"
@@ -148,7 +149,7 @@ def clips_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary metadata extraction over the clips payloads UNIONED
-    with the image-mix side table — real PNG IHDR geometry, jpeg stub
+    with the image-mix side table — real PNG IHDR geometry, real JPEG SOF
     geometry, audio frame-sample plan, all oracle-checked."""
     clips = load_clips(spark, sf_dir).select("clip_id", "bytes")
     media = spark.read.parquet(media_path_for(sf_dir))
@@ -160,12 +161,16 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_meta_oracle(sf_dir: str) -> str:
     """DuckDB oracle for ``multimodal_media_meta``: the magic-byte sniff,
     the REAL PNG IHDR parse (two big-endian uint32s read out of the hex
-    dump) and the deterministic jpeg stub geometry are all pure arithmetic,
-    so the whole mapInPandas stage is SQL-checkable — DuckDB reads the SAME
-    cached parquet fixtures (``clips_path_for``/``media_path_for`` generate
-    them if absent, so calling this from ``oracle_sql()`` is self-contained
-    on the driver). Byte-prefix matching uses ``left(hex(bytes), k)``
-    because DuckDB has no BLOB starts_with."""
+    dump) and the REAL JPEG SOF walk are all pure arithmetic, so the whole
+    mapInPandas stage is SQL-checkable — DuckDB reads the SAME cached
+    parquet fixtures (``clips_path_for``/``media_path_for`` generate them
+    if absent, so calling this from ``oracle_sql()`` is self-contained on
+    the driver). The fixture jpegs have at most one variable segment (COM)
+    between APP0 and SOF0, so the marker walk unrolls to a 2-step chain of
+    computed-offset hex reads (byte position p → hex offset 2p-1); every
+    read is TRY_CAST so a corrupt chain degrades to NULL → media_ok=false,
+    exactly like the Python walker returning None. Byte-prefix matching
+    uses ``left(hex(bytes), k)`` because DuckDB has no BLOB starts_with."""
     path = clips_path_for(sf_dir)
     media = media_path_for(sf_dir)
     return f"""
@@ -182,24 +187,41 @@ WITH c AS (
   FROM read_parquet(['{path}/*.parquet', '{media}/*.parquet'],
                     union_by_name=true)
 ),
+j AS (  -- JPEG SOF marker walk, unrolled (fixture has <= 1 COM before SOF0)
+  SELECT kind, n, bytes,
+    substr(hex(bytes), 5, 4) AS m1,                       -- marker at byte 3
+    5 + TRY_CAST('0x' || substr(hex(bytes), 9, 4) AS BIGINT) AS p2,
+    substr(hex(bytes), 2 * p2 - 1, 4) AS m2,
+    p2 + 2 + TRY_CAST(
+      '0x' || substr(hex(bytes), 2 * (p2 + 2) - 1, 4) AS BIGINT) AS p3,
+    CASE WHEN kind <> 'jpeg' OR m1 <> 'FFE0' THEN NULL
+         WHEN m2 = 'FFC0' THEN p2
+         WHEN m2 = 'FFFE'
+              AND substr(hex(bytes), 2 * p3 - 1, 4) = 'FFC0' THEN p3
+         ELSE NULL END AS sof,
+    TRY_CAST('0x' || substr(hex(bytes), 2 * (sof + 5) - 1, 4) AS BIGINT) AS jh,
+    TRY_CAST('0x' || substr(hex(bytes), 2 * (sof + 7) - 1, 4) AS BIGINT) AS jw
+  FROM c
+),
 m AS (
   SELECT kind, n,
-    (kind NOT IN ('empty', 'raw')
-     AND CASE WHEN kind = 'png' THEN n >= 24 ELSE n > 12 END) AS ok,
-    CASE WHEN NOT (kind NOT IN ('empty', 'raw')
-                   AND CASE WHEN kind = 'png' THEN n >= 24 ELSE n > 12 END)
-         THEN 0
+    CASE kind WHEN 'png' THEN n >= 24
+              WHEN 'jpeg' THEN jw IS NOT NULL AND jh IS NOT NULL
+              WHEN 'wav' THEN n > 12
+              WHEN 'flac' THEN n > 12
+              ELSE FALSE END AS ok,
+    CASE WHEN NOT ok THEN 0
          WHEN kind IN ('png', 'jpeg') THEN 1
          ELSE greatest(1, n // 3200) END AS frames,
     CASE WHEN kind = 'png' AND n >= 24
            THEN ('0x' || substr(hex(bytes), 33, 8))::BIGINT
-         WHEN kind = 'jpeg' AND n > 12 THEN 16 + n % 64
+         WHEN kind = 'jpeg' THEN coalesce(jw, 0)
          ELSE 0 END AS width,
     CASE WHEN kind = 'png' AND n >= 24
            THEN ('0x' || substr(hex(bytes), 41, 8))::BIGINT
-         WHEN kind = 'jpeg' AND n > 12 THEN 16 + (n // 64) % 64
+         WHEN kind = 'jpeg' THEN coalesce(jh, 0)
          ELSE 0 END AS height
-  FROM c
+  FROM j
 )
 SELECT kind, count(*)::BIGINT AS n_clips, sum(n)::BIGINT AS total_bytes,
        sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_ok,

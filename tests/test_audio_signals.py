@@ -55,10 +55,12 @@ def test_audio_signals_matches_standalone_ops(spark, clips_df):
 
 def test_quality_and_signals_matches_both_parents(spark, clips_df):
     """The curation DAG's single pass must equal (a) audio_signals on every
-    gate field and (b) the flagship fused stage on every quality field."""
+    gate field and (b) the flagship fused stage on every quality field.
+    (signals_for_dropped=True: the per-row numerical identity must hold on
+    EVERY clip; the default gated path is pinned separately below.)"""
     from wallaby2caom2_spark.operators.fused_stage import with_fused_features
 
-    qs = quality_and_signals(clips_df)
+    qs = quality_and_signals(clips_df, signals_for_dropped=True)
     qs.persist()
     try:
         sig_fields = ["sig_ok", "fp_ok", "fp"] + VAD_FIELDS + SPEC_FIELDS
@@ -73,3 +75,50 @@ def test_quality_and_signals_matches_both_parents(spark, clips_df):
         )
     finally:
         qs.unpersist()
+
+
+def test_gated_signals_match_for_kept_clips(spark, clips_df):
+    """The DEFAULT path skips the FFT signal block for quality-dropped
+    clips. Pins: (a) the in-worker decision chain
+    (oracle.drop_reason_from_features) agrees with the codegen cascade on
+    every clip — skipped == dropped, exactly; (b) kept clips' signals are
+    bit-identical to the unconditional pass; (c) dropped clips carry the
+    sig_ok=false containment defaults."""
+    from wallaby2caom2_spark.plans.pipeline import quality_filter
+
+    gated = quality_and_signals(clips_df)
+    full = quality_and_signals(clips_df, signals_for_dropped=True)
+    keep = {
+        r["clip_id"]: r["keep"]
+        for r in quality_filter(clips_df).select("clip_id", "keep").collect()
+    }
+    sig_fields = ["sig_ok", "fp_ok", "fp"] + VAD_FIELDS + SPEC_FIELDS
+    got = _by_id(gated, sig_fields)
+    exp = _by_id(full, sig_fields)
+    assert set(got) == set(keep)
+    n_kept = n_dropped = 0
+    for cid, row in got.items():
+        if keep[cid]:
+            assert row == exp[cid], cid
+            n_kept += 1
+        else:
+            # (sig_ok, fp_ok, fp, VAD ints/floats, spec fields) defaults
+            assert row[0] is False and row[1] is False and row[2] == 0, cid
+            assert row[3] == 0 and row[4] == 0, cid  # n_frames, n_speech
+            n_dropped += 1
+    assert n_kept > 0 and n_dropped > 0  # corpus exercises both arms
+
+
+def test_staged_output_identical_with_and_without_gating(spark, clips_df):
+    """End-to-end pin for the funnel: the (clip_id -> stage) labeling is
+    identical whether dropped clips' signals are computed or skipped."""
+    from wallaby2caom2_spark.plans.curate import _staged
+
+    gated = {
+        r["clip_id"]: r["stage"] for r in _staged(clips_df).collect()
+    }
+    full = {
+        r["clip_id"]: r["stage"]
+        for r in _staged(clips_df, signals_for_dropped=True).collect()
+    }
+    assert gated == full

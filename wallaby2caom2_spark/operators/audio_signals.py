@@ -184,11 +184,22 @@ QUALITY_SIGNALS_SCHEMA = T.StructType(
 )
 
 
+def _opt_int(value) -> int | None:
+    """Nullable declared-metadata value → int or None (pandas hands a
+    nullable int32 column over as float64-with-NaN or object-with-None;
+    the cascade's NULL semantics need the distinction ``declared_sr``
+    collapses away)."""
+    if value is None or value != value:
+        return None
+    return int(value)
+
+
 def quality_and_signals(
     df: DataFrame,
     frame_ms: int = 20,
     hop_ms: int = 10,
     gate_db: float = 10.0,
+    signals_for_dropped: bool = False,
 ) -> DataFrame:
     """The curation DAG's single payload pass: quality-filter features AND
     every audio gate signal from ONE decode of ONE scan.
@@ -201,15 +212,31 @@ def quality_and_signals(
     (``audio.decode_features`` — byte-identical to the flagship stage), the
     text models, and the fingerprint/VAD/spectral signals (shared
     ``_SignalArrays`` helper — byte-identical to ``audio_signals``), so the
-    whole funnel downstream is codegen + slim joins. Signals computed for
-    clips the cascade then drops are wasted CPU proportional to the drop
-    rate; at 100 TB that trade buys a full corpus read and removes the only
-    payload-bearing join in the DAG. The container header is parsed twice
-    per clip (decode_features + the signal decode) — both return zero-copy
-    int16 views, so no sample data is copied either time."""
+    whole funnel downstream is codegen + slim joins.
+
+    By default the expensive signal block (fingerprint FFT + Welch
+    spectrum + VAD) is SKIPPED for clips the quality cascade is about to
+    drop: the worker evaluates the same first-match-wins decision chain the
+    codegen cascade runs (``oracle.drop_reason_from_features`` — the
+    single factored implementation the serial labeler uses, whose equality
+    with the Catalyst when-chain is pinned by the golden fixtures and the
+    flagship's row-level oracle) on the values this very pass computed,
+    and only survivors pay for the FFTs. Dropped clips carry the same
+    ``sig_ok=false`` containment defaults as undecodable ones — the funnel
+    never reads gate signals of a stage-1-dropped clip (its stage label
+    short-circuits at ``~keep``). ``signals_for_dropped=True`` restores
+    unconditional computation (the numerical-identity tests use it to pin
+    this pass against the standalone operators on every row; production
+    equivalence of the DEFAULT path is pinned by
+    tests/test_audio_signals.py::test_gated_signals_match_for_kept_clips
+    and test_curate.py — identical ``_staged`` output either way). The
+    container header is parsed twice per clip (decode_features + the
+    signal decode) — both return zero-copy int16 views, so no sample data
+    is copied either time."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions import scrub, textscore
+        from ..oracle import drop_reason_from_features, transcript_shape
 
         for pdf in batches:
             n = len(pdf)
@@ -220,6 +247,13 @@ def quality_and_signals(
             clip = np.zeros(n, dtype=np.float64)
             dropm = np.zeros(n, dtype=np.float64)
             sig = _SignalArrays(n)
+            texts = [
+                t if isinstance(t, str) else None for t in pdf["transcript"]
+            ]
+            # text models first: the skip-dropped gate needs lang/ppl
+            langs, confs, ppls = textscore.score_batch(texts)
+            out_t, out_n = scrub.scrub_batch(texts)
+            dur_decl = pdf["dur_ms"].to_numpy()
             for i, (raw, codec, sr_decl) in enumerate(
                 zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
             ):
@@ -228,12 +262,18 @@ def quality_and_signals(
                 ok[i], srm[i], dur[i], rms[i], clip[i], dropm[i] = (
                     o, s, d, r, c, dm,
                 )
+                if not signals_for_dropped:
+                    n_chars, rep_ratio = transcript_shape(texts[i])
+                    if (
+                        drop_reason_from_features(
+                            codec, _opt_int(sr_decl), _opt_int(dur_decl[i]),
+                            o, s, d, r, c, dm, n_chars, rep_ratio,
+                            ppls[i], langs[i], confs[i],
+                        )
+                        is not None
+                    ):
+                        continue  # containment defaults, like undecodable
                 sig.fill_row(i, raw, codec, sr_decl, frame_ms, hop_ms, gate_db)
-            texts = [
-                t if isinstance(t, str) else None for t in pdf["transcript"]
-            ]
-            langs, confs, ppls = textscore.score_batch(texts)
-            out_t, out_n = scrub.scrub_batch(texts)
             yield pd.DataFrame(
                 {
                     "clip_id": pdf["clip_id"],

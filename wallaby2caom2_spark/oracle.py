@@ -22,8 +22,76 @@ from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions import audio, langid, perplexity, scrub
 
 
-def label_row(row: dict[str, Any], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
+def drop_reason_from_features(
+    codec: str | None,
+    declared_sr: int | None,
+    declared_dur: int | None,
+    pcm_ok: bool,
+    sr_meas: int,
+    dur_meas: int,
+    rms: float,
+    clip_rate: float,
+    dropout_ms: float,
+    n_chars: int,
+    rep_ratio: float,
+    ppl: float,
+    lang: str,
+    conf: float,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> str | None:
+    """The first-match-wins cascade decision, factored out so every serial
+    evaluator — ``label_row`` and the fused gate pass's skip-dropped
+    optimization (operators/audio_signals.py) — runs the literally-same
+    comparison chain on the same computed values. NULL-tolerant like the
+    codegen cascade's three-valued logic: a None comparand makes the
+    sr/duration rules no-ops. Equality with the Catalyst when-chain
+    (operators/cascade.py ``with_keep_drop``) is the repo's core pinned
+    invariant: golden fixtures (F1 = 1.0) + the flagship's 14-column
+    row-level DuckDB oracle replay at every sf."""
     t = cfg.thresholds
+    if codec not in cfg.supported_codecs:
+        return "codec_invalid"
+    if not pcm_ok:
+        return "decode_failed"
+    if declared_sr is not None and sr_meas != declared_sr:
+        return "sr_mismatch"
+    if (
+        declared_dur is not None
+        and abs(dur_meas - declared_dur) > t.duration_tolerance * declared_dur
+    ):
+        return "duration_mismatch"
+    if rms < t.min_rms:
+        return "audio_silence"
+    if clip_rate > t.max_clip_rate:
+        return "audio_clipping"
+    if dropout_ms > t.max_dropout_ms:
+        return "audio_dropout"
+    if n_chars < t.min_chars:
+        return "too_short"
+    if n_chars > t.max_chars:
+        return "too_long"
+    if rep_ratio > t.max_repetition_ratio:
+        return "repetition"
+    if ppl > t.max_perplexity:
+        return "perplexity_high"
+    if lang not in cfg.allowed_langs:
+        return "lang_not_allowed"
+    if conf < t.min_lang_conf:
+        return "langid_low_conf"
+    return None
+
+
+def transcript_shape(transcript: str | None) -> tuple[int, float]:
+    """(n_chars, rep_ratio) exactly as the labeler computes them —
+    ``str.split()`` tokenization, matched by the codegen ``(?U)\\S+``
+    extraction (see operators/cascade.py ``with_transcript_stats``)."""
+    n_chars = len(transcript) if transcript is not None else 0
+    words = transcript.split() if transcript else []
+    rep_ratio = 1.0 - (len(set(words)) / len(words)) if words else 0.0
+    return n_chars, rep_ratio
+
+
+def label_row(row: dict[str, Any], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
     payload, codec = row["bytes"], row["codec"]
     # NULL-tolerant declared metadata, mirroring the cascade's SQL
     # three-valued logic: a NULL comparand makes the sr/duration rules
@@ -37,41 +105,13 @@ def label_row(row: dict[str, Any], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict
     )
     lang, conf = langid.predict_one(transcript)
     ppl = perplexity.perplexity_one(transcript)
-    n_chars = len(transcript) if transcript is not None else 0
-    words = transcript.split() if transcript else []
-    rep_ratio = 1.0 - (len(set(words)) / len(words)) if words else 0.0
+    n_chars, rep_ratio = transcript_shape(transcript)
 
-    drop_reason: str | None = None
-    if codec not in cfg.supported_codecs:
-        drop_reason = "codec_invalid"
-    elif not pcm_ok:
-        drop_reason = "decode_failed"
-    elif declared_sr is not None and sr_meas != declared_sr:
-        drop_reason = "sr_mismatch"
-    elif (
-        declared_dur is not None
-        and abs(dur_meas - declared_dur) > t.duration_tolerance * declared_dur
-    ):
-        drop_reason = "duration_mismatch"
-    elif rms < t.min_rms:
-        drop_reason = "audio_silence"
-    elif clip_rate > t.max_clip_rate:
-        drop_reason = "audio_clipping"
-    elif dropout_ms > t.max_dropout_ms:
-        drop_reason = "audio_dropout"
-    elif n_chars < t.min_chars:
-        drop_reason = "too_short"
-    elif n_chars > t.max_chars:
-        drop_reason = "too_long"
-    elif rep_ratio > t.max_repetition_ratio:
-        drop_reason = "repetition"
-    elif ppl > t.max_perplexity:
-        drop_reason = "perplexity_high"
-    elif lang not in cfg.allowed_langs:
-        drop_reason = "lang_not_allowed"
-    elif conf < t.min_lang_conf:
-        drop_reason = "langid_low_conf"
-
+    drop_reason = drop_reason_from_features(
+        codec, declared_sr, declared_dur, pcm_ok, sr_meas, dur_meas,
+        rms, clip_rate, dropout_ms, n_chars, rep_ratio, ppl, lang, conf,
+        cfg,
+    )
     keep = drop_reason is None
     scrubbed, edits = scrub.scrub_one(transcript) if keep else (None, 0)
     return {

@@ -83,9 +83,19 @@ def _split_col() -> F.Column:
     )
 
 
-def _staged(clips: DataFrame, caches: list | None = None) -> DataFrame:
+def _staged(
+    clips: DataFrame,
+    caches: list | None = None,
+    signals_for_dropped: bool = False,
+) -> DataFrame:
     """Label every input clip with the first stage that drops it (or its
     final split) — ONE plan, keyed equi-joins only.
+
+    ``signals_for_dropped`` is forwarded to ``quality_and_signals``: the
+    production default skips the expensive FFT signal block for clips the
+    quality cascade drops (their gate signals are never read — ``stage``
+    short-circuits at ``~keep`` and dedup candidates filter on ``keep``);
+    tests pass True to pin that the output is identical either way.
 
     Output: (clip_id, lang, scrubbed_transcript, stage) where stage ∈
     {1_quality_dropped, 2_undecodable, 2_tonal_artifact, 2_no_speech,
@@ -106,7 +116,7 @@ def _staged(clips: DataFrame, caches: list | None = None) -> DataFrame:
     # (curate_corpus) clean up via ``caches``; lazy callers (the funnel
     # query) leave the slim blocks to Spark's LRU.
     labeled = (
-        quality_and_signals(clips)
+        quality_and_signals(clips, signals_for_dropped=signals_for_dropped)
         .transform(cascade.with_transcript_stats)
         .transform(lambda d: cascade.with_keep_drop(d, DEFAULT_CONFIG))
         .transform(text_stage.mask_scrub)

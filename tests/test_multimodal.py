@@ -121,20 +121,30 @@ def test_png_geometry_is_real(spark):
 
 def test_media_fixture_covers_all_kinds(spark):
     """The image-mix side table (datagen.generate_media_rows) must exercise
-    png + jpeg + raw + empty, with real decodable PNG geometry."""
+    png + jpeg + raw + empty, with real decodable PNG geometry AND pixels
+    (gray + RGB, all five scanline filters, one truncated-IDAT row)."""
     from wallaby2caom2_spark import datagen as dg
-    from wallaby2caom2_spark.functions.preview import decode_png_gray
+    from wallaby2caom2_spark.functions.png import decode_png
 
     rows = dg.generate_media_rows(40, seed=42)
     kinds = {multimodal._sniff_kind(r["bytes"]) for r in rows}
     assert kinds == {"png", "jpeg", "raw", "empty"}
-    n_jpeg_ok = n_jpeg_bad = 0
+    n_jpeg_ok = n_jpeg_bad = n_gray = n_rgb = n_trunc = 0
     for i, r in enumerate(rows):
         kind = multimodal._sniff_kind(r["bytes"])
         if kind == "png":
-            img = decode_png_gray(bytes(r["bytes"]))
+            img = decode_png(bytes(r["bytes"]))
             w, h = multimodal._png_dims(r["bytes"])
-            assert (h, w) == img.shape
+            if i % 50 == 10:  # truncated after IHDR: geometry yes, pixels no
+                assert img is None and (w, h) != (0, 0)
+                n_trunc += 1
+                continue
+            assert (h, w) == img.shape[:2]
+            if img.ndim == 2:
+                n_gray += 1
+            else:
+                assert img.shape[2] == 3
+                n_rgb += 1
         elif kind == "jpeg":
             dims = multimodal._jpeg_dims(bytes(r["bytes"]))
             if i % 10 == 7:  # the corrupt layout
@@ -150,6 +160,7 @@ def test_media_fixture_covers_all_kinds(spark):
                 assert dims == (w, h)
                 n_jpeg_ok += 1
     assert n_jpeg_ok >= 4 and n_jpeg_bad >= 2
+    assert n_gray >= 4 and n_rgb >= 4 and n_trunc == 1
     # determinism (the oracle regenerates the same table)
     again = dg.generate_media_rows(40, seed=42)
     assert [r["bytes"] for r in again] == [r["bytes"] for r in rows]

@@ -251,25 +251,40 @@ def encode_jpeg_header(
 
 def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic image-mix rows (clip_id, bytes) for the multimodal
-    operator: real PNGs (hand-encoded via functions/preview.py — the SAME
-    in-tree encoder the preview sink uses), real JPEG headers in two
-    layouts (plain and with a COM segment before SOF0) plus a corrupt
-    JPEG-magic payload, plus raw and empty payloads — so every branch of
-    the media-kind sniff, the IHDR parse, and the SOF marker walk is
-    exercised by data both engines can read."""
-    from .functions.preview import encode_png_gray
+    operator: real PNGs (hand-encoded via functions/png.py — the full
+    in-tree codec), real JPEG headers in two layouts (plain and with a COM
+    segment before SOF0) plus a corrupt JPEG-magic payload, plus raw and
+    empty payloads — so every branch of the media-kind sniff, the IHDR
+    parse, and the SOF marker walk is exercised by data both engines can
+    read.
+
+    The PNG pixels follow a CLOSED-FORM rule — value at flat index k is
+    ``(k * (i + 3)) % 251``, gray (kind_roll 0/2/4) or RGB (1/3), one of
+    the five spec filters per scanline (``(i + row) % 5``) — so a DuckDB
+    oracle can recompute every pixel statistic analytically WITHOUT being
+    able to inflate zlib: the only way the Spark side matches is by
+    genuinely decompressing and unfiltering the scanlines
+    (queries/clips_flagship.py ``png_pixel_oracle``). Every 50th index
+    ending the png roll (i % 50 == 10) is truncated right after the IHDR
+    chunk: geometry still parses, pixel decode must fail."""
+    from .functions.png import encode_png
 
     rows: list[dict] = []
     for i in range(n):
         rng = _rng(seed + 7_000_000, i)
         kind_roll = i % 10
-        if kind_roll < 5:  # real PNG, varied geometry
+        if kind_roll < 5:  # real PNG, varied geometry, gray or RGB
             w = 16 + int(rng.integers(0, 100))
             h = 16 + int(rng.integers(0, 80))
-            img = (
-                (np.arange(w * h, dtype=np.int64) * (i + 3)) % 251
-            ).astype(np.uint8).reshape(h, w)
-            payload = encode_png_gray(img)
+            channels = 3 if kind_roll in (1, 3) else 1
+            vals = (
+                (np.arange(w * h * channels, dtype=np.int64) * (i + 3)) % 251
+            ).astype(np.uint8)
+            img = vals.reshape((h, w) if channels == 1 else (h, w, channels))
+            payload = encode_png(img, filters=[(i + r) % 5 for r in range(h)])
+            if i % 50 == 10:
+                # sig(8) + IHDR chunk(25) = 33 bytes: dims readable, no IDAT
+                payload = payload[:33]
         elif kind_roll < 8:  # JPEG: two real header layouts + one corrupt
             body_len = 64 + int(rng.integers(0, 4096))
             filler = bytes((i * 31 + j) % 256 for j in range(body_len))

@@ -21,38 +21,19 @@ import zlib
 
 import numpy as np
 
+from .png import _PNG_SIG, encode_png
+
 THUMB_W = 256  # matches the reference's _prev_256 naming
 THUMB_H = 64
 
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
-
-
-def _chunk(tag: bytes, body: bytes) -> bytes:
-    return (
-        struct.pack(">I", len(body))
-        + tag
-        + body
-        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-    )
-
 
 def encode_png_gray(img: np.ndarray) -> bytes:
-    """(h, w) uint8 array → 8-bit grayscale PNG bytes."""
+    """(h, w) uint8 array → 8-bit grayscale PNG bytes (filter-0 scanlines;
+    delegates to the full codec in functions/png.py — one encoder, two
+    entry points, byte-identity pinned in tests/test_png_codec.py)."""
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("expected (h, w) uint8")
-    h, w = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
-    # each scanline prefixed with filter byte 0 (None)
-    raw = np.empty((h, w + 1), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = img
-    idat = zlib.compress(raw.tobytes(), 6)
-    return (
-        _PNG_SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", idat)
-        + _chunk(b"IEND", b"")
-    )
+    return encode_png(img)
 
 
 def decode_png_gray(data: bytes) -> np.ndarray:

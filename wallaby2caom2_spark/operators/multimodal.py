@@ -6,9 +6,12 @@ plumbing (schema, Arrow batch shape, iterator lifecycle, partitioning) is
 real and tested. Geometry is REAL for both image kinds, no PIL needed:
 PNG via a stdlib IHDR parse (the repo hand-writes PNGs in
 functions/preview.py, so the format knowledge is in-tree) and JPEG via a
-stdlib SOF marker-segment walk. Only full pixel decode would need an
-image library (absent in this container) — geometry extraction, the part
-a curation pipeline actually filters on, does not.
+stdlib SOF marker-segment walk. PNG pixel decode is ALSO real — full
+zlib inflate + all-five-filters scanline reconstruction
+(functions/png.py), feeding per-image pixel statistics
+(``png_pixel_stats``) the image-quality rules of a curation pipeline read
+(mean luminance, dynamic range). Only JPEG entropy decode would need an
+image library (absent in this container).
 
 Reference analog: the preview/thumbnail visitor (S11,
 ``wallaby2caom2/preview_augmentation.py:77-97``) — a per-item binary →
@@ -19,6 +22,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -152,6 +156,74 @@ def with_media_meta(df: DataFrame) -> DataFrame:
     never survives past this stage."""
     return df.select("clip_id", "bytes").mapInPandas(
         extract_media_meta, MEDIA_META_SCHEMA
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_vals", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def extract_png_pixel_stats(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (clip_id, bytes) → REAL per-image pixel stats
+    for PNG payloads (non-PNG rows are dropped in the worker — the sniff
+    is cheap and keeps the operator composable over mixed media tables).
+    A payload whose IHDR parses but whose stream is corrupt/truncated
+    yields decode_ok=false with its declared geometry and NULL pixel
+    stats — geometry is header fact, pixels are not."""
+    from ..functions.png import _CTYPE_CHANNELS, decode_png
+
+    for pdf in batches:
+        out = {k.name: [] for k in PIXEL_STATS_SCHEMA.fields}
+        for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+            payload = bytes(raw) if raw is not None else None
+            if _sniff_kind(payload) != "png" or len(payload) < 26:
+                continue
+            w, h = _png_dims(payload)
+            ch = _CTYPE_CHANNELS.get(payload[25], 0)
+            img = decode_png(payload)
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(img is not None)
+            out["width"].append(int(w))
+            out["height"].append(int(h))
+            out["channels"].append(ch)
+            if img is None:
+                out["n_vals"].append(None)
+                out["px_sum"].append(None)
+                out["px_min"].append(None)
+                out["px_max"].append(None)
+            else:
+                flat = img.reshape(-1).astype(np.int64)
+                out["n_vals"].append(int(flat.size))
+                out["px_sum"].append(int(flat.sum()))
+                out["px_min"].append(int(flat.min()))
+                out["px_max"].append(int(flat.max()))
+        yield pd.DataFrame(out, columns=[f.name for f in PIXEL_STATS_SCHEMA])
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """(clip_id, bytes) → decoded-pixel statistics for every PNG row.
+    The mean is derived in codegen from the two exact integers the worker
+    returns — the Python boundary carries only ints, so the float rounding
+    convention lives in one (JVM) place for both engines."""
+    stats = df.select("clip_id", "bytes").mapInPandas(
+        extract_png_pixel_stats, PIXEL_STATS_SCHEMA
+    )
+    return stats.withColumn(
+        "px_mean",
+        F.round(F.col("px_sum") / F.col("n_vals") + F.lit(1e-9), 6),
     )
 
 

@@ -79,7 +79,9 @@ def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_N = 200  # branch-coverage side table — fixed size at every sf
-_MEDIA_VERSION = "v2"  # v2: real JPEG headers (SOF0 geometry + corrupt row)
+# v3: RGB + per-row filters 0-4 + truncated-IDAT rows (full pixel decode);
+# v2: real JPEG headers (SOF0 geometry + corrupt row)
+_MEDIA_VERSION = "v3"
 
 
 def media_path_for(sf_dir: str) -> str:
@@ -156,6 +158,63 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_kind_summary(clips.unionByName(media)).orderBy(
         F.col("kind")
     )
+
+
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode over the image-mix side table: zlib inflate +
+    all-five-filters scanline reconstruction (functions/png.py) inside an
+    Arrow-batched mapInPandas worker, emitting exact integer pixel stats
+    per image (operators/multimodal.py ``png_pixel_stats``)."""
+    media = spark.read.parquet(media_path_for(sf_dir))
+    return multimodal.png_pixel_stats(media).orderBy("clip_id")
+
+
+def png_pixel_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``multimodal_pixel_stats`` — ANALYTIC, not a
+    replay: DuckDB cannot inflate zlib, but the fixture's pixels follow a
+    closed-form rule (datagen.generate_media_rows: value at flat index k
+    is ``(k * (i + 3)) % 251``), so the oracle recomputes every statistic
+    from the generative formula over ``unnest(range(w*h*ch))``, taking
+    geometry and color type from the IHDR hex and decodability from the
+    presence of the constant IEND+CRC trailer (a truncated stream lacks
+    it). The ONLY way the Spark side matches is by genuinely inflating and
+    unfiltering the scanlines — the fixture varies the row filter over all
+    five spec values, so skipping unfiltering changes px_sum/min/max."""
+    media = media_path_for(sf_dir)
+    return f"""
+WITH p AS (
+  SELECT clip_id,
+    CAST(substr(clip_id, 7) AS BIGINT) + 3 AS mult,
+    ('0x' || substr(hex(bytes), 33, 8))::BIGINT AS width,
+    ('0x' || substr(hex(bytes), 41, 8))::BIGINT AS height,
+    CASE ('0x' || substr(hex(bytes), 51, 2))::BIGINT
+         WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 6 THEN 4 ELSE 0 END AS channels,
+    right(hex(bytes), 16) = '49454E44AE426082' AS decode_ok
+  FROM read_parquet('{media}/*.parquet')
+  WHERE left(hex(bytes), 8) = '89504E47' AND octet_length(bytes) >= 26
+),
+agg AS (
+  SELECT clip_id,
+    count(*)::BIGINT AS n_vals,
+    sum(v)::BIGINT AS px_sum,
+    min(v)::INT AS px_min,
+    max(v)::INT AS px_max
+  FROM (
+    SELECT clip_id, (k * mult) % 251 AS v
+    FROM (SELECT clip_id, mult,
+                 unnest(range(0, width * height * channels)) AS k
+          FROM p WHERE decode_ok)
+  )
+  GROUP BY clip_id
+)
+SELECT p.clip_id, p.decode_ok,
+       p.width::INT AS width, p.height::INT AS height,
+       p.channels::INT AS channels,
+       agg.n_vals, agg.px_sum, agg.px_min, agg.px_max,
+       round(agg.px_sum / agg.n_vals + 1e-9, 6) AS px_mean
+FROM p LEFT JOIN agg USING (clip_id)
+ORDER BY clip_id
+"""
 
 
 def media_meta_oracle(sf_dir: str) -> str:
@@ -901,6 +960,7 @@ QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
     "multimodal_media_meta": multimodal_media_meta,
+    "multimodal_pixel_stats": multimodal_pixel_stats,
     "clips_duration_histogram": clips_duration_histogram,
     "clips_waveform_preview": clips_waveform_preview,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
@@ -925,6 +985,7 @@ ORACLE: dict[str, str] = {}
 
 CLIPS_ORACLE_BUILDERS = {
     "multimodal_media_meta": media_meta_oracle,
+    "multimodal_pixel_stats": png_pixel_oracle,
     "clips_duration_histogram": duration_histogram_oracle,
     "audio_dropout_stats": dropout_stats_oracle,
     "audio_vad_stats": vad_stats_oracle,

@@ -150,8 +150,20 @@ def test_media_fixture_covers_all_kinds(spark):
             if i % 10 == 7:  # the corrupt layout
                 assert dims is None
                 n_jpeg_bad += 1
+            elif i % 10 == 5:
+                # full baseline JPEG: replay the block-count draws
+                rng = dg._rng(42 + 7_000_000, i)
+                bw8 = 2 + int(rng.integers(0, 12))
+                bh8 = 2 + int(rng.integers(0, 8))
+                assert dims == (bw8 * 8, bh8 * 8)
+                from wallaby2caom2_spark.functions.jpeg import (
+                    decode_jpeg_gray,
+                )
+
+                assert decode_jpeg_gray(bytes(r["bytes"])) is not None
+                n_jpeg_ok += 1
             else:
-                # independent expectation: replay the generator's rng draws
+                # header-only: replay the generator's rng draws
                 # (body_len, then w, then h) rather than re-parsing bytes
                 rng = dg._rng(42 + 7_000_000, i)
                 rng.integers(0, 4096)  # body_len draw

@@ -252,11 +252,12 @@ def encode_jpeg_header(
 def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic image-mix rows (clip_id, bytes) for the multimodal
     operator: real PNGs (hand-encoded via functions/png.py — the full
-    in-tree codec), real JPEG headers in two layouts (plain and with a COM
-    segment before SOF0) plus a corrupt JPEG-magic payload, plus raw and
-    empty payloads — so every branch of the media-kind sniff, the IHDR
-    parse, and the SOF marker walk is exercised by data both engines can
-    read.
+    in-tree codec), real JPEGs in three flavors (a FULL baseline
+    entropy-coded stream via functions/jpeg.py, a header-only stream with
+    a COM segment before SOF0, and a corrupt JPEG-magic payload), plus raw
+    and empty payloads — so every branch of the media-kind sniff, the IHDR
+    parse, the SOF marker walk, and both pixel decoders is exercised by
+    data both engines can read.
 
     The PNG pixels follow a CLOSED-FORM rule — value at flat index k is
     ``(k * (i + 3)) % 251``, gray (kind_roll 0/2/4) or RGB (1/3), one of
@@ -266,7 +267,11 @@ def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
     genuinely decompressing and unfiltering the scanlines
     (queries/clips_flagship.py ``png_pixel_oracle``). Every 50th index
     ending the png roll (i % 50 == 10) is truncated right after the IHDR
-    chunk: geometry still parses, pixel decode must fail."""
+    chunk: geometry still parses, pixel decode must fail. Full JPEGs
+    (roll 5) use the SAME rule at 8x8-BLOCK granularity — block b holds
+    ``(b * (i + 3)) % 251`` — because the flat-quant DCT round trip is
+    exact only for block-constant input (``jpeg_pixel_oracle``)."""
+    from .functions.jpeg import encode_jpeg_gray
     from .functions.png import encode_png
 
     rows: list[dict] = []
@@ -285,7 +290,19 @@ def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
             if i % 50 == 10:
                 # sig(8) + IHDR chunk(25) = 33 bytes: dims readable, no IDAT
                 payload = payload[:33]
-        elif kind_roll < 8:  # JPEG: two real header layouts + one corrupt
+        elif kind_roll == 5:
+            # FULL baseline grayscale JPEG (functions/jpeg.py): pixels
+            # constant per 8x8 block, block b = (b * (i + 3)) % 251 — the
+            # flat-quant round trip is EXACT on block-constant input, so
+            # the decoded-pixel statistics are closed-form for the oracle
+            bw8 = 2 + int(rng.integers(0, 12))  # blocks across: 16..104 px
+            bh8 = 2 + int(rng.integers(0, 8))  # blocks down: 16..72 px
+            blocks = (
+                (np.arange(bh8 * bw8, dtype=np.int64) * (i + 3)) % 251
+            ).reshape(bh8, bw8)
+            img = np.kron(blocks, np.ones((8, 8), np.int64)).astype(np.uint8)
+            payload = encode_jpeg_gray(img, quant=1)
+        elif kind_roll < 8:  # JPEG: header-only layout + one corrupt
             body_len = 64 + int(rng.integers(0, 4096))
             filler = bytes((i * 31 + j) % 256 for j in range(body_len))
             if kind_roll == 7:
@@ -296,10 +313,7 @@ def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
                 w = 16 + int(rng.integers(0, 2000))  # 2-byte widths too
                 h = 16 + int(rng.integers(0, 1200))
                 payload = encode_jpeg_header(
-                    w,
-                    h,
-                    filler,
-                    comment=(b"m" * (3 + i % 9)) if kind_roll == 6 else None,
+                    w, h, filler, comment=b"m" * (3 + i % 9)
                 )
         elif kind_roll < 9:  # unrecognized container
             payload = b"GARB" + bytes((i + j) % 256 for j in range(40))

@@ -6,12 +6,13 @@ plumbing (schema, Arrow batch shape, iterator lifecycle, partitioning) is
 real and tested. Geometry is REAL for both image kinds, no PIL needed:
 PNG via a stdlib IHDR parse (the repo hand-writes PNGs in
 functions/preview.py, so the format knowledge is in-tree) and JPEG via a
-stdlib SOF marker-segment walk. PNG pixel decode is ALSO real — full
-zlib inflate + all-five-filters scanline reconstruction
-(functions/png.py), feeding per-image pixel statistics
-(``png_pixel_stats``) the image-quality rules of a curation pipeline read
-(mean luminance, dynamic range). Only JPEG entropy decode would need an
-image library (absent in this container).
+stdlib SOF marker-segment walk. Pixel decode is ALSO real for both image
+kinds — PNG via full zlib inflate + all-five-filters scanline
+reconstruction (functions/png.py), JPEG via baseline huffman + dequant +
+IDCT (functions/jpeg.py) — feeding per-image pixel statistics
+(``png_pixel_stats`` / ``jpeg_pixel_stats``) the image-quality rules of a
+curation pipeline read (mean luminance, dynamic range). No image library
+anywhere.
 
 Reference analog: the preview/thumbnail visitor (S11,
 ``wallaby2caom2/preview_augmentation.py:77-97``) — a per-item binary →
@@ -64,15 +65,16 @@ _SOF_MARKERS = frozenset(
 ) - {0xC4, 0xC8, 0xCC}
 
 
-def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
-    """REAL JPEG geometry, stdlib only: walk the marker segments after SOI
-    until a start-of-frame (SOFn) marker and read its big-endian
-    height/width fields (offsets +5/+7 past the marker: length(2),
-    precision(1), height(2), width(2)). Skips 0xFF fill bytes and
-    standalone markers (TEM/RSTn), follows each variable segment via its
-    2-byte length. Returns None — media_ok=false downstream — on a
-    corrupt chain (stuffed byte where a marker belongs, segment length
-    < 2, EOI/SOS before any SOF, or a truncated stream)."""
+def _jpeg_sof(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL JPEG frame header, stdlib only: walk the marker segments after
+    SOI until a start-of-frame (SOFn) marker and read its big-endian
+    height/width and component count (offsets +5/+7/+9 past the marker:
+    length(2), precision(1), height(2), width(2), ncomp(1)). Skips 0xFF
+    fill bytes and standalone markers (TEM/RSTn), follows each variable
+    segment via its 2-byte length. Returns (width, height, ncomp), or
+    None — media_ok=false downstream — on a corrupt chain (stuffed byte
+    where a marker belongs, segment length < 2, EOI/SOS before any SOF,
+    or a truncated stream)."""
     import struct
 
     n = len(payload)
@@ -85,10 +87,10 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
             i += 1
             continue
         if marker in _SOF_MARKERS:
-            if i + 9 > n:
+            if i + 10 > n:
                 return None
-            height, width = struct.unpack_from(">HH", payload, i + 5)
-            return int(width), int(height)
+            height, width, ncomp = struct.unpack_from(">HHB", payload, i + 5)
+            return int(width), int(height), int(ncomp)
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM/RSTn/SOI: bare
             i += 2
             continue
@@ -99,6 +101,13 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
             return None
         i += 2 + seglen
     return None
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) view of :func:`_jpeg_sof` — the geometry consumers
+    (media meta, oracles) don't care about the component count."""
+    sof = _jpeg_sof(payload)
+    return None if sof is None else (sof[0], sof[1])
 
 
 def _png_dims(payload: bytes) -> tuple[int, int]:
@@ -174,6 +183,39 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
+def _append_pixel_row(out: dict, cid, w: int, h: int, ch: int, img) -> None:
+    """Shared stats-row emitter for both pixel workers: geometry/channels
+    are HEADER facts (available even when decode fails); the pixel stats
+    are decode facts (NULL unless the full decode succeeded). One copy so
+    the contract — including what NULL means — cannot diverge per format."""
+    out["clip_id"].append(cid)
+    out["decode_ok"].append(img is not None)
+    out["width"].append(int(w))
+    out["height"].append(int(h))
+    out["channels"].append(int(ch))
+    if img is None:
+        out["n_vals"].append(None)
+        out["px_sum"].append(None)
+        out["px_min"].append(None)
+        out["px_max"].append(None)
+    else:
+        flat = img.reshape(-1).astype(np.int64)
+        out["n_vals"].append(int(flat.size))
+        out["px_sum"].append(int(flat.sum()))
+        out["px_min"].append(int(flat.min()))
+        out["px_max"].append(int(flat.max()))
+
+
+def _with_px_mean(stats: DataFrame) -> DataFrame:
+    """Derive the mean in codegen from the two exact integers the worker
+    returns — the Python boundary carries only ints, so the float rounding
+    convention lives in ONE (JVM) place, mirrored by both DuckDB oracles."""
+    return stats.withColumn(
+        "px_mean",
+        F.round(F.col("px_sum") / F.col("n_vals") + F.lit(1e-9), 6),
+    )
+
+
 def extract_png_pixel_stats(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -193,37 +235,51 @@ def extract_png_pixel_stats(
                 continue
             w, h = _png_dims(payload)
             ch = _CTYPE_CHANNELS.get(payload[25], 0)
-            img = decode_png(payload)
-            out["clip_id"].append(cid)
-            out["decode_ok"].append(img is not None)
-            out["width"].append(int(w))
-            out["height"].append(int(h))
-            out["channels"].append(ch)
-            if img is None:
-                out["n_vals"].append(None)
-                out["px_sum"].append(None)
-                out["px_min"].append(None)
-                out["px_max"].append(None)
-            else:
-                flat = img.reshape(-1).astype(np.int64)
-                out["n_vals"].append(int(flat.size))
-                out["px_sum"].append(int(flat.sum()))
-                out["px_min"].append(int(flat.min()))
-                out["px_max"].append(int(flat.max()))
+            _append_pixel_row(out, cid, w, h, ch, decode_png(payload))
         yield pd.DataFrame(out, columns=[f.name for f in PIXEL_STATS_SCHEMA])
 
 
 def png_pixel_stats(df: DataFrame) -> DataFrame:
-    """(clip_id, bytes) → decoded-pixel statistics for every PNG row.
-    The mean is derived in codegen from the two exact integers the worker
-    returns — the Python boundary carries only ints, so the float rounding
-    convention lives in one (JVM) place for both engines."""
-    stats = df.select("clip_id", "bytes").mapInPandas(
-        extract_png_pixel_stats, PIXEL_STATS_SCHEMA
+    """(clip_id, bytes) → decoded-pixel statistics for every PNG row."""
+    return _with_px_mean(
+        df.select("clip_id", "bytes").mapInPandas(
+            extract_png_pixel_stats, PIXEL_STATS_SCHEMA
+        )
     )
-    return stats.withColumn(
-        "px_mean",
-        F.round(F.col("px_sum") / F.col("n_vals") + F.lit(1e-9), 6),
+
+
+def extract_jpeg_pixel_stats(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (clip_id, bytes) → REAL decoded-pixel stats for
+    JPEG payloads (baseline grayscale entropy decode, functions/jpeg.py).
+    Geometry comes from the SOF marker walk (header fact — available even
+    when entropy decode fails, e.g. a header-only or progressive stream);
+    pixel stats only from a successful full decode. Non-JPEG rows are
+    dropped in the worker, mirroring ``extract_png_pixel_stats``."""
+    from ..functions.jpeg import decode_jpeg_gray
+
+    for pdf in batches:
+        out = {k.name: [] for k in PIXEL_STATS_SCHEMA.fields}
+        for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+            payload = bytes(raw) if raw is not None else None
+            if _sniff_kind(payload) != "jpeg":
+                continue
+            sof = _jpeg_sof(payload)
+            w, h, ch = sof if sof else (0, 0, 0)
+            _append_pixel_row(out, cid, w, h, ch, decode_jpeg_gray(payload))
+        yield pd.DataFrame(out, columns=[f.name for f in PIXEL_STATS_SCHEMA])
+
+
+def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
+    """(clip_id, bytes) → decoded-pixel statistics for every JPEG row;
+    same output contract as ``png_pixel_stats`` (channels, like geometry,
+    is the SOF header's component count — a header fact available even
+    when entropy decode fails)."""
+    return _with_px_mean(
+        df.select("clip_id", "bytes").mapInPandas(
+            extract_jpeg_pixel_stats, PIXEL_STATS_SCHEMA
+        )
     )
 
 

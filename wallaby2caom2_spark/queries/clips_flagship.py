@@ -79,9 +79,10 @@ def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_N = 200  # branch-coverage side table — fixed size at every sf
+# v4: roll 5 is a FULL baseline entropy-coded grayscale JPEG;
 # v3: RGB + per-row filters 0-4 + truncated-IDAT rows (full pixel decode);
 # v2: real JPEG headers (SOF0 geometry + corrupt row)
-_MEDIA_VERSION = "v3"
+_MEDIA_VERSION = "v4"
 
 
 def media_path_for(sf_dir: str) -> str:
@@ -213,6 +214,87 @@ SELECT p.clip_id, p.decode_ok,
        agg.n_vals, agg.px_sum, agg.px_min, agg.px_max,
        round(agg.px_sum / agg.n_vals + 1e-9, 6) AS px_mean
 FROM p LEFT JOIN agg USING (clip_id)
+ORDER BY clip_id
+"""
+
+
+def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG entropy decode over the image-mix side table: baseline
+    huffman + dequant + IDCT (functions/jpeg.py) inside an Arrow-batched
+    mapInPandas worker (operators/multimodal.py ``jpeg_pixel_stats``).
+    Header-only and corrupt streams are contained as decode_ok=false."""
+    media = spark.read.parquet(media_path_for(sf_dir))
+    return multimodal.jpeg_pixel_stats(media).orderBy("clip_id")
+
+
+def jpeg_pixel_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``multimodal_jpeg_pixels`` — analytic, like
+    ``png_pixel_oracle``: the fixture's full JPEGs are constant per 8x8
+    block under a closed-form rule (block b = ``(b * (i + 3)) % 251``) and
+    encoded at flat quant, where the baseline DCT round trip is exact, so
+    DuckDB recomputes the decoded-pixel statistics from the rule at block
+    granularity without being able to huffman-decode. Geometry replays the
+    SOF marker walk (same computed-offset hex chain as the media-meta
+    oracle); decodability is structural — a real scan requires quantization
+    tables, so the marker right after the SOF0 segment must be DQT, which
+    a header-only stream (arbitrary filler there) and a corrupt chain
+    (no SOF at all) both fail."""
+    media = media_path_for(sf_dir)
+    return f"""
+WITH j AS (
+  SELECT clip_id,
+    CAST(substr(clip_id, 7) AS BIGINT) + 3 AS mult,
+    hex(bytes) AS hx,
+    substr(hex(bytes), 5, 4) AS m1,
+    5 + TRY_CAST('0x' || substr(hex(bytes), 9, 4) AS BIGINT) AS p2,
+    substr(hex(bytes), 2 * p2 - 1, 4) AS m2,
+    p2 + 2 + TRY_CAST(
+      '0x' || substr(hex(bytes), 2 * (p2 + 2) - 1, 4) AS BIGINT) AS p3,
+    CASE WHEN m1 <> 'FFE0' THEN NULL
+         WHEN m2 = 'FFC0' THEN p2
+         WHEN m2 = 'FFFE'
+              AND substr(hex(bytes), 2 * p3 - 1, 4) = 'FFC0' THEN p3
+         ELSE NULL END AS sof
+  FROM read_parquet('{media}/*.parquet')
+  WHERE left(hex(bytes), 6) = 'FFD8FF'
+),
+g AS (
+  SELECT clip_id, mult, sof, hx,
+    TRY_CAST('0x' || substr(hx, 2 * (sof + 5) - 1, 4) AS BIGINT) AS jh,
+    TRY_CAST('0x' || substr(hx, 2 * (sof + 7) - 1, 4) AS BIGINT) AS jw,
+    TRY_CAST('0x' || substr(hx, 2 * (sof + 9) - 1, 2) AS BIGINT) AS ncomp,
+    sof + 2 + TRY_CAST(
+      '0x' || substr(hx, 2 * (sof + 2) - 1, 4) AS BIGINT) AS nxt
+  FROM j
+),
+d AS (
+  SELECT clip_id, mult,
+    coalesce(jw, 0) AS width, coalesce(jh, 0) AS height,
+    coalesce(ncomp, 0) AS channels,
+    coalesce(sof IS NOT NULL
+             AND substr(hx, 2 * nxt - 1, 4) = 'FFDB', FALSE) AS decode_ok
+  FROM g
+),
+agg AS (
+  SELECT clip_id,
+    (width * height)::BIGINT AS n_vals,
+    (64 * sum(v))::BIGINT AS px_sum,
+    min(v)::INT AS px_min,
+    max(v)::INT AS px_max
+  FROM (
+    SELECT clip_id, width, height, (b * mult) % 251 AS v
+    FROM (SELECT clip_id, mult, width, height,
+                 unnest(range(0, (width // 8) * (height // 8))) AS b
+          FROM d WHERE decode_ok)
+  )
+  GROUP BY clip_id, width, height
+)
+SELECT d.clip_id, d.decode_ok,
+       d.width::INT AS width, d.height::INT AS height,
+       d.channels::INT AS channels,
+       agg.n_vals, agg.px_sum, agg.px_min, agg.px_max,
+       round(agg.px_sum / agg.n_vals + 1e-9, 6) AS px_mean
+FROM d LEFT JOIN agg USING (clip_id)
 ORDER BY clip_id
 """
 
@@ -961,6 +1043,7 @@ QUERIES = {
     "clips_metrics": clips_metrics,
     "multimodal_media_meta": multimodal_media_meta,
     "multimodal_pixel_stats": multimodal_pixel_stats,
+    "multimodal_jpeg_pixels": multimodal_jpeg_pixels,
     "clips_duration_histogram": clips_duration_histogram,
     "clips_waveform_preview": clips_waveform_preview,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
@@ -986,6 +1069,7 @@ ORACLE: dict[str, str] = {}
 CLIPS_ORACLE_BUILDERS = {
     "multimodal_media_meta": media_meta_oracle,
     "multimodal_pixel_stats": png_pixel_oracle,
+    "multimodal_jpeg_pixels": jpeg_pixel_oracle,
     "clips_duration_histogram": duration_histogram_oracle,
     "audio_dropout_stats": dropout_stats_oracle,
     "audio_vad_stats": vad_stats_oracle,

@@ -171,6 +171,8 @@ CLIPS_QUERIES = [
     "clips_waveform_preview",
     "clips_duration_histogram",
     "multimodal_media_meta",
+    "multimodal_pixel_stats",
+    "multimodal_jpeg_pixels",
     "audio_fingerprint_neardup",
     "audio_segment_stats",
     "audio_normalize_stats",

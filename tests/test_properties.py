@@ -294,3 +294,96 @@ def test_transcript_tokens_match_python_split(spark, parts):
         py = r["transcript"].split()
         assert r["n_words"] == len(py), r["transcript"]
         assert r["n_distinct_words"] == len(set(py)), r["transcript"]
+
+
+# ---- image codecs (functions/png.py, functions/jpeg.py) ----
+
+_png_images = st.tuples(
+    st.integers(min_value=1, max_value=24),  # h
+    st.integers(min_value=1, max_value=24),  # w
+    st.sampled_from([1, 3, 4]),  # channels
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.integers(min_value=0, max_value=2**32 - 1),  # filter seed
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_png_images)
+def test_png_roundtrip_exact_any_shape_filter_mix(spec):
+    """PNG is lossless: encode(img, any per-row filter mix) must decode to
+    the identical array for every shape and color type."""
+    from wallaby2caom2_spark.functions.png import decode_png, encode_png
+
+    h, w, ch, pxseed, fseed = spec
+    rng = np.random.default_rng(pxseed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    filters = np.random.default_rng(fseed).integers(0, 5, size=h).tolist()
+    out = decode_png(encode_png(img, filters=filters))
+    assert out is not None and out.shape == img.shape
+    assert (out == img).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_png_decode_never_raises_on_garbage(payload):
+    """Containment: arbitrary bytes (including a valid signature prefix)
+    must yield None, never an exception."""
+    from wallaby2caom2_spark.functions.png import _PNG_SIG, decode_png
+
+    assert decode_png(payload) is None or payload[:8] == _PNG_SIG
+    decode_png(_PNG_SIG + payload)  # must not raise
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),  # block rows
+    st.integers(min_value=1, max_value=4),  # block cols
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_block_constant_roundtrip_exact(bh, bw, seed):
+    """The analytic-oracle law: flat quant + 8x8-block-constant pixels
+    round-trip EXACTLY for any block values."""
+    from wallaby2caom2_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    blocks = np.random.default_rng(seed).integers(
+        0, 256, size=(bh, bw), dtype=np.int64
+    )
+    img = np.kron(blocks, np.ones((8, 8), np.int64)).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quant=1))
+    assert out is not None and (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_flat_quant_roundtrip_within_one_lsb(h, w, seed):
+    """At flat quant the only loss is FDCT/IDCT rounding: every pixel of
+    every image must survive within 1 LSB (any dims, incl. partial
+    blocks via edge replication)."""
+    from wallaby2caom2_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quant=1))
+    assert out is not None and out.shape == (h, w)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_jpeg_decode_never_raises_on_garbage(payload):
+    from wallaby2caom2_spark.functions.jpeg import decode_jpeg_gray
+
+    decode_jpeg_gray(payload)  # must not raise
+    decode_jpeg_gray(b"\xff\xd8" + payload)  # valid SOI prefix: still safe

@@ -249,7 +249,7 @@ def encode_jpeg_header(
     return b"".join(out)
 
 
-def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
+def generate_media_rows(n: int, seed: int = 42, start: int = 0) -> list[dict]:
     """Deterministic image-mix rows (clip_id, bytes) for the multimodal
     operator: real PNGs (hand-encoded via functions/png.py — the full
     in-tree codec), real JPEGs in three flavors (a FULL baseline
@@ -275,7 +275,7 @@ def generate_media_rows(n: int, seed: int = 42) -> list[dict]:
     from .functions.png import encode_png
 
     rows: list[dict] = []
-    for i in range(n):
+    for i in range(start, start + n):
         rng = _rng(seed + 7_000_000, i)
         kind_roll = i % 10
         if kind_roll < 5:  # real PNG, varied geometry, gray or RGB

@@ -130,20 +130,27 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray | None:
         elif f == 2:  # Up
             out[r] = (cur + prev) % 256
         elif f == 3:  # Average: sequential (depends on decoded left pixel)
-            row = out[r]
+            # plain-list loop: ~10x faster than numpy scalar indexing here
+            cur_l = rows[r, 1:].tolist()
+            prev_l = prev.tolist()
+            row_l = [0] * stride
             for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
-                row[i] = (cur[i] + (left + prev[i]) // 2) % 256
+                left = row_l[i - ch] if i >= ch else 0
+                row_l[i] = (cur_l[i] + (left + prev_l[i]) // 2) & 0xFF
+            out[r] = row_l
         elif f == 4:  # Paeth: sequential
-            row = out[r]
+            cur_l = rows[r, 1:].tolist()
+            prev_l = prev.tolist()
+            row_l = [0] * stride
             for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                a = row_l[i - ch] if i >= ch else 0
+                b = prev_l[i]
+                c = prev_l[i - ch] if i >= ch else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (cur[i] + pred) % 256
+                row_l[i] = (cur_l[i] + pred) & 0xFF
+            out[r] = row_l
         else:
             return None
     img = out.astype(np.uint8)

@@ -249,6 +249,35 @@ def encode_jpeg_header(
     return b"".join(out)
 
 
+def png_pixel_values(i: int, n_vals: int) -> np.ndarray:
+    """CLOSED-FORM pixel rule for the media fixture's PNG rows — the single
+    definition shared by the generator, the fixture tests, and (re-expressed
+    in SQL) the analytic DuckDB oracles. Default: value at flat index k is
+    ``(k * (i + 3)) % 251``. Four sub-rules (active only on indices that
+    land in the PNG rolls) plant one row per image-quality class the gate
+    cascade must catch (operators/multimodal.py with_image_quality_class):
+
+    - ``i % 25 == 20`` → constant frame: every value ``(i * 7) % 251``
+    - ``i % 25 == 21`` → low contrast: ``(i * 5) % 200 + (k % 8) * 4``
+      (dynamic range 28 < 32)
+    - ``i % 25 == 22`` → dark: 255 at every 127th index, else 0
+    - ``i % 25 == 23`` → bright: 0 at every 127th index, else 255
+    """
+    k = np.arange(n_vals, dtype=np.int64)
+    r = i % 25
+    if r == 20:
+        vals = np.full(n_vals, (i * 7) % 251, dtype=np.int64)
+    elif r == 21:
+        vals = (i * 5) % 200 + (k % 8) * 4
+    elif r == 22:
+        vals = np.where(k % 127 == 0, 255, 0)
+    elif r == 23:
+        vals = np.where(k % 127 == 0, 0, 255)
+    else:
+        vals = (k * (i + 3)) % 251
+    return vals.astype(np.uint8)
+
+
 def generate_media_rows(n: int, seed: int = 42, start: int = 0) -> list[dict]:
     """Deterministic image-mix rows (clip_id, bytes) for the multimodal
     operator: real PNGs (hand-encoded via functions/png.py — the full
@@ -259,8 +288,10 @@ def generate_media_rows(n: int, seed: int = 42, start: int = 0) -> list[dict]:
     parse, the SOF marker walk, and both pixel decoders is exercised by
     data both engines can read.
 
-    The PNG pixels follow a CLOSED-FORM rule — value at flat index k is
-    ``(k * (i + 3)) % 251``, gray (kind_roll 0/2/4) or RGB (1/3), one of
+    The PNG pixels follow a CLOSED-FORM rule (``png_pixel_values``: default
+    ``(k * (i + 3)) % 251`` at flat index k, plus four per-index sub-rules
+    planting one row per image-quality class), gray (kind_roll 0/2/4) or
+    RGB (1/3), one of
     the five spec filters per scanline (``(i + row) % 5``) — so a DuckDB
     oracle can recompute every pixel statistic analytically WITHOUT being
     able to inflate zlib: the only way the Spark side matches is by
@@ -282,9 +313,7 @@ def generate_media_rows(n: int, seed: int = 42, start: int = 0) -> list[dict]:
             w = 16 + int(rng.integers(0, 100))
             h = 16 + int(rng.integers(0, 80))
             channels = 3 if kind_roll in (1, 3) else 1
-            vals = (
-                (np.arange(w * h * channels, dtype=np.int64) * (i + 3)) % 251
-            ).astype(np.uint8)
+            vals = png_pixel_values(i, w * h * channels)
             img = vals.reshape((h, w) if channels == 1 else (h, w, channels))
             payload = encode_png(img, filters=[(i + r) % 5 for r in range(h)])
             if i % 50 == 10:

@@ -283,6 +283,53 @@ def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def with_image_quality_class(stats: DataFrame) -> DataFrame:
+    """First-match-wins image-quality cascade over decoded pixel stats —
+    the image-modality analog of the transcript rule cascade
+    (operators/cascade.py, reference analog P2-P5): pure codegen over the
+    integer columns the pixel workers emit, so at scale the expensive part
+    (decode) runs once and every rule evaluation is JVM-side.
+
+    Classes, in rule order: undecodable → constant (a stuck or synthetic
+    frame: every value equal) → low_contrast (dynamic range < 32 LSB) →
+    dark (mean < 16) → bright (mean > 239) → ok."""
+    rng = F.col("px_max") - F.col("px_min")
+    mean = F.col("px_sum") / F.col("n_vals")
+    return stats.withColumn(
+        "quality_class",
+        F.when(~F.col("decode_ok"), F.lit("undecodable"))
+        .when(rng == 0, F.lit("constant"))
+        .when(rng < 32, F.lit("low_contrast"))
+        .when(mean < 16, F.lit("dark"))
+        .when(mean > 239, F.lit("bright"))
+        .otherwise(F.lit("ok")),
+    )
+
+
+def image_quality_summary(df: DataFrame) -> DataFrame:
+    """Mixed media table → per (kind, quality_class) counts + mean pixel
+    level: ONE decode pass per format, classes in codegen, one slim
+    aggregate exchange."""
+    png = with_image_quality_class(png_pixel_stats(df)).withColumn(
+        "kind", F.lit("png")
+    )
+    jpg = with_image_quality_class(jpeg_pixel_stats(df)).withColumn(
+        "kind", F.lit("jpeg")
+    )
+    return (
+        png.unionByName(jpg)
+        .groupBy("kind", "quality_class")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_vals").alias("total_vals"),
+            F.round(
+                F.avg(F.col("px_sum") / F.col("n_vals")) + F.lit(1e-9), 6
+            ).alias("avg_level"),
+        )
+        .orderBy("kind", "quality_class")
+    )
+
+
 def media_kind_summary(df: DataFrame) -> DataFrame:
     return with_media_meta(df).groupBy("kind").agg(
         F.count("*").alias("n_clips"),

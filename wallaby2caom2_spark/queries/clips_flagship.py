@@ -79,10 +79,11 @@ def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_N = 200  # branch-coverage side table — fixed size at every sf
+# v5: four closed-form PNG sub-rules plant one row per image-quality class;
 # v4: roll 5 is a FULL baseline entropy-coded grayscale JPEG;
 # v3: RGB + per-row filters 0-4 + truncated-IDAT rows (full pixel decode);
 # v2: real JPEG headers (SOF0 geometry + corrupt row)
-_MEDIA_VERSION = "v4"
+_MEDIA_VERSION = "v5"
 
 
 def media_path_for(sf_dir: str) -> str:
@@ -170,21 +171,15 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_pixel_stats(media).orderBy("clip_id")
 
 
-def png_pixel_oracle(sf_dir: str) -> str:
-    """DuckDB oracle for ``multimodal_pixel_stats`` — ANALYTIC, not a
-    replay: DuckDB cannot inflate zlib, but the fixture's pixels follow a
-    closed-form rule (datagen.generate_media_rows: value at flat index k
-    is ``(k * (i + 3)) % 251``), so the oracle recomputes every statistic
-    from the generative formula over ``unnest(range(w*h*ch))``, taking
-    geometry and color type from the IHDR hex and decodability from the
-    presence of the constant IEND+CRC trailer (a truncated stream lacks
-    it). The ONLY way the Spark side matches is by genuinely inflating and
-    unfiltering the scanlines — the fixture varies the row filter over all
-    five spec values, so skipping unfiltering changes px_sum/min/max."""
-    media = media_path_for(sf_dir)
+def _png_pixel_rows_sql(media: str) -> str:
+    """Per-PNG-row analytic pixel stats (no px_mean, no ORDER BY) — shared
+    by ``png_pixel_oracle`` and ``image_quality_oracle``. The value CASE
+    is the SQL re-expression of ``datagen.png_pixel_values`` (default rule
+    plus the four per-index quality-class sub-rules)."""
     return f"""
 WITH p AS (
   SELECT clip_id,
+    CAST(substr(clip_id, 7) AS BIGINT) AS idx,
     CAST(substr(clip_id, 7) AS BIGINT) + 3 AS mult,
     ('0x' || substr(hex(bytes), 33, 8))::BIGINT AS width,
     ('0x' || substr(hex(bytes), 41, 8))::BIGINT AS height,
@@ -201,8 +196,15 @@ agg AS (
     min(v)::INT AS px_min,
     max(v)::INT AS px_max
   FROM (
-    SELECT clip_id, (k * mult) % 251 AS v
-    FROM (SELECT clip_id, mult,
+    SELECT clip_id,
+      CASE
+        WHEN idx % 25 = 20 THEN (idx * 7) % 251
+        WHEN idx % 25 = 21 THEN (idx * 5) % 200 + (k % 8) * 4
+        WHEN idx % 25 = 22 THEN CASE WHEN k % 127 = 0 THEN 255 ELSE 0 END
+        WHEN idx % 25 = 23 THEN CASE WHEN k % 127 = 0 THEN 0 ELSE 255 END
+        ELSE (k * mult) % 251
+      END AS v
+    FROM (SELECT clip_id, idx, mult,
                  unnest(range(0, width * height * channels)) AS k
           FROM p WHERE decode_ok)
   )
@@ -211,9 +213,26 @@ agg AS (
 SELECT p.clip_id, p.decode_ok,
        p.width::INT AS width, p.height::INT AS height,
        p.channels::INT AS channels,
-       agg.n_vals, agg.px_sum, agg.px_min, agg.px_max,
-       round(agg.px_sum / agg.n_vals + 1e-9, 6) AS px_mean
+       agg.n_vals, agg.px_sum, agg.px_min, agg.px_max
 FROM p LEFT JOIN agg USING (clip_id)
+"""
+
+
+def png_pixel_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``multimodal_pixel_stats`` — ANALYTIC, not a
+    replay: DuckDB cannot inflate zlib, but the fixture's pixels follow a
+    closed-form rule (``datagen.png_pixel_values``), so the oracle
+    recomputes every statistic from the generative formula over
+    ``unnest(range(w*h*ch))``, taking geometry and color type from the
+    IHDR hex and decodability from the presence of the constant IEND+CRC
+    trailer (a truncated stream lacks it). The ONLY way the Spark side
+    matches is by genuinely inflating and unfiltering the scanlines — the
+    fixture varies the row filter over all five spec values, so skipping
+    unfiltering changes px_sum/min/max."""
+    rows = _png_pixel_rows_sql(media_path_for(sf_dir))
+    return f"""
+SELECT *, round(px_sum / n_vals + 1e-9, 6) AS px_mean
+FROM ({rows})
 ORDER BY clip_id
 """
 
@@ -227,19 +246,9 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_pixel_stats(media).orderBy("clip_id")
 
 
-def jpeg_pixel_oracle(sf_dir: str) -> str:
-    """DuckDB oracle for ``multimodal_jpeg_pixels`` — analytic, like
-    ``png_pixel_oracle``: the fixture's full JPEGs are constant per 8x8
-    block under a closed-form rule (block b = ``(b * (i + 3)) % 251``) and
-    encoded at flat quant, where the baseline DCT round trip is exact, so
-    DuckDB recomputes the decoded-pixel statistics from the rule at block
-    granularity without being able to huffman-decode. Geometry replays the
-    SOF marker walk (same computed-offset hex chain as the media-meta
-    oracle); decodability is structural — a real scan requires quantization
-    tables, so the marker right after the SOF0 segment must be DQT, which
-    a header-only stream (arbitrary filler there) and a corrupt chain
-    (no SOF at all) both fail."""
-    media = media_path_for(sf_dir)
+def _jpeg_pixel_rows_sql(media: str) -> str:
+    """Per-JPEG-row analytic pixel stats (no px_mean, no ORDER BY) —
+    shared by ``jpeg_pixel_oracle`` and ``image_quality_oracle``."""
     return f"""
 WITH j AS (
   SELECT clip_id,
@@ -292,10 +301,75 @@ agg AS (
 SELECT d.clip_id, d.decode_ok,
        d.width::INT AS width, d.height::INT AS height,
        d.channels::INT AS channels,
-       agg.n_vals, agg.px_sum, agg.px_min, agg.px_max,
-       round(agg.px_sum / agg.n_vals + 1e-9, 6) AS px_mean
+       agg.n_vals, agg.px_sum, agg.px_min, agg.px_max
 FROM d LEFT JOIN agg USING (clip_id)
+"""
+
+
+def jpeg_pixel_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``multimodal_jpeg_pixels`` — analytic, like
+    ``png_pixel_oracle``: the fixture's full JPEGs are constant per 8x8
+    block under a closed-form rule (block b = ``(b * (i + 3)) % 251``) and
+    encoded at flat quant, where the baseline DCT round trip is exact, so
+    DuckDB recomputes the decoded-pixel statistics from the rule at block
+    granularity without being able to huffman-decode. Geometry replays the
+    SOF marker walk (same computed-offset hex chain as the media-meta
+    oracle); decodability is structural — a real scan requires quantization
+    tables, so the marker right after the SOF0 segment must be DQT, which
+    a header-only stream (arbitrary filler there) and a corrupt chain
+    (no SOF at all) both fail."""
+    rows = _jpeg_pixel_rows_sql(media_path_for(sf_dir))
+    return f"""
+SELECT *, round(px_sum / n_vals + 1e-9, 6) AS px_mean
+FROM ({rows})
 ORDER BY clip_id
+"""
+
+
+def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-modality quality gate: decoded-pixel stats (REAL PNG +
+    JPEG decode) → first-match-wins class cascade in codegen → per
+    (kind, class) rollup (operators/multimodal.py
+    ``image_quality_summary``). The fixture plants one row per class
+    (constant / low_contrast / dark / bright sub-rules in
+    ``datagen.png_pixel_values``) so every rule arm is oracle-checked."""
+    media = spark.read.parquet(media_path_for(sf_dir))
+    return multimodal.image_quality_summary(media)
+
+
+def image_quality_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``multimodal_image_quality``: the same analytic
+    per-row stats as the two pixel oracles, unioned, classified by the
+    same first-match-wins CASE the codegen cascade runs, rolled up."""
+    media = media_path_for(sf_dir)
+    png_rows = _png_pixel_rows_sql(media)
+    jpeg_rows = _jpeg_pixel_rows_sql(media)
+    return f"""
+WITH all_rows AS (
+  SELECT 'png' AS kind, * FROM ({png_rows})
+  UNION ALL
+  SELECT 'jpeg' AS kind, * FROM ({jpeg_rows})
+),
+cls AS (
+  SELECT kind,
+    CASE
+      WHEN NOT decode_ok THEN 'undecodable'
+      WHEN px_max - px_min = 0 THEN 'constant'
+      WHEN px_max - px_min < 32 THEN 'low_contrast'
+      WHEN px_sum / n_vals < 16 THEN 'dark'
+      WHEN px_sum / n_vals > 239 THEN 'bright'
+      ELSE 'ok'
+    END AS quality_class,
+    n_vals, px_sum
+  FROM all_rows
+)
+SELECT kind, quality_class,
+       count(*)::BIGINT AS n_images,
+       sum(n_vals)::BIGINT AS total_vals,
+       round(avg(px_sum / n_vals) + 1e-9, 6) AS avg_level
+FROM cls
+GROUP BY kind, quality_class
+ORDER BY kind, quality_class
 """
 
 
@@ -1044,6 +1118,7 @@ QUERIES = {
     "multimodal_media_meta": multimodal_media_meta,
     "multimodal_pixel_stats": multimodal_pixel_stats,
     "multimodal_jpeg_pixels": multimodal_jpeg_pixels,
+    "multimodal_image_quality": multimodal_image_quality,
     "clips_duration_histogram": clips_duration_histogram,
     "clips_waveform_preview": clips_waveform_preview,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
@@ -1070,6 +1145,7 @@ CLIPS_ORACLE_BUILDERS = {
     "multimodal_media_meta": media_meta_oracle,
     "multimodal_pixel_stats": png_pixel_oracle,
     "multimodal_jpeg_pixels": jpeg_pixel_oracle,
+    "multimodal_image_quality": image_quality_oracle,
     "clips_duration_histogram": duration_histogram_oracle,
     "audio_dropout_stats": dropout_stats_oracle,
     "audio_vad_stats": vad_stats_oracle,

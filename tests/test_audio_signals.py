@@ -88,19 +88,25 @@ def test_gated_signals_match_for_kept_clips(spark, clips_df):
 
     gated = quality_and_signals(clips_df)
     full = quality_and_signals(clips_df, signals_for_dropped=True)
-    keep = {
-        r["clip_id"]: r["keep"]
-        for r in quality_filter(clips_df).select("clip_id", "keep").collect()
+    labels = {
+        r["clip_id"]: (r["keep"], r["drop_reason"])
+        for r in quality_filter(clips_df)
+        .select("clip_id", "keep", "drop_reason")
+        .collect()
     }
     sig_fields = ["sig_ok", "fp_ok", "fp"] + VAD_FIELDS + SPEC_FIELDS
     got = _by_id(gated, sig_fields)
     exp = _by_id(full, sig_fields)
-    assert set(got) == set(keep)
+    assert set(got) == set(labels)
     n_kept = n_dropped = 0
     for cid, row in got.items():
-        if keep[cid]:
+        keep, reason = labels[cid]
+        if keep or reason == "repetition":
+            # repetition is the gate's deliberate no-skip arm (its input
+            # tokenization could diverge from codegen on exotic control
+            # chars), so those dropped clips also carry full signals
             assert row == exp[cid], cid
-            n_kept += 1
+            n_kept += keep
         else:
             # (sig_ok, fp_ok, fp, VAD ints/floats, spec fields) defaults
             assert row[0] is False and row[1] is False and row[2] == 0, cid

@@ -68,7 +68,8 @@ def test_stream_structure_is_spec_shaped():
     assert sum(DC_BITS) == 12 and sum(AC_BITS) == 162
     # byte stuffing: between SOS and EOI every 0xFF is followed by 0x00
     sos = p.index(b"\xff\xda")
-    entropy = p[sos + 2 + 12 : -2]  # SOS seg is 2+12 bytes for 1 component
+    # SOS segment = marker(2) + len(2) + body(6) for 1 component
+    entropy = p[sos + 10 : -2]
     k = 0
     while True:
         k = entropy.find(b"\xff", k)
@@ -93,6 +94,14 @@ def test_containment_of_corrupt_and_unsupported():
     prog = bytearray(good)
     prog[prog.index(b"\xff\xc0") + 1] = 0xC2
     assert decode_jpeg_gray(bytes(prog)) is None
+    # hostile SOF geometry: 65535x65535 from a tiny stream must be
+    # rejected at the dimension bound, not attempted as a ~34 GB alloc
+    import struct
+
+    sof_at = good.index(b"\xff\xc0")
+    hostile = bytearray(good)
+    hostile[sof_at + 5 : sof_at + 9] = struct.pack(">HH", 65535, 65535)
+    assert decode_jpeg_gray(bytes(hostile)) is None
 
 
 def test_jpeg_pixel_stats_through_spark(spark):

@@ -95,6 +95,54 @@ def test_corruption_and_unsupported_are_contained():
     assert decode_png(patch_ihdr(good, 12, 1)) is None  # Adam7
 
 
+def test_hostile_geometry_and_bombs_are_contained():
+    """UNTRUSTED header dimensions must not drive allocations: an IHDR
+    claiming a huge geometry is rejected before inflate, and a stream
+    whose deflate output disagrees with the declared geometry (bomb or
+    truncation) is rejected by the bounded decompress."""
+    import struct
+    import zlib
+
+    from wallaby2caom2_spark.functions.png import _PNG_SIG, _chunk
+
+    def png_with(w, h, idat_body):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat_body)
+            + _chunk(b"IEND", b"")
+        )
+
+    # declared 65535x65535: rejected at the IHDR bound, no allocation
+    assert decode_png(png_with(65535, 65535, zlib.compress(b"\0" * 10))) is None
+    # deflate bomb: tiny IDAT inflating far past the declared 2x2 geometry
+    bomb = zlib.compress(b"\0" * 1_000_000, 9)  # ~1 KB compressed
+    assert decode_png(png_with(2, 2, bomb)) is None
+    # stream shorter than the declared geometry is rejected too
+    short = zlib.compress(b"\0" * 3)
+    assert decode_png(png_with(4, 4, short)) is None
+
+
+def test_short_sniffed_png_emits_undecodable_row(spark):
+    """A payload with the PNG signature but no full IHDR must still appear
+    in the stats (decode_ok=false, zero geometry) — same containment
+    contract as the JPEG worker — so quality rollups count it."""
+    from wallaby2caom2_spark.operators import multimodal
+
+    rows = [
+        ("stub", bytearray(b"\x89PNG\r\n\x1a\n" + b"xx")),
+        ("notpng", bytearray(b"GARBAGE!")),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {
+        r["clip_id"]: r.asDict()
+        for r in multimodal.png_pixel_stats(df).collect()
+    }
+    assert set(got) == {"stub"}
+    g = got["stub"]
+    assert g["decode_ok"] is False and (g["width"], g["height"]) == (0, 0)
+    assert g["channels"] == 0 and g["px_sum"] is None
+
+
 def test_png_pixel_stats_through_spark(spark):
     """The mapInPandas operator equals a serial decode loop on the media
     fixture — and non-PNG rows are dropped in the worker."""

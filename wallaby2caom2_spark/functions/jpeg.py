@@ -318,6 +318,13 @@ def decode_jpeg_gray(payload: bytes | None) -> np.ndarray | None:
                 precision, h, w, ncomp = struct.unpack_from(">BHHB", body)
                 if precision != 8 or ncomp != 1 or h == 0 or w == 0:
                     return None
+                # containment bound: SOF dimensions are UNTRUSTED input —
+                # a ~120-byte corrupt stream can claim 65535x65535 and the
+                # output allocation would OOM the executor before the
+                # (absent) entropy data is ever read. 64 MP ≈ 512 MB of
+                # float64 blocks, far above any fixture and still bounded.
+                if h * w > 64_000_000:
+                    return None
                 # component spec: id(6), sampling(7) must be 1x1, tq(8)=0
                 if len(body) < 9 or body[7] != 0x11 or body[8] != 0:
                     return None
@@ -374,6 +381,6 @@ def decode_jpeg_gray(payload: bytes | None) -> np.ndarray | None:
                 coefs[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
                 block = _A.T @ coefs.reshape(8, 8) @ _A + 128.0
                 out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, struct.error, MemoryError):
         return None
     return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)

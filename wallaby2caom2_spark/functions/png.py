@@ -116,17 +116,19 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray | None:
     if len(raw) != h * (stride + 1):
         return None
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.int64)
-    zero = np.zeros(stride, dtype=np.int64)
+    # int32 halves working memory vs int64; every intermediate fits (the
+    # Sub prefix sum, which can exceed int32 on wide rows, runs in int64)
+    out = np.zeros((h, stride), dtype=np.int32)
+    zero = np.zeros(stride, dtype=np.int32)
     for r in range(h):
         f = int(rows[r, 0])
-        cur = rows[r, 1:].astype(np.int64)
+        cur = rows[r, 1:].astype(np.int32)
         prev = out[r - 1] if r else zero
         if f == 0:
             out[r] = cur
         elif f == 1:  # Sub: per-channel prefix sum mod 256
             for j in range(ch):
-                out[r, j::ch] = np.cumsum(cur[j::ch]) % 256
+                out[r, j::ch] = np.cumsum(cur[j::ch], dtype=np.int64) % 256
         elif f == 2:  # Up
             out[r] = (cur + prev) % 256
         elif f == 3:  # Average: sequential (depends on decoded left pixel)
@@ -195,6 +197,12 @@ def decode_png(payload: bytes | None) -> np.ndarray | None:
             ):
                 return None
             ch = _CTYPE_CHANNELS[ctype]
+            # containment bound: IHDR dimensions are UNTRUSTED — a tiny
+            # deflate bomb (zlib expands up to ~1030x) plus a huge declared
+            # geometry would otherwise OOM the executor at the decompress
+            # or unfilter allocation. 64M samples ≈ 256 MB of int32 rows.
+            if w * h * ch > 64_000_000:
+                return None
             saw_ihdr = True
         elif tag == b"IDAT":
             idat.extend(body)
@@ -204,8 +212,15 @@ def decode_png(payload: bytes | None) -> np.ndarray | None:
         pos = end + 4
     if not (saw_ihdr and saw_iend and idat):
         return None
+    expected = h * (w * ch + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
+        # bounded inflate: ask for at most expected+1 bytes, so a stream
+        # that would decompress past the declared geometry is rejected
+        # without materializing it
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+    except (zlib.error, MemoryError):
+        return None
+    if len(raw) != expected or not d.eof or d.unconsumed_tail:
         return None
     return _unfilter(raw, w, h, ch)

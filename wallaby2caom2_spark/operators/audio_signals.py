@@ -200,6 +200,7 @@ def quality_and_signals(
     hop_ms: int = 10,
     gate_db: float = 10.0,
     signals_for_dropped: bool = False,
+    cfg: "PipelineConfig" = None,
 ) -> DataFrame:
     """The curation DAG's single payload pass: quality-filter features AND
     every audio gate signal from ONE decode of ONE scan.
@@ -229,10 +230,24 @@ def quality_and_signals(
     this pass against the standalone operators on every row; production
     equivalence of the DEFAULT path is pinned by
     tests/test_audio_signals.py::test_gated_signals_match_for_kept_clips
-    and test_curate.py — identical ``_staged`` output either way). The
-    container header is parsed twice per clip (decode_features + the
+    and test_curate.py — identical ``_staged`` output either way).
+
+    Two gate safeguards: (1) ``cfg`` must be the SAME config the consumer
+    passes to ``cascade.with_keep_drop`` (defaults to ``DEFAULT_CONFIG``,
+    like the cascade) — a mismatched pair would silently skip signals for
+    clips the cascade keeps; (2) a predicted ``repetition`` drop does NOT
+    skip, because that is the one rule whose input (``rep_ratio``) the
+    worker re-derives via ``str.split()`` while the cascade tokenizes with
+    codegen ``(?U)\\S+`` — the two disagree on exotic control characters
+    (U+001C-001F), and every OTHER rule compares the bit-identical values
+    this pass itself emits, so only ``repetition`` could mispredict.
+
+    The container header is parsed twice per clip (decode_features + the
     signal decode) — both return zero-copy int16 views, so no sample data
     is copied either time."""
+    from ..config import DEFAULT_CONFIG
+
+    gate_cfg = cfg if cfg is not None else DEFAULT_CONFIG
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions import scrub, textscore
@@ -264,14 +279,12 @@ def quality_and_signals(
                 )
                 if not signals_for_dropped:
                     n_chars, rep_ratio = transcript_shape(texts[i])
-                    if (
-                        drop_reason_from_features(
-                            codec, _opt_int(sr_decl), _opt_int(dur_decl[i]),
-                            o, s, d, r, c, dm, n_chars, rep_ratio,
-                            ppls[i], langs[i], confs[i],
-                        )
-                        is not None
-                    ):
+                    reason = drop_reason_from_features(
+                        codec, _opt_int(sr_decl), _opt_int(dur_decl[i]),
+                        o, s, d, r, c, dm, n_chars, rep_ratio,
+                        ppls[i], langs[i], confs[i], gate_cfg,
+                    )
+                    if reason is not None and reason != "repetition":
                         continue  # containment defaults, like undecodable
                 sig.fill_row(i, raw, codec, sr_decl, frame_ms, hop_ms, gate_db)
             yield pd.DataFrame(

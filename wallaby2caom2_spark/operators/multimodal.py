@@ -231,7 +231,10 @@ def extract_png_pixel_stats(
         out = {k.name: [] for k in PIXEL_STATS_SCHEMA.fields}
         for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
             payload = bytes(raw) if raw is not None else None
-            if _sniff_kind(payload) != "png" or len(payload) < 26:
+            if _sniff_kind(payload) != "png":
+                continue
+            if len(payload) < 26:  # signature but no full IHDR: no header
+                _append_pixel_row(out, cid, 0, 0, 0, None)
                 continue
             w, h = _png_dims(payload)
             ch = _CTYPE_CHANNELS.get(payload[25], 0)
@@ -239,12 +242,23 @@ def extract_png_pixel_stats(
         yield pd.DataFrame(out, columns=[f.name for f in PIXEL_STATS_SCHEMA])
 
 
+def _magic_prefilter(df: DataFrame, magic: bytes) -> DataFrame:
+    """Codegen prefilter on the payload's magic bytes: at 100 TB the
+    dominant cost of a pixel operator is shipping payloads over the Arrow
+    boundary, so rows of other kinds must be dropped JVM-side, not by the
+    worker's sniff (which still runs as a second guard). Equivalent to the
+    sniff for this purpose: a payload shorter than its magic can't sniff
+    as that kind either."""
+    return df.filter(
+        F.substring(F.col("bytes"), 1, len(magic)) == F.lit(magic)
+    )
+
+
 def png_pixel_stats(df: DataFrame) -> DataFrame:
     """(clip_id, bytes) → decoded-pixel statistics for every PNG row."""
     return _with_px_mean(
-        df.select("clip_id", "bytes").mapInPandas(
-            extract_png_pixel_stats, PIXEL_STATS_SCHEMA
-        )
+        _magic_prefilter(df.select("clip_id", "bytes"), b"\x89PNG")
+        .mapInPandas(extract_png_pixel_stats, PIXEL_STATS_SCHEMA)
     )
 
 
@@ -277,9 +291,8 @@ def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
     is the SOF header's component count — a header fact available even
     when entropy decode fails)."""
     return _with_px_mean(
-        df.select("clip_id", "bytes").mapInPandas(
-            extract_jpeg_pixel_stats, PIXEL_STATS_SCHEMA
-        )
+        _magic_prefilter(df.select("clip_id", "bytes"), b"\xff\xd8\xff")
+        .mapInPandas(extract_jpeg_pixel_stats, PIXEL_STATS_SCHEMA)
     )
 
 

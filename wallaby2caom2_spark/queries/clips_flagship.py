@@ -181,13 +181,24 @@ WITH p AS (
   SELECT clip_id,
     CAST(substr(clip_id, 7) AS BIGINT) AS idx,
     CAST(substr(clip_id, 7) AS BIGINT) + 3 AS mult,
-    ('0x' || substr(hex(bytes), 33, 8))::BIGINT AS width,
-    ('0x' || substr(hex(bytes), 41, 8))::BIGINT AS height,
-    CASE ('0x' || substr(hex(bytes), 51, 2))::BIGINT
-         WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 6 THEN 4 ELSE 0 END AS channels,
+    -- geometry is a header fact only when the full IHDR is present
+    -- (>= 26 bytes); a signature-only stub yields 0/0/0, like the worker
+    CASE WHEN octet_length(bytes) >= 26
+         THEN coalesce(TRY_CAST(
+           '0x' || substr(hex(bytes), 33, 8) AS BIGINT), 0)
+         ELSE 0 END AS width,
+    CASE WHEN octet_length(bytes) >= 26
+         THEN coalesce(TRY_CAST(
+           '0x' || substr(hex(bytes), 41, 8) AS BIGINT), 0)
+         ELSE 0 END AS height,
+    CASE WHEN octet_length(bytes) < 26 THEN 0
+         WHEN substr(hex(bytes), 51, 2) = '00' THEN 1
+         WHEN substr(hex(bytes), 51, 2) = '02' THEN 3
+         WHEN substr(hex(bytes), 51, 2) = '06' THEN 4
+         ELSE 0 END AS channels,
     right(hex(bytes), 16) = '49454E44AE426082' AS decode_ok
   FROM read_parquet('{media}/*.parquet')
-  WHERE left(hex(bytes), 8) = '89504E47' AND octet_length(bytes) >= 26
+  WHERE left(hex(bytes), 8) = '89504E47'
 ),
 agg AS (
   SELECT clip_id,

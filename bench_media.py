@@ -38,7 +38,8 @@ import pyarrow.parquet as pq
 N_ROWS = int(os.environ.get("BENCH_MEDIA_N", "200000"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
-CORPUS = f"/tmp/wallaby_media_cache/bench-v1-n{N_ROWS}"
+# v2: datagen v5 pixel sub-rules (quality classes) + codegen magic prefilter
+CORPUS = f"/tmp/wallaby_media_cache/bench-v2-n{N_ROWS}"
 ROWS_PER_FILE = 5_000
 
 

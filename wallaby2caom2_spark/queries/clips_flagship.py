@@ -288,10 +288,13 @@ g AS (
   FROM j
 ),
 d AS (
+  -- the Python walker needs the FULL fixed SOF prefix (through ncomp);
+  -- a stream truncated inside it yields no geometry at all
   SELECT clip_id, mult,
-    coalesce(jw, 0) AS width, coalesce(jh, 0) AS height,
+    CASE WHEN ncomp IS NOT NULL THEN coalesce(jw, 0) ELSE 0 END AS width,
+    CASE WHEN ncomp IS NOT NULL THEN coalesce(jh, 0) ELSE 0 END AS height,
     coalesce(ncomp, 0) AS channels,
-    coalesce(sof IS NOT NULL
+    coalesce(sof IS NOT NULL AND ncomp IS NOT NULL
              AND substr(hx, 2 * nxt - 1, 4) = 'FFDB', FALSE) AS decode_ok
   FROM g
 ),
@@ -426,13 +429,17 @@ j AS (  -- JPEG SOF marker walk, unrolled (fixture has <= 1 COM before SOF0)
               AND substr(hex(bytes), 2 * p3 - 1, 4) = 'FFC0' THEN p3
          ELSE NULL END AS sof,
     TRY_CAST('0x' || substr(hex(bytes), 2 * (sof + 5) - 1, 4) AS BIGINT) AS jh,
-    TRY_CAST('0x' || substr(hex(bytes), 2 * (sof + 7) - 1, 4) AS BIGINT) AS jw
+    TRY_CAST('0x' || substr(hex(bytes), 2 * (sof + 7) - 1, 4) AS BIGINT) AS jw,
+    -- the walker reads through the component count (byte sof+9): a SOF
+    -- truncated before it yields no geometry
+    TRY_CAST('0x' || substr(hex(bytes), 2 * (sof + 9) - 1, 2) AS BIGINT) AS jn
   FROM c
 ),
 m AS (
   SELECT kind, n,
     CASE kind WHEN 'png' THEN n >= 24
               WHEN 'jpeg' THEN jw IS NOT NULL AND jh IS NOT NULL
+                             AND jn IS NOT NULL
               WHEN 'wav' THEN n > 12
               WHEN 'flac' THEN n > 12
               ELSE FALSE END AS ok,
@@ -441,11 +448,11 @@ m AS (
          ELSE greatest(1, n // 3200) END AS frames,
     CASE WHEN kind = 'png' AND n >= 24
            THEN ('0x' || substr(hex(bytes), 33, 8))::BIGINT
-         WHEN kind = 'jpeg' THEN coalesce(jw, 0)
+         WHEN kind = 'jpeg' AND jn IS NOT NULL THEN coalesce(jw, 0)
          ELSE 0 END AS width,
     CASE WHEN kind = 'png' AND n >= 24
            THEN ('0x' || substr(hex(bytes), 41, 8))::BIGINT
-         WHEN kind = 'jpeg' THEN coalesce(jh, 0)
+         WHEN kind = 'jpeg' AND jn IS NOT NULL THEN coalesce(jh, 0)
          ELSE 0 END AS height
   FROM j
 )

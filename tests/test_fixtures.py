@@ -89,6 +89,16 @@ def test_fixture_matches_vad_and_fingerprint_and_preview(spark, fixture_rows):
         assert (r["len"] or 0) == f["thumb_len"], r["clip_id"]
         assert r["thumb_name"] == f["thumb_name"], r["clip_id"]
 
+    # spectrogram preview: same per-clip pin against the fixture replay
+    sgram = preview.with_spectrograms(clips).select(
+        "clip_id", "sgram_ok", F.length("sgram_png").alias("len"), "sgram_name"
+    )
+    for r in sgram.collect():
+        f = fix[r["clip_id"]]
+        assert r["sgram_ok"] == f["sgram_ok"], r["clip_id"]
+        assert (r["len"] or 0) == f["sgram_len"], r["clip_id"]
+        assert r["sgram_name"] == f["sgram_name"], r["clip_id"]
+
 
 def test_fixture_n_chars_matches_transcripts(spark, fixture_rows):
     clips_path, fix = fixture_rows

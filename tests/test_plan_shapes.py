@@ -161,7 +161,10 @@ def test_tonality_gate_single_decode_crossing(spark):
 # ever enter an exchange: at 10^12 rows they are the ~50 KB/row traffic the
 # whole pipeline design exists to keep out of the shuffle system.
 PAYLOAD_COLS = frozenset(
-    ["bytes", "seg_bytes", "aug_bytes", "norm_bytes", "feat_bytes", "thumb_png"]
+    [
+        "bytes", "seg_bytes", "aug_bytes", "norm_bytes", "feat_bytes",
+        "thumb_png", "sgram_png",
+    ]
 )
 
 CLIPS_QUERIES = [
@@ -169,6 +172,7 @@ CLIPS_QUERIES = [
     "clips_metrics",
     "clips_curation_funnel",
     "clips_waveform_preview",
+    "clips_spectrogram_preview",
     "clips_duration_histogram",
     "multimodal_media_meta",
     "multimodal_pixel_stats",

@@ -65,6 +65,10 @@ FIXTURE_SCHEMA = pa.schema(
         ("prev_ok", pa.bool_()),
         ("thumb_len", pa.int32()),
         ("thumb_name", pa.string()),
+        # spectrogram preview (operators/preview.py with_spectrograms)
+        ("sgram_ok", pa.bool_()),
+        ("sgram_len", pa.int32()),
+        ("sgram_name", pa.string()),
         # segmentation (operators/segment.py @ 250 ms / 16 kHz), classified
         # by the stats query's own boundary (seg_dur_ms == 250)
         ("segf_n", pa.int32()),
@@ -114,7 +118,12 @@ def _fixture_chunk(args: tuple[str, str]) -> str:
     """One clips part file → one fixture part file (process-pool unit)."""
     part, out_part = args
     from .functions import audio
-    from .functions.preview import THUMB_W, waveform_thumbnail
+    from .functions.preview import (
+        SPEC_W,
+        THUMB_W,
+        spectrogram_thumbnail,
+        waveform_thumbnail,
+    )
     from .operators.vad import _clip_vad
     from .oracle import label_row
 
@@ -163,6 +172,12 @@ def _fixture_chunk(args: tuple[str, str]) -> str:
         cols["prev_ok"].append(png is not None)
         cols["thumb_len"].append(len(png) if png is not None else 0)
         cols["thumb_name"].append(f"{row['clip_id']}_prev_{THUMB_W}.png")
+
+        # spectrogram preview (operators/preview.py with_spectrograms)
+        sg = spectrogram_thumbnail(samples)
+        cols["sgram_ok"].append(sg is not None)
+        cols["sgram_len"].append(len(sg) if sg is not None else 0)
+        cols["sgram_name"].append(f"{row['clip_id']}_spec_{SPEC_W}.png")
 
         _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row)
 

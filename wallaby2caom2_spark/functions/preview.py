@@ -73,6 +73,49 @@ def waveform_envelope(samples: np.ndarray, width: int = THUMB_W) -> np.ndarray:
     return np.clip(env.astype(np.float64), 0.0, 1.0)
 
 
+SPEC_W = 256  # spectrogram preview geometry (same footprint as waveform)
+SPEC_H = 64
+
+
+def spectrogram_image(
+    samples: np.ndarray | None, width: int = SPEC_W, height: int = SPEC_H
+) -> np.ndarray | None:
+    """Decoded samples → (height, width) uint8 log-magnitude spectrogram.
+
+    ``width`` equal time bins; each bin contributes one rFFT of its first
+    ``2*height`` samples (zero-padded), bins 1..height (DC dropped) give
+    the rows, low frequency at the BOTTOM row like every audio editor.
+    Amplitudes are dB relative to the clip's own peak magnitude, floored
+    at -80 dB, mapped to 0..255 — so the image is gain-invariant (the
+    same property the fingerprint has) and fully deterministic. A silent
+    or empty clip renders all-black (None only for undecodable input)."""
+    if samples is None or len(samples) == 0:
+        return None
+    n = len(samples)
+    nfft = 2 * height
+    edges = (np.arange(width + 1, dtype=np.int64) * n) // width
+    mat = np.zeros((width, nfft), dtype=np.float64)
+    for c in range(width):
+        seg = samples[edges[c] : min(edges[c] + nfft, edges[c + 1])]
+        mat[c, : len(seg)] = seg
+    mags = np.abs(np.fft.rfft(mat, axis=1))[:, 1 : height + 1]  # (w, h)
+    peak = mags.max()
+    if peak <= 0.0:
+        return np.zeros((height, width), dtype=np.uint8)
+    db = 20.0 * np.log10(np.maximum(mags / peak, 1e-12))
+    img = np.rint(np.clip((db + 80.0) / 80.0, 0.0, 1.0) * 255.0)
+    return img.astype(np.uint8).T[::-1].copy()  # low freq at bottom
+
+
+def spectrogram_thumbnail(
+    samples: np.ndarray | None, width: int = SPEC_W, height: int = SPEC_H
+) -> bytes | None:
+    """Decoded samples → grayscale spectrogram PNG (None for undecodable
+    clips, matching the waveform thumbnail's skip-on-failure contract)."""
+    img = spectrogram_image(samples, width, height)
+    return None if img is None else encode_png(img)
+
+
 def waveform_thumbnail(
     samples: np.ndarray | None, width: int = THUMB_W, height: int = THUMB_H
 ) -> bytes | None:

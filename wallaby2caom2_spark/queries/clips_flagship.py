@@ -110,7 +110,7 @@ def media_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v4"  # v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v5"  # v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -652,6 +652,20 @@ GROUP BY prev_ok ORDER BY prev_ok
 """
 
 
+def spectrogram_preview_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``clips_spectrogram_preview``: per-clip PNG length
+    / name / ok replay from the fixture (the spectrogram renderer and PNG
+    encoder are deterministic), the aggregation replays in SQL."""
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT sgram_ok, count(*)::BIGINT AS n_clips,
+       sum(sgram_len)::BIGINT AS sgram_bytes,
+       count(DISTINCT sgram_name)::BIGINT AS n_names
+FROM read_parquet('{path}/*.parquet')
+GROUP BY sgram_ok ORDER BY sgram_ok
+"""
+
+
 def segment_stats_oracle(sf_dir: str) -> str:
     """DuckDB oracle for ``audio_segment_stats``: per-clip segment counts /
     byte volumes (classified by the query's own seg_dur_ms == 250 boundary)
@@ -780,6 +794,28 @@ def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("thumb_name").alias("n_names"),
         )
         .orderBy("prev_ok")
+    )
+
+
+def clips_spectrogram_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 second preview flavor: decoded PCM → log-magnitude spectrogram
+    PNG (operators/preview.py ``with_spectrograms``), the artifact a
+    curation UI inspects for hum/tones/dropouts. Same mapInPandas shape as
+    the waveform preview — payload decoded once in the worker, only the
+    ~2-6 KB PNG crosses Arrow. Oracle replays per-clip PNG length / name /
+    ok from the fixture (renderer + PNG encoder are deterministic);
+    pixel-level assertions live in tests/test_preview.py."""
+    prev = preview.with_spectrograms(load_clips(spark, sf_dir))
+    return (
+        prev.groupBy("sgram_ok")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.coalesce(F.length("sgram_png"), F.lit(0))).alias(
+                "sgram_bytes"
+            ),
+            F.countDistinct("sgram_name").alias("n_names"),
+        )
+        .orderBy("sgram_ok")
     )
 
 
@@ -1139,6 +1175,7 @@ QUERIES = {
     "multimodal_image_quality": multimodal_image_quality,
     "clips_duration_histogram": clips_duration_histogram,
     "clips_waveform_preview": clips_waveform_preview,
+    "clips_spectrogram_preview": clips_spectrogram_preview,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
     "audio_segment_stats": audio_segment_stats,
     "audio_normalize_stats": audio_normalize_stats,
@@ -1172,6 +1209,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_speaking_rate_gate": speaking_rate_oracle,
     "audio_fingerprint_neardup": fingerprint_neardup_oracle,
     "clips_waveform_preview": waveform_preview_oracle,
+    "clips_spectrogram_preview": spectrogram_preview_oracle,
     "audio_segment_stats": segment_stats_oracle,
     "audio_normalize_stats": normalize_stats_oracle,
     "audio_feature_stats": feature_stats_oracle,

@@ -118,6 +118,16 @@ def main(argv: list[str]) -> int:
             n_waves=int(cfg["n_waves"]),
             run_id=cfg.get("run_id"),
         )
+    # cluster-topology bookkeeping: how many executor JVMs (block-manager
+    # endpoints minus the driver's) actually served the run — 0 in local[N]
+    # single-JVM mode, N on a real / local-cluster deployment
+    try:
+        endpoints = (
+            spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+        )
+        summary["executors"] = max(0, int(endpoints) - 1)
+    except Exception:  # pragma: no cover - private API drift
+        summary["executors"] = None
     print(json.dumps(summary))
     return 0
 

@@ -19,6 +19,11 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # Under spark-submit the JVM gateway is already running with the
+    # submitted --master (local-cluster / standalone / yarn / k8s); the
+    # local[N] sandbox default must NOT override it, or a cluster launch
+    # silently collapses back into the driver JVM.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
     if cpus is None:
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus_env}]" if cpus_env else "local[*]"
@@ -31,8 +36,12 @@ def get_spark(
     # proxy the lone /tmp disk would be an artificial serial resource.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     os.makedirs(local_dir, exist_ok=True)
+    builder = (
+        SparkSession.builder if submitted
+        else SparkSession.builder.master(master)
+    )
     return (
-        SparkSession.builder.master(master)
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")

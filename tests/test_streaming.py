@@ -73,7 +73,9 @@ def test_windowed_rollup_batch_equivalence(spark):
         ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value") * 100, 0).cast("bigint").alias("sum_value_cents"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
         )
     )
     assert sorted(map(tuple, rolled.collect())) == sorted(map(tuple, direct.collect()))
@@ -122,3 +124,43 @@ def test_windowed_rollup_streaming_drops_stale(spark, tmp_path):
         assert start + timedelta(hours=1) <= wm + timedelta(seconds=1)
     for key, agg in emitted.items():
         assert full[key] == agg, key
+
+
+def test_stream_hourly_rollup_gate_query(spark):
+    """The registry's streaming entry: a real readStream run whose drained
+    result equals the batch aggregate (what the DuckDB oracle replays), and
+    whose fixed-name memory sink survives repeated invocation in one
+    session (the driver calls each query more than once)."""
+    from wallaby2caom2_spark.queries.streaming import stream_hourly_rollup
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in stream_hourly_rollup(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in (
+            ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                    "hour"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                    "sum_value_cents"
+                ),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    # second invocation must re-own the sink name and return the same rows
+    again = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in stream_hourly_rollup(spark, sf_dir).collect()
+    }
+    assert again == want

@@ -21,6 +21,7 @@ from . import (
     nested,
     relational,
     similarity,
+    streaming,
     textstats,
 )
 
@@ -33,6 +34,7 @@ _MODULES = (
     textstats,
     corpus,
     curation,
+    streaming,
     clips_flagship,
 )
 

@@ -1,0 +1,101 @@
+"""Streaming queries under the driver's correctness gate.
+
+Until this module, §2.7 (streaming/incremental) was pytest-only: the
+file-source stream, watermarked windows, and stateful dedup were pinned by
+golden tests but no ``queries()`` entry ever exercised ``readStream``
+against a DuckDB oracle. ``stream_hourly_rollup`` closes that: the SAME
+``windowed_rollup`` operator the ingest pipeline uses runs as a real
+Structured Streaming query (file source → event-time window + watermark →
+sink) under ``Trigger.availableNow``, and because availableNow drains a
+bounded input completely, the finished result is exactly the batch
+aggregate — which DuckDB replays as a GROUP BY over ``date_trunc``.
+
+Reference analog: the time-boxed bounded-run loop
+(``wallaby2caom2/composable.py:153-177`` + ``config/config.yml:67-71``) —
+process everything newly available, then stop — with the progress rollup
+the reference writes per run (SURVEY.md §2.7 A4).
+
+Scale note: the memory sink here is gate harness, not the production path —
+it exists so the streaming plan's OUTPUT can be handed back as a DataFrame
+and value-hashed. Its complete-mode state is one row per (window ×
+event_type), bounded by the time span, not the event count (720 windows/
+month × a handful of types), so it stays tiny even at 10^12 input events.
+The production sink for unbounded streams is ``streaming/stream.py``'s
+idempotent foreachBatch parquet writer with append/update mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.windows import windowed_rollup
+
+_SINK_NAME = "stream_hourly_rollup_sink"
+
+
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a FILE STREAM → watermarked 1h tumbling rollup.
+
+    availableNow + complete output mode make the run deterministic
+    regardless of how the source splits files into micro-batches: the
+    watermark never evicts state in complete mode, and the final emission
+    is the full aggregate of everything drained.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    # file streams require an explicit schema; parquet footer read only
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a DIRECTORY to watch (its basePath); the table
+    # is a single file inside sf_dir, so watch the dir and glob-filter to
+    # exactly that file
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    rolled = windowed_rollup(events, "1 hour", "2 hours").select(
+        # string-format the window start so the cross-engine value hash
+        # compares text, not engine-local timestamp encodings
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value_cents",
+    )
+
+    # a previous invocation in the same session may still own the sink name
+    for q in spark.streams.active:
+        if q.name == _SINK_NAME:
+            q.stop()
+            q.awaitTermination()
+
+    query = (
+        rolled.writeStream.format("memory")
+        .queryName(_SINK_NAME)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(_SINK_NAME)
+
+
+_STREAM_HOURLY_ROLLUP_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value*100, 0)::BIGINT)::BIGINT AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "stream_hourly_rollup": stream_hourly_rollup,
+}
+
+ORACLE = {
+    "stream_hourly_rollup": _STREAM_HOURLY_ROLLUP_SQL,
+}

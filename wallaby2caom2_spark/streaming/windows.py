@@ -31,7 +31,13 @@ def windowed_rollup(
         .groupBy(F.window("ts", window_len).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value") * 100, 0).cast("bigint").alias("sum_value_cents"),
+            # per-row round-to-cents BEFORE the sum: integer addition is
+            # associative, so the total is independent of partitioning /
+            # merge order — sum(double) then round would let float
+            # accumulation order leak into the last cent
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
         )
         .select(
             F.col("win.start").alias("window_start"),

@@ -44,6 +44,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 LEVELS = tuple(
     int(x) for x in os.environ.get("BENCH_CLUSTER_LEVELS", "2,8").split(",")
 )
+if len(LEVELS) != 2:
+    # fail BEFORE the hours of child measurements, not at the lo/hi unpack
+    # that writes the report afterwards
+    raise SystemExit(
+        f"BENCH_CLUSTER_LEVELS must name exactly two executor counts "
+        f"(N,4N), got {LEVELS!r}"
+    )
 CORES_PER_EXEC = int(os.environ.get("BENCH_CLUSTER_CORES", "2"))
 EXEC_MEM_MB = int(os.environ.get("BENCH_CLUSTER_MEM_MB", "4096"))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
@@ -132,6 +139,7 @@ def _measure_child(n_exec: int) -> None:
     from pyspark.sql import functions as F
 
     from wallaby2caom2_spark.plans.pipeline import quality_filter
+    from wallaby2caom2_spark.session import executor_jvm_count
 
     paths = _subset_paths()
     spark = (
@@ -208,7 +216,7 @@ def _measure_child(n_exec: int) -> None:
         t0 = time.time()
         force()
         samples.append(round(time.time() - t0, 2))
-    execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+    execs = executor_jvm_count(spark)
     spark.stop()
     print(
         "CHILD_RESULT "

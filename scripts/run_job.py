@@ -82,10 +82,10 @@ def main(argv: list[str]) -> int:
     # spark-submit provides the session; standalone runs build one
     from pyspark.sql import SparkSession
 
+    from wallaby2caom2_spark.session import executor_jvm_count, get_spark
+
     active = SparkSession.getActiveSession()
     if active is None:
-        from wallaby2caom2_spark.session import get_spark
-
         spark = get_spark("wallaby2caom2_spark_job")
     else:
         spark = active
@@ -118,16 +118,9 @@ def main(argv: list[str]) -> int:
             n_waves=int(cfg["n_waves"]),
             run_id=cfg.get("run_id"),
         )
-    # cluster-topology bookkeeping: how many executor JVMs (block-manager
-    # endpoints minus the driver's) actually served the run — 0 in local[N]
-    # single-JVM mode, N on a real / local-cluster deployment
-    try:
-        endpoints = (
-            spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
-        )
-        summary["executors"] = max(0, int(endpoints) - 1)
-    except Exception:  # pragma: no cover - private API drift
-        summary["executors"] = None
+    # cluster-topology bookkeeping: how many executor JVMs actually served
+    # the run (shared probe, None on private-API drift)
+    summary["executors"] = executor_jvm_count(spark)
     print(json.dumps(summary))
     return 0
 

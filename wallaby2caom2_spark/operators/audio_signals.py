@@ -21,7 +21,7 @@ emit ``sig_ok=false`` containment rows.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import TYPE_CHECKING, Iterator
 
 import numpy as np
 import pandas as pd
@@ -31,6 +31,9 @@ from pyspark.sql import types as T
 from ..functions import audio
 from .spectral import _clip_spectrum
 from .vad import _clip_vad
+
+if TYPE_CHECKING:  # annotation-only: avoids a config import at worker load
+    from ..config import PipelineConfig
 
 SIGNALS_SCHEMA = T.StructType(
     [
@@ -200,7 +203,7 @@ def quality_and_signals(
     hop_ms: int = 10,
     gate_db: float = 10.0,
     signals_for_dropped: bool = False,
-    cfg: "PipelineConfig" = None,
+    cfg: "PipelineConfig | None" = None,
 ) -> DataFrame:
     """The curation DAG's single payload pass: quality-filter features AND
     every audio gate signal from ONE decode of ONE scan.

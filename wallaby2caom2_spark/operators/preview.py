@@ -1,4 +1,4 @@
-"""Preview-artifact stage (S11): decoded PCM → waveform-thumbnail PNG column.
+"""Preview-artifact stage (S11): decoded PCM → thumbnail PNG column.
 
 Reference analog: ``wallaby2caom2/preview_augmentation.py:77-97`` (render
 preview, attach ``<file_id>_prev_256.png`` artifact) +
@@ -7,6 +7,12 @@ preview, attach ``<file_id>_prev_256.png`` artifact) +
 goes out — input bytes die inside the worker, so the stage output (~1-3 KB
 thumbs) is what downstream sees/shuffles, never the ~50 KB clips.
 
+Two flavors share one worker factory: the waveform thumbnail (amplitude
+envelope) and the log-magnitude spectrogram (what an audio-curation UI
+actually inspects for hum/tones/dropouts). Both decode identically; only
+the render function, output column names, and naming suffix differ — kept
+in one loop so a decode-path fix can never apply to one flavor only.
+
 At 100 TB this is the correct shape for any decode→derive→store media step:
 narrow over scan splits, no shuffle, output written alongside results (the
 thumbnail is a column, not a side-channel file sink).
@@ -14,8 +20,9 @@ thumbnail is a column, not a side-channel file sink).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,40 +37,65 @@ from ..functions.preview import (
     waveform_thumbnail,
 )
 
-PREVIEW_SCHEMA = T.StructType(
-    [
-        T.StructField("clip_id", T.StringType()),
-        T.StructField("thumb_png", T.BinaryType()),
-        T.StructField("thumb_w", T.IntegerType()),
-        T.StructField("thumb_h", T.IntegerType()),
-        T.StructField("prev_ok", T.BooleanType()),
-    ]
-)
+
+def _preview_schema(prefix: str, ok_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField(f"{prefix}_png", T.BinaryType()),
+            T.StructField(f"{prefix}_w", T.IntegerType()),
+            T.StructField(f"{prefix}_h", T.IntegerType()),
+            T.StructField(ok_col, T.BooleanType()),
+        ]
+    )
 
 
-def make_previews(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..functions import audio
+def _make_preview_worker(
+    thumbnail_fn: Callable[[np.ndarray | None], bytes | None],
+    prefix: str,
+    ok_col: str,
+    width: int,
+    height: int,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """ONE decode loop for every preview flavor: decode each payload, render
+    with ``thumbnail_fn``, emit (clip_id, <prefix>_png/w/h, <ok_col>)."""
 
-    for pdf in batches:
-        ids, pngs, oks = [], [], []
-        codecs = pdf["codec"].to_numpy()
-        for i, raw in enumerate(pdf["bytes"].to_numpy()):
-            samples, _sr = audio.decode_clip(
-                bytes(raw) if raw is not None else None, codecs[i]
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import audio
+
+        for pdf in batches:
+            ids, pngs, oks = [], [], []
+            codecs = pdf["codec"].to_numpy()
+            for i, raw in enumerate(pdf["bytes"].to_numpy()):
+                samples, _sr = audio.decode_clip(
+                    bytes(raw) if raw is not None else None, codecs[i]
+                )
+                png = thumbnail_fn(samples)
+                ids.append(pdf["clip_id"].iloc[i])
+                pngs.append(png)
+                oks.append(png is not None)
+            yield pd.DataFrame(
+                {
+                    "clip_id": ids,
+                    f"{prefix}_png": pngs,
+                    f"{prefix}_w": width,
+                    f"{prefix}_h": height,
+                    ok_col: oks,
+                }
             )
-            png = waveform_thumbnail(samples)
-            ids.append(pdf["clip_id"].iloc[i])
-            pngs.append(png)
-            oks.append(png is not None)
-        yield pd.DataFrame(
-            {
-                "clip_id": ids,
-                "thumb_png": pngs,
-                "thumb_w": THUMB_W,
-                "thumb_h": THUMB_H,
-                "prev_ok": oks,
-            }
-        )
+
+    return worker
+
+
+PREVIEW_SCHEMA = _preview_schema("thumb", "prev_ok")
+SPECTROGRAM_SCHEMA = _preview_schema("sgram", "sgram_ok")
+
+make_previews = _make_preview_worker(
+    waveform_thumbnail, "thumb", "prev_ok", THUMB_W, THUMB_H
+)
+make_spectrograms = _make_preview_worker(
+    spectrogram_thumbnail, "sgram", "sgram_ok", SPEC_W, SPEC_H
+)
 
 
 def with_previews(df: DataFrame) -> DataFrame:
@@ -76,49 +108,6 @@ def with_previews(df: DataFrame) -> DataFrame:
         "thumb_name",
         F.concat(F.col("clip_id"), F.lit(f"_prev_{THUMB_W}.png")),
     )
-
-
-SPECTROGRAM_SCHEMA = T.StructType(
-    [
-        T.StructField("clip_id", T.StringType()),
-        T.StructField("sgram_png", T.BinaryType()),
-        T.StructField("sgram_w", T.IntegerType()),
-        T.StructField("sgram_h", T.IntegerType()),
-        T.StructField("sgram_ok", T.BooleanType()),
-    ]
-)
-
-
-def make_spectrograms(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """Second preview flavor: decoded PCM → log-magnitude spectrogram PNG
-    (functions/preview.py ``spectrogram_thumbnail``) — the thumbnail an
-    audio-curation UI actually inspects for hum/tones/dropouts. Same shape
-    as the waveform stage: bytes in, ~2-6 KB derived artifact out, payload
-    dies in the worker."""
-    from ..functions import audio
-
-    for pdf in batches:
-        ids, pngs, oks = [], [], []
-        codecs = pdf["codec"].to_numpy()
-        for i, raw in enumerate(pdf["bytes"].to_numpy()):
-            samples, _sr = audio.decode_clip(
-                bytes(raw) if raw is not None else None, codecs[i]
-            )
-            png = spectrogram_thumbnail(samples)
-            ids.append(pdf["clip_id"].iloc[i])
-            pngs.append(png)
-            oks.append(png is not None)
-        yield pd.DataFrame(
-            {
-                "clip_id": ids,
-                "sgram_png": pngs,
-                "sgram_w": SPEC_W,
-                "sgram_h": SPEC_H,
-                "sgram_ok": oks,
-            }
-        )
 
 
 def with_spectrograms(df: DataFrame) -> DataFrame:

@@ -28,14 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..colexpr import cents as _cents
 from ._tables import load
 
 ALLOWED_DOC_LANGS = ("en", "fr", "de", "es")
-
-
-def _cents(col: F.Column) -> F.Column:
-    """Exact money representation: deterministic per-row double→cents."""
-    return F.round(col * 100, 0).cast("bigint")
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,10 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        count(*)::BIGINT AS n_events,
        sum(round(value*100, 0)::BIGINT)::BIGINT AS sum_value_cents
 FROM events
+-- Spark's F.window() injects an implicit "ts IS NOT NULL" under the
+-- event-time groupBy (a row without an event time belongs to no window);
+-- mirror it so a NULL-ts row can never split the two engines
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 

@@ -91,3 +91,20 @@ def get_spark(
         )
         .getOrCreate()
     )
+
+
+def executor_jvm_count(spark: SparkSession) -> int | None:
+    """How many separate executor JVMs served this session — 0 in local[N]
+    single-JVM mode, N on a real / local-cluster deployment.
+
+    Uses the one JVM endpoint the public API doesn't expose (block-manager
+    registry size minus the driver's own endpoint); returns None instead of
+    raising if the private accessor drifts across Spark versions, so both
+    the job-summary and bench consumers degrade to "unknown", never crash
+    mid-run.
+    """
+    try:
+        endpoints = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+        return max(0, int(endpoints) - 1)
+    except Exception:  # pragma: no cover - private API drift
+        return None

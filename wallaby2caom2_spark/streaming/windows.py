@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..colexpr import cents
+
 
 def windowed_rollup(
     events: DataFrame,
@@ -31,13 +33,9 @@ def windowed_rollup(
         .groupBy(F.window("ts", window_len).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            # per-row round-to-cents BEFORE the sum: integer addition is
-            # associative, so the total is independent of partitioning /
-            # merge order — sum(double) then round would let float
-            # accumulation order leak into the last cent
-            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
-                "sum_value_cents"
-            ),
+            # shared exact-money rule (colexpr.cents): per-row round BEFORE
+            # the sum keeps the total independent of merge order
+            F.sum(cents(F.col("value"))).alias("sum_value_cents"),
         )
         .select(
             F.col("win.start").alias("window_start"),

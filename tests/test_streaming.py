@@ -164,3 +164,18 @@ def test_stream_hourly_rollup_gate_query(spark):
         for r in stream_hourly_rollup(spark, sf_dir).collect()
     }
     assert again == want
+
+
+def test_chunked_drain_commits_per_batch(spark, tmp_path):
+    """maxFilesPerTrigger chunks the backlog into several committed
+    micro-batches; the union of their outputs is exactly the corpus, each
+    batch owns its own (batch_id, bucket) partitions."""
+    inp = str(tmp_path / "clips")
+    datagen.write_clips_parquet(inp, 300, seed=11, rows_per_file=50)
+    out = str(tmp_path / "out")
+    run_stream(spark, inp, out, n_buckets=4, max_files_per_trigger=2)
+    res = spark.read.parquet(os.path.join(out, "results"))
+    assert res.count() == 300
+    assert res.select("clip_id").distinct().count() == 300
+    n_batches = res.select("batch_id").distinct().count()
+    assert n_batches == 3, n_batches  # 6 files / 2 per trigger

@@ -44,17 +44,22 @@ def run_stream(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     n_buckets: int = 16,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """One bounded streaming run: new files → pipeline → idempotent sink.
 
     Repeated invocations resume from ``<out_dir>/checkpoint`` and process
     only files not yet seen (the reference's bookmark-advance semantics).
+    ``max_files_per_trigger`` chunks the backlog into micro-batches of that
+    many files (ingest-sized commits: a crash mid-backlog resumes from the
+    last committed batch instead of re-running everything); None drains the
+    whole backlog as one batch.
     """
     os.makedirs(out_dir, exist_ok=True)
     results_path = os.path.join(out_dir, "results")
     metrics_path = os.path.join(out_dir, "metrics")
 
-    clips = stream_clips(spark, in_path)
+    clips = stream_clips(spark, in_path, max_files_per_trigger)
     # streaming repartition by a column expression is supported; the rest of
     # the pipeline is identical to batch — same transforms, same plan shape
     result = quality_filter(clips, cfg)

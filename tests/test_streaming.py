@@ -179,3 +179,10 @@ def test_chunked_drain_commits_per_batch(spark, tmp_path):
     assert res.select("clip_id").distinct().count() == 300
     n_batches = res.select("batch_id").distinct().count()
     assert n_batches == 3, n_batches  # 6 files / 2 per trigger
+    # small-files contract: the sink's bucket repartition means each
+    # committed (batch_id, bucket) dir holds exactly ONE data file
+    import glob
+
+    for d in glob.glob(os.path.join(out, "results", "batch_id=*", "bucket=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)

@@ -54,22 +54,35 @@ def run_stream(
     many files (ingest-sized commits: a crash mid-backlog resumes from the
     last committed batch instead of re-running everything); None drains the
     whole backlog as one batch.
+
+    ``n_buckets`` is both the resume granularity AND the sink's write
+    parallelism (one file per (batch_id, bucket)) — size it to the
+    cluster's write bandwidth, not just to the resume unit.
     """
     os.makedirs(out_dir, exist_ok=True)
     results_path = os.path.join(out_dir, "results")
     metrics_path = os.path.join(out_dir, "metrics")
 
     clips = stream_clips(spark, in_path, max_files_per_trigger)
-    # streaming repartition by a column expression is supported; the rest of
-    # the pipeline is identical to batch — same transforms, same plan shape
-    result = quality_filter(clips, cfg)
+    # repartition=False: the pipeline's own salted exchange balances rows
+    # for an arbitrary sink, but THIS sink partitions by bucket — writing
+    # the salted 2N-partition layout through partitionBy("bucket") opens
+    # 2N files per bucket dir (2,048 small files per micro-batch at 32
+    # cores/16 buckets, measured ~7 s/batch of commit overhead at 1M
+    # clips, BENCH/stream-scale.md). Instead the sink's bucket
+    # repartition below is the batch's ONE exchange of slim rows: each
+    # (batch_id, bucket) dir gets exactly one file, and the small-files
+    # compaction job has nothing to do on streaming output.
+    result = quality_filter(clips, cfg, repartition=False)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # partition by (batch_id, bucket): a retried epoch has the same
         # batch_id, so dynamic overwrite replaces exactly its own output and
         # never another batch's — exactly-once without a transactional store
-        batch = with_bucket(batch_df, n_buckets).withColumn(
-            "batch_id", F.lit(batch_id)
+        batch = (
+            with_bucket(batch_df, n_buckets)
+            .withColumn("batch_id", F.lit(batch_id))
+            .repartition(n_buckets, F.col("bucket"))
         )
         # two sinks consume this micro-batch; without persist the second
         # write would re-run the whole fused decode+model pipeline from the

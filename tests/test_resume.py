@@ -160,3 +160,18 @@ def test_empty_input_commits_zero_count_lineage(spark, tmp_path):
     lineage = spark.read.parquet(os.path.join(out, "lineage"))
     assert lineage.agg(F.sum("clips")).collect()[0][0] == 0
     assert run_resumable(spark, inp, out, n_buckets=4)["waves"] == 0
+
+
+def test_wave_write_is_one_file_per_bucket(spark, clips_path, tmp_path):
+    """Small-files contract of the wave sink: the bucket-hash exchange
+    before the partitioned write means each bucket dir holds exactly one
+    data file per wave that touched it (single-run: one file total)."""
+    import glob
+
+    out = str(tmp_path / "out")
+    run_resumable(spark, clips_path, out, n_buckets=8, n_waves=2)
+    dirs = glob.glob(os.path.join(out, "results", "bucket=*"))
+    assert len(dirs) == 8
+    for d in dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)

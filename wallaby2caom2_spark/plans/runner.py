@@ -72,8 +72,18 @@ def run_resumable(
 
     for wave_i, bucket_group in enumerate(waves):
         subset = clips.filter(F.col("bucket").isin(bucket_group))
-        result = quality_filter(subset, cfg)
+        # repartition=False: the pipeline's salted exchange balances rows
+        # for an arbitrary sink, but this sink partitions by bucket —
+        # writing the salted 2N-partition layout through
+        # partitionBy("bucket") opens 2N files per bucket dir per wave
+        # (the small-files pattern compact_results_job exists to repair).
+        # Instead ONE bucket-hash exchange of slim rows: each bucket lands
+        # wholly in one task, so every bucket dir gets exactly one file
+        # per wave. Compute parallelism is unchanged (the fused stage runs
+        # on scan splits, before any exchange).
+        result = quality_filter(subset, cfg, repartition=False)
         result = with_bucket(result, n_buckets)  # re-derive for partitioned sink
+        result = result.repartition(len(bucket_group), F.col("bucket"))
         clips_src.write_results(result, results_path, partition_by="bucket")
 
         try:

@@ -177,6 +177,8 @@ CLIPS_QUERIES = [
     "multimodal_media_meta",
     "multimodal_pixel_stats",
     "multimodal_jpeg_pixels",
+    "multimodal_image_quality",
+    "multimodal_video_frames",
     "audio_fingerprint_neardup",
     "audio_segment_stats",
     "audio_normalize_stats",

@@ -367,6 +367,74 @@ def write_media_parquet(path: str, n: int, seed: int = 42) -> str:
     return path
 
 
+def generate_video_rows(n: int, seed: int = 42, start: int = 0) -> list[dict]:
+    """Deterministic raw-video rows (clip_id, bytes) for the frame-sample
+    operator: a trivially parseable uncompressed container (no video libs
+    exist in this environment, so the container is DEFINED here — the
+    Spark-side plumbing it exercises is real: header parse, bounded frame
+    math, strided per-frame stats, error containment).
+
+    Layout 'RVID' (all fields BIG-endian so a DuckDB oracle can read them
+    as fixed-offset hex): magic(4) | u16 w | u16 h | u16 fps |
+    u32 n_frames | n_frames frames of w*h gray8 pixels. Frame ``f`` pixel
+    at flat index ``k`` follows the closed-form rule
+    ``(k*(i+3) + 17*f) % 251`` (the video analog of ``png_pixel_values``),
+    so the oracle recomputes every sampled-frame statistic analytically —
+    the only way the Spark side matches is by genuinely slicing the frame
+    planes at the right offsets.
+
+    Error branches: i%10==7 declares two more frames than the payload
+    carries (truncated tail — partial decode, decode_ok=false); ==8 is a
+    zero-width header (no frame math possible); ==9 is an empty payload.
+    """
+    rows: list[dict] = []
+    for i in range(start, start + n):
+        rng = _rng(seed + 9_000_000, i)
+        roll = i % 10
+        if roll == 9:
+            payload = b""
+        elif roll == 8:
+            payload = (
+                b"RVID" + (0).to_bytes(2, "big") + (24).to_bytes(2, "big")
+                + (25).to_bytes(2, "big") + (4).to_bytes(4, "big")
+            )
+        else:
+            w = 16 + int(rng.integers(0, 49))
+            h = 12 + int(rng.integers(0, 37))
+            fps = 10 + int(rng.integers(0, 21))
+            n_frames = 4 + int(rng.integers(0, 9))
+            k = np.arange(w * h, dtype=np.int64)
+            frames = [
+                ((k * (i + 3) + 17 * f) % 251).astype(np.uint8).tobytes()
+                for f in range(n_frames)
+            ]
+            declared = n_frames + (2 if roll == 7 else 0)
+            payload = (
+                b"RVID"
+                + w.to_bytes(2, "big")
+                + h.to_bytes(2, "big")
+                + fps.to_bytes(2, "big")
+                + declared.to_bytes(4, "big")
+                + b"".join(frames)
+            )
+        rows.append({"clip_id": f"video_{i:06d}", "bytes": payload})
+    return rows
+
+
+def write_video_parquet(path: str, n: int, seed: int = 42) -> str:
+    """Write the raw-video side table (one file; branch-coverage data)."""
+    os.makedirs(path, exist_ok=True)
+    rows = generate_video_rows(n, seed)
+    table = pa.table(
+        {
+            "clip_id": pa.array([r["clip_id"] for r in rows], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        }
+    )
+    pq.write_table(table, os.path.join(path, "part-000.parquet"))
+    return path
+
+
 def write_clips_parquet(
     path: str,
     n: int,

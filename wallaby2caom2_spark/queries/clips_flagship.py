@@ -35,6 +35,7 @@ from ..operators import (
     segment,
     spectral,
     vad,
+    video,
 )
 from ..plans.pipeline import kept_clips, quality_filter, run_metrics
 from ..sources import clips as clips_src
@@ -99,6 +100,34 @@ def media_path_for(sf_dir: str) -> str:
     if not os.path.exists(marker):
         tmp = f"{path}.gen-{os.getpid()}"
         datagen.write_media_parquet(tmp, _MEDIA_N, seed=42)
+        with open(os.path.join(tmp, "_SUCCESS_GEN"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+_VIDEO_N = 200  # branch-coverage side table, like the image mix
+_VIDEO_VERSION = "v1"  # v1: RVID raw container, closed-form frame pixels
+
+
+def video_path_for(sf_dir: str) -> str:
+    """Deterministic raw-video side table (datagen.generate_video_rows —
+    'RVID' containers with closed-form frame pixels plus truncated /
+    zero-geometry / empty branches) cached next to the clips cache with
+    the same atomic-rename concurrency contract."""
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = os.path.join(
+        _CACHE_ROOT, f"{name}-video-{_VIDEO_VERSION}-n{_VIDEO_N}"
+    )
+    marker = os.path.join(path, "_SUCCESS_GEN")
+    if not os.path.exists(marker):
+        tmp = f"{path}.gen-{os.getpid()}"
+        datagen.write_video_parquet(tmp, _VIDEO_N, seed=42)
         with open(os.path.join(tmp, "_SUCCESS_GEN"), "w") as fh:
             fh.write("ok")
         try:
@@ -384,6 +413,81 @@ SELECT kind, quality_class,
 FROM cls
 GROUP BY kind, quality_class
 ORDER BY kind, quality_class
+"""
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over the video side table: every 3rd frame of each
+    'RVID' payload → exact per-frame pixel stats (operators/video.py —
+    codegen magic prefilter, header parse, zero-copy strided frame
+    planes, one→many explode). Truncated payloads emit their available
+    frames with decode_ok=false; zero-geometry headers emit one
+    geometry-only row — every video payload is accounted for."""
+    videos = spark.read.parquet(video_path_for(sf_dir))
+    return video.frame_sample_stats(videos, every_k=3).orderBy(
+        "clip_id", "frame_idx"
+    )
+
+
+def video_frames_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``multimodal_video_frames`` — ANALYTIC, like the
+    pixel oracles: the container header is fixed-offset big-endian hex,
+    and frame ``f`` pixel ``k`` follows ``(k*mult + 17*f) % 251``
+    (``datagen.generate_video_rows``), so DuckDB regenerates every sampled
+    frame from the rule — the only way the Spark side matches is by
+    slicing the real frame planes at the right offsets. The worker's
+    64M-px hostile-header bound is unreachable on the fixture (max
+    geometry 64x48x14), so the oracle needs no mirror term for it."""
+    videos = video_path_for(sf_dir)
+    return f"""
+WITH v AS (
+  SELECT clip_id,
+    CAST(substr(clip_id, 7) AS BIGINT) + 3 AS mult,
+    octet_length(bytes) AS len,
+    TRY_CAST('0x' || substr(hex(bytes), 9, 4) AS BIGINT) AS w,
+    TRY_CAST('0x' || substr(hex(bytes), 13, 4) AS BIGINT) AS h,
+    TRY_CAST('0x' || substr(hex(bytes), 17, 4) AS BIGINT) AS fps,
+    TRY_CAST('0x' || substr(hex(bytes), 21, 8) AS BIGINT) AS declared
+  FROM read_parquet('{videos}/*.parquet')
+  WHERE left(hex(bytes), 8) = '52564944' AND octet_length(bytes) >= 14
+),
+g AS (
+  SELECT *,
+    w * h AS frame_px,
+    CASE WHEN w * h = 0 THEN 0
+         ELSE LEAST(declared, (len - 14) // (w * h)) END AS avail
+  FROM v
+),
+geom AS (
+  SELECT clip_id, w::INT AS width, h::INT AS height, fps::INT AS fps,
+         declared::INT AS n_frames, avail::INT AS frames_avail,
+         (avail = declared AND declared > 0) AS decode_ok,
+         NULL::INT AS frame_idx, NULL::BIGINT AS px_sum,
+         NULL::INT AS px_min, NULL::INT AS px_max,
+         NULL::DOUBLE AS px_mean
+  FROM g WHERE avail = 0
+),
+px AS (
+  SELECT clip_id, w, h, fps, declared, avail, frame_idx,
+         sum((k * mult + 17 * frame_idx) % 251)::BIGINT AS px_sum,
+         min((k * mult + 17 * frame_idx) % 251)::INT AS px_min,
+         max((k * mult + 17 * frame_idx) % 251)::INT AS px_max
+  FROM (
+    SELECT g.*, unnest(range(0, avail, 3)) AS frame_idx
+    FROM g WHERE avail > 0
+  ) f, LATERAL (SELECT unnest(range(0, frame_px)) AS k) ks
+  GROUP BY ALL
+)
+SELECT * FROM geom
+UNION ALL
+SELECT clip_id, w::INT AS width, h::INT AS height, fps::INT AS fps,
+       declared::INT AS n_frames, avail::INT AS frames_avail,
+       (avail = declared AND declared > 0) AS decode_ok,
+       frame_idx::INT AS frame_idx, px_sum,
+       px_min, px_max,
+       round(px_sum / (w * h) + 1e-9, 6) AS px_mean
+FROM px
+ORDER BY clip_id, frame_idx
 """
 
 
@@ -1171,6 +1275,7 @@ QUERIES = {
     "clips_metrics": clips_metrics,
     "multimodal_media_meta": multimodal_media_meta,
     "multimodal_pixel_stats": multimodal_pixel_stats,
+    "multimodal_video_frames": multimodal_video_frames,
     "multimodal_jpeg_pixels": multimodal_jpeg_pixels,
     "multimodal_image_quality": multimodal_image_quality,
     "clips_duration_histogram": clips_duration_histogram,
@@ -1199,6 +1304,7 @@ ORACLE: dict[str, str] = {}
 CLIPS_ORACLE_BUILDERS = {
     "multimodal_media_meta": media_meta_oracle,
     "multimodal_pixel_stats": png_pixel_oracle,
+    "multimodal_video_frames": video_frames_oracle,
     "multimodal_jpeg_pixels": jpeg_pixel_oracle,
     "multimodal_image_quality": image_quality_oracle,
     "clips_duration_histogram": duration_histogram_oracle,

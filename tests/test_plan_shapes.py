@@ -163,7 +163,7 @@ def test_tonality_gate_single_decode_crossing(spark):
 PAYLOAD_COLS = frozenset(
     [
         "bytes", "seg_bytes", "aug_bytes", "norm_bytes", "feat_bytes",
-        "thumb_png", "sgram_png",
+        "thumb_png", "sgram_png", "resized_png",
     ]
 )
 
@@ -178,6 +178,7 @@ CLIPS_QUERIES = [
     "multimodal_pixel_stats",
     "multimodal_jpeg_pixels",
     "multimodal_image_quality",
+    "multimodal_image_resize",
     "multimodal_video_frames",
     "audio_fingerprint_neardup",
     "audio_segment_stats",

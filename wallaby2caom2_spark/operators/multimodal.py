@@ -354,3 +354,118 @@ def media_kind_summary(df: DataFrame) -> DataFrame:
         F.sum("width").cast("bigint").alias("sum_width"),
         F.sum("height").cast("bigint").alias("sum_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# image resize (the remaining multimodal verb: decode → NN-downsample →
+# re-encode; real end-to-end with the in-tree PNG codec)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("resized_png", T.BinaryType()),
+        T.StructField("n_vals", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def resize_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Deterministic integer thumbnail geometry: downscale so the longer
+    side becomes ``max_dim`` (floor arithmetic, aspect preserved, never
+    below 1); images already within bounds keep their size — an upscale
+    invents no information and doubles the bytes."""
+    m = max(w, h)
+    if m <= max_dim:
+        return w, h
+    return max(1, (w * max_dim) // m), max(1, (h * max_dim) // m)
+
+
+def extract_resized_png(max_dim: int):
+    """mapInPandas worker factory: (clip_id, bytes) → nearest-neighbor
+    thumbnail re-encoded as PNG + exact integer stats of the RESIZED
+    pixels. NN index map: out (r, c) reads src ((r*h)//out_h,
+    (c*w)//out_w) — pure integer floor arithmetic so a SQL oracle can
+    regenerate the sampled pixel set. Geometry is a header fact (emitted
+    with decode_ok=false and NULL stats when the stream doesn't decode);
+    the payload dies in the worker and only the ~1-3 KB thumbnail
+    returns."""
+    from ..functions.png import _CTYPE_CHANNELS, decode_png, encode_png
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                payload = bytes(raw) if raw is not None else None
+                if _sniff_kind(payload) != "png":
+                    continue
+                if len(payload) < 26:
+                    w = h = ch = 0
+                    img = None
+                else:
+                    w, h = _png_dims(payload)
+                    ch = _CTYPE_CHANNELS.get(payload[25], 0)
+                    img = decode_png(payload)
+                out["clip_id"].append(cid)
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["channels"].append(int(ch))
+                if img is None:
+                    out["out_w"].append(0)
+                    out["out_h"].append(0)
+                    out["decode_ok"].append(False)
+                    out["resized_png"].append(None)
+                    out["n_vals"].append(None)
+                    out["px_sum"].append(None)
+                    out["px_min"].append(None)
+                    out["px_max"].append(None)
+                    continue
+                ow, oh = resize_dims(w, h, max_dim)
+                rows = (np.arange(oh, dtype=np.int64) * h) // oh
+                cols = (np.arange(ow, dtype=np.int64) * w) // ow
+                small = img[np.ix_(rows, cols)]
+                flat = small.reshape(-1).astype(np.int64)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["decode_ok"].append(True)
+                out["resized_png"].append(encode_png(small))
+                out["n_vals"].append(int(flat.size))
+                out["px_sum"].append(int(flat.sum()))
+                out["px_min"].append(int(flat.min()))
+                out["px_max"].append(int(flat.max()))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA])
+
+    return worker
+
+
+def png_resize(df: DataFrame, max_dim: int = 24) -> DataFrame:
+    """(clip_id, bytes) → NN thumbnail + resized-pixel stats per PNG row."""
+    if max_dim <= 0:
+        raise ValueError(f"max_dim must be positive, got {max_dim}")
+    return _magic_prefilter(
+        df.select("clip_id", "bytes"), b"\x89PNG"
+    ).mapInPandas(extract_resized_png(max_dim), RESIZE_SCHEMA)
+
+
+def png_resize_stats(df: DataFrame, max_dim: int = 24) -> DataFrame:
+    """Oracle-facing projection of ``png_resize``: everything except the
+    thumbnail bytes (zlib output is not SQL-recomputable; the bytes are
+    pinned by pytest round-trip instead), mean derived in codegen from
+    the exact integers."""
+    return (
+        png_resize(df, max_dim)
+        .drop("resized_png")
+        .withColumn(
+            "px_mean",
+            F.round(F.col("px_sum") / F.col("n_vals") + F.lit(1e-9), 6),
+        )
+    )

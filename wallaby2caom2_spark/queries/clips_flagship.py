@@ -200,13 +200,25 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_pixel_stats(media).orderBy("clip_id")
 
 
-def _png_pixel_rows_sql(media: str) -> str:
-    """Per-PNG-row analytic pixel stats (no px_mean, no ORDER BY) — shared
-    by ``png_pixel_oracle`` and ``image_quality_oracle``. The value CASE
-    is the SQL re-expression of ``datagen.png_pixel_values`` (default rule
-    plus the four per-index quality-class sub-rules)."""
+def _png_value_case(k: str) -> str:
+    """The SQL re-expression of ``datagen.png_pixel_values`` (default rule
+    plus the four per-index quality-class sub-rules) as a scalar CASE over
+    columns ``idx``/``mult`` and the flat pixel index expression ``k`` —
+    ONE copy shared by the full-image and resized-subsample oracles so the
+    generative rule cannot drift between them."""
+    return f"""CASE
+        WHEN idx % 25 = 20 THEN (idx * 7) % 251
+        WHEN idx % 25 = 21 THEN (idx * 5) % 200 + (({k}) % 8) * 4
+        WHEN idx % 25 = 22 THEN CASE WHEN ({k}) % 127 = 0 THEN 255 ELSE 0 END
+        WHEN idx % 25 = 23 THEN CASE WHEN ({k}) % 127 = 0 THEN 0 ELSE 255 END
+        ELSE (({k}) * mult) % 251
+      END"""
+
+
+def _png_header_sql(media: str) -> str:
+    """The per-PNG header CTE (geometry from IHDR hex, decodability from
+    the IEND trailer) shared by every PNG analytic oracle."""
     return f"""
-WITH p AS (
   SELECT clip_id,
     CAST(substr(clip_id, 7) AS BIGINT) AS idx,
     CAST(substr(clip_id, 7) AS BIGINT) + 3 AS mult,
@@ -228,7 +240,16 @@ WITH p AS (
     right(hex(bytes), 16) = '49454E44AE426082' AS decode_ok
   FROM read_parquet('{media}/*.parquet')
   WHERE left(hex(bytes), 8) = '89504E47'
-),
+"""
+
+
+def _png_pixel_rows_sql(media: str) -> str:
+    """Per-PNG-row analytic pixel stats (no px_mean, no ORDER BY) — shared
+    by ``png_pixel_oracle`` and ``image_quality_oracle``. The value CASE
+    is the SQL re-expression of ``datagen.png_pixel_values`` (default rule
+    plus the four per-index quality-class sub-rules)."""
+    return f"""
+WITH p AS ({_png_header_sql(media)}),
 agg AS (
   SELECT clip_id,
     count(*)::BIGINT AS n_vals,
@@ -236,14 +257,7 @@ agg AS (
     min(v)::INT AS px_min,
     max(v)::INT AS px_max
   FROM (
-    SELECT clip_id,
-      CASE
-        WHEN idx % 25 = 20 THEN (idx * 7) % 251
-        WHEN idx % 25 = 21 THEN (idx * 5) % 200 + (k % 8) * 4
-        WHEN idx % 25 = 22 THEN CASE WHEN k % 127 = 0 THEN 255 ELSE 0 END
-        WHEN idx % 25 = 23 THEN CASE WHEN k % 127 = 0 THEN 0 ELSE 255 END
-        ELSE (k * mult) % 251
-      END AS v
+    SELECT clip_id, {_png_value_case("k")} AS v
     FROM (SELECT clip_id, idx, mult,
                  unnest(range(0, width * height * channels)) AS k
           FROM p WHERE decode_ok)
@@ -413,6 +427,75 @@ SELECT kind, quality_class,
 FROM cls
 GROUP BY kind, quality_class
 ORDER BY kind, quality_class
+"""
+
+
+_RESIZE_MAX_DIM = 24
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining multimodal verb — resize: REAL PNG decode →
+    nearest-neighbor downsample (longer side → 24 px, integer floor
+    arithmetic) → re-encode via the in-tree codec
+    (operators/multimodal.py ``png_resize``). The gate projection carries
+    the resized-pixel stats and geometry (zlib thumbnail bytes are not
+    SQL-recomputable; their round-trip is pinned in tests/test_resize.py)."""
+    media = spark.read.parquet(media_path_for(sf_dir))
+    return multimodal.png_resize_stats(media, _RESIZE_MAX_DIM).orderBy(
+        "clip_id"
+    )
+
+
+def image_resize_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``multimodal_image_resize`` — ANALYTIC: the NN
+    index map is pure integer floor arithmetic (out (r, c) reads src
+    ((r*h)//out_h, (c*w)//out_w)), so the oracle regenerates exactly the
+    SAMPLED pixel subset from the closed-form rule (shared
+    ``_png_value_case``). Matching requires the Spark side to have decoded
+    the real scanlines AND sampled them at precisely the NN offsets —
+    a resize that averages, rounds differently, or is off by one pixel
+    hash-mismatches."""
+    md = _RESIZE_MAX_DIM
+    k = (
+        "(((j // (out_w * channels)) * height // out_h) * width"
+        " + ((j // channels) % out_w) * width // out_w) * channels"
+        " + j % channels"
+    )
+    return f"""
+WITH p AS ({_png_header_sql(media_path_for(sf_dir))}),
+dims AS (
+  SELECT *,
+    CASE WHEN greatest(width, height) <= {md} THEN width
+         ELSE greatest(1, width * {md} // greatest(width, height)) END
+      AS out_w,
+    CASE WHEN greatest(width, height) <= {md} THEN height
+         ELSE greatest(1, height * {md} // greatest(width, height)) END
+      AS out_h
+  FROM p
+),
+agg AS (
+  SELECT clip_id,
+    count(*)::BIGINT AS n_vals,
+    sum(v)::BIGINT AS px_sum,
+    min(v)::INT AS px_min,
+    max(v)::INT AS px_max
+  FROM (
+    SELECT clip_id, {_png_value_case(k)} AS v
+    FROM (SELECT clip_id, idx, mult, width, height, channels, out_w, out_h,
+                 unnest(range(0, out_h * out_w * channels)) AS j
+          FROM dims WHERE decode_ok)
+  )
+  GROUP BY clip_id
+)
+SELECT dims.clip_id, dims.decode_ok,
+       dims.width::INT AS width, dims.height::INT AS height,
+       dims.channels::INT AS channels,
+       CASE WHEN dims.decode_ok THEN dims.out_w ELSE 0 END::INT AS out_w,
+       CASE WHEN dims.decode_ok THEN dims.out_h ELSE 0 END::INT AS out_h,
+       agg.n_vals, agg.px_sum, agg.px_min, agg.px_max,
+       round(agg.px_sum / agg.n_vals + 1e-9, 6) AS px_mean
+FROM dims LEFT JOIN agg USING (clip_id)
+ORDER BY clip_id
 """
 
 
@@ -1276,6 +1359,7 @@ QUERIES = {
     "multimodal_media_meta": multimodal_media_meta,
     "multimodal_pixel_stats": multimodal_pixel_stats,
     "multimodal_video_frames": multimodal_video_frames,
+    "multimodal_image_resize": multimodal_image_resize,
     "multimodal_jpeg_pixels": multimodal_jpeg_pixels,
     "multimodal_image_quality": multimodal_image_quality,
     "clips_duration_histogram": clips_duration_histogram,
@@ -1305,6 +1389,7 @@ CLIPS_ORACLE_BUILDERS = {
     "multimodal_media_meta": media_meta_oracle,
     "multimodal_pixel_stats": png_pixel_oracle,
     "multimodal_video_frames": video_frames_oracle,
+    "multimodal_image_resize": image_resize_oracle,
     "multimodal_jpeg_pixels": jpeg_pixel_oracle,
     "multimodal_image_quality": image_quality_oracle,
     "clips_duration_histogram": duration_histogram_oracle,

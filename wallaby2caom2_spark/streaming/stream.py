@@ -45,6 +45,7 @@ def run_stream(
     n_buckets: int = 16,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    record_ops: bool = True,
 ) -> None:
     """One bounded streaming run: new files → pipeline → idempotent sink.
 
@@ -122,3 +123,9 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     query.awaitTermination()
+    if record_ops:
+        # per-batch ingest rate + trigger timing → <out_dir>/ops_metrics
+        # (streaming/progress.py; read synchronously post-termination)
+        from .progress import write_ops_metrics
+
+        write_ops_metrics(spark, query, out_dir)

@@ -100,6 +100,44 @@ def test_fixture_matches_vad_and_fingerprint_and_preview(spark, fixture_rows):
         assert r["sgram_name"] == f["sgram_name"], r["clip_id"]
 
 
+def test_fixture_matches_resample_and_specaugment(spark, fixture_rows):
+    """v6 replay columns: per-clip equality against the live operators,
+    raw (unrounded) doubles included."""
+    from pyspark.sql import functions as F
+
+    from wallaby2caom2_spark.operators.resample import resample_clips
+    from wallaby2caom2_spark.operators.specaugment import specaugment_features
+
+    clips_path, fix = fixture_rows
+    clips = _clips_df(spark, clips_path)
+
+    rs = resample_clips(clips).select(
+        "clip_id", "rs_ok", "rs_method",
+        F.length("rs_bytes").alias("len"), "dur_ms_out", "rs_rms",
+    )
+    for r in rs.collect():
+        f = fix[r["clip_id"]]
+        assert r["rs_ok"] == f["rs_ok"], r["clip_id"]
+        assert r["rs_method"] == f["rs_method"], r["clip_id"]
+        assert (r["len"] or 0) == f["rs_len"], r["clip_id"]
+        assert r["dur_ms_out"] == f["rs_dur_out"], r["clip_id"]
+        assert _norm(r["rs_rms"]) == _norm(f["rs_rms"]), r["clip_id"]
+
+    sa = specaugment_features(clips).select(
+        "clip_id", "sa_ok", "masked_cells", "masked_frac", "mean_after"
+    )
+    for r in sa.collect():
+        f = fix[r["clip_id"]]
+        assert r["sa_ok"] == f["sa_ok"], r["clip_id"]
+        assert r["masked_cells"] == f["sa_masked_cells"], r["clip_id"]
+        assert _norm(r["masked_frac"]) == _norm(f["sa_masked_frac"]), (
+            r["clip_id"]
+        )
+        assert _norm(r["mean_after"]) == _norm(f["sa_mean_after"]), (
+            r["clip_id"]
+        )
+
+
 def test_fixture_n_chars_matches_transcripts(spark, fixture_rows):
     clips_path, fix = fixture_rows
     for row in _clips_df(spark, clips_path).select(

@@ -163,7 +163,8 @@ def test_tonality_gate_single_decode_crossing(spark):
 PAYLOAD_COLS = frozenset(
     [
         "bytes", "seg_bytes", "aug_bytes", "norm_bytes", "feat_bytes",
-        "thumb_png", "sgram_png", "resized_png",
+        "thumb_png", "sgram_png", "resized_png", "rs_bytes", "sa_bytes",
+        "trim_bytes",
     ]
 )
 
@@ -191,6 +192,8 @@ CLIPS_QUERIES = [
     "audio_speaking_rate_gate",
     "audio_noise_mix_stats",
     "audio_dropout_stats",
+    "audio_resample_stats",
+    "audio_specaugment_stats",
 ]
 
 

@@ -110,6 +110,17 @@ FIXTURE_SCHEMA = pa.schema(
         ("mix_ok", pa.bool_()),
         ("mix_len", pa.int32()),
         ("mix_rms", pa.float64()),
+        # canonical-rate conversion (operators/resample.py @ 16 kHz)
+        ("rs_ok", pa.bool_()),
+        ("rs_method", pa.string()),
+        ("rs_len", pa.int32()),
+        ("rs_dur_out", pa.int32()),
+        ("rs_rms", pa.float64()),
+        # SpecAugment masking (operators/specaugment.py defaults)
+        ("sa_ok", pa.bool_()),
+        ("sa_masked_cells", pa.int64()),
+        ("sa_masked_frac", pa.float64()),
+        ("sa_mean_after", pa.float64()),
     ]
 )
 
@@ -200,6 +211,8 @@ _SEG_COLS = (
     "aug_ok", "sp09_dur", "sp09_len", "sp09_rms",
     "sp10_dur", "sp10_len", "sp10_rms", "sp11_dur", "sp11_len", "sp11_rms",
     "mix_ok", "mix_len", "mix_rms",
+    "rs_ok", "rs_method", "rs_len", "rs_dur_out", "rs_rms",
+    "sa_ok", "sa_masked_cells", "sa_masked_frac", "sa_mean_after",
 )
 
 
@@ -211,7 +224,9 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
     from .functions import audio
     from .operators.augment import _clip_seed
     from .operators.features import _band_matrix, _frame_matrix
+    from .operators.resample import resample_clip
     from .operators.spectral import _clip_spectrum
+    from .operators.specaugment import specaugment_clip
     from .operators.trim import _speech_span
 
     out = {k: 0 for k in _SEG_COLS}
@@ -223,6 +238,8 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         flatness=0.0, centroid_hz=0.0, peak_share=0.0,
         aug_ok=False, sp09_rms=0.0, sp10_rms=0.0, sp11_rms=0.0,
         mix_ok=False, mix_rms=0.0,
+        rs_ok=False, rs_method="undecodable", rs_rms=0.0,
+        sa_ok=False, sa_masked_frac=0.0, sa_mean_after=0.0,
     )
     decodable = samples is not None and len(samples) > 0 and sr_f > 0
     if decodable:
@@ -290,6 +307,15 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
                 feat_mle=float(feats.mean()),
             )
 
+            # --- SpecAugment (same feats matrix, shared mask sampler) ---
+            masked, n_cells = specaugment_clip(feats, str(row["clip_id"]))
+            out.update(
+                sa_ok=True,
+                sa_masked_cells=int(n_cells),
+                sa_masked_frac=n_cells / feats.size,
+                sa_mean_after=float(masked.mean()),
+            )
+
         # --- spectral shape (per-clip UDF rounding of spectral_stats) ---
         res = _clip_spectrum(samples, sr_f)
         if res is not None:
@@ -336,6 +362,16 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
             mix_len=44 + 2 * len(y),
             mix_rms=float(np.sqrt(np.mean(np.square(y, dtype=np.float64)))),
         )
+
+    # --- canonical-rate resample (shared per-clip function verbatim) ---
+    rs = resample_clip(row["bytes"], row["codec"], row["sr_hz"])
+    out.update(
+        rs_ok=rs["rs_ok"],
+        rs_method=rs["rs_method"],
+        rs_len=len(rs["rs_bytes"]) if rs["rs_bytes"] is not None else 0,
+        rs_dur_out=rs["dur_ms_out"],
+        rs_rms=rs["rs_rms"],
+    )
 
     # --- trim (int16 path; dur_ms_in is set even when no speech found) ---
     if x16 is not None and len(x16) > 0 and sr_i > 0:

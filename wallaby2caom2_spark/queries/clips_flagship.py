@@ -139,7 +139,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v5"  # v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v6"  # v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -964,6 +964,30 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def resample_stats_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT rs_method, count(*)::BIGINT AS n_clips,
+       sum(rs_len)::BIGINT AS payload_bytes,
+       sum(rs_dur_out)::BIGINT AS dur_ms_out,
+       round(avg(rs_rms) + 1e-9, 4) AS avg_rms
+FROM read_parquet('{path}/*.parquet')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def specaugment_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT sa_ok, count(*)::BIGINT AS n_clips,
+       sum(sa_masked_cells)::BIGINT AS masked_cells,
+       round(avg(sa_masked_frac) + 1e-9, 6) AS avg_masked_frac,
+       round(avg(sa_mean_after) + 1e-9, 3) AS avg_log_energy_after
+FROM read_parquet('{path}/*.parquet') WHERE keep
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 real preview generation: decoded PCM → waveform-thumbnail PNG
     binary column (operators/preview.py), summarized so the driver's
@@ -1353,6 +1377,57 @@ def audio_noise_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-rate conversion (operators/resample.py) over the whole
+    corpus: every clip normalized to 16 kHz pcm_s16le, profiled per
+    conversion path — passthrough (byte-exact), upsample_linear,
+    downsample_fir (anti-aliased), plus the undecodable/rateless
+    containment classes. Anti-alias attenuation, passthrough losslessness
+    and determinism are pinned in tests/test_resample.py.
+
+    Spark shape: one mapInPandas projection on the scan (payloads convert
+    and die in the worker), codegen aggregation on the scalar stats."""
+    from ..operators import resample
+
+    rs = resample.resample_clips(load_clips(spark, sf_dir))
+    return (
+        rs.groupBy("rs_method")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.coalesce(
+                F.sum(F.length("rs_bytes")), F.lit(0).cast("long")
+            ).alias("payload_bytes"),
+            F.sum("dur_ms_out").alias("dur_ms_out"),
+            F.round(F.avg("rs_rms") + 1e-9, 4).alias("avg_rms"),
+        )
+        .orderBy("rs_method")
+    )
+
+
+def audio_specaugment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpecAugment time/frequency masking (operators/specaugment.py) over
+    kept clips: content-seeded deterministic masks on the filterbank
+    tensors, profiled as masked-cell volume and post-mask log-energy.
+    Mask-geometry determinism, feature-math identity with
+    operators/features.py, and replay equality are pinned in
+    tests/test_specaugment.py."""
+    from ..operators import specaugment
+
+    sa = specaugment.specaugment_features(_kept_clips(spark, sf_dir))
+    return (
+        sa.groupBy("sa_ok")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("masked_cells").alias("masked_cells"),
+            F.round(F.avg("masked_frac") + 1e-9, 6).alias("avg_masked_frac"),
+            F.round(F.avg("mean_after") + 1e-9, 3).alias(
+                "avg_log_energy_after"
+            ),
+        )
+        .orderBy("sa_ok")
+    )
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
@@ -1377,6 +1452,8 @@ QUERIES = {
     "audio_speaking_rate_gate": audio_speaking_rate_gate,
     "audio_noise_mix_stats": audio_noise_mix_stats,
     "audio_dropout_stats": audio_dropout_stats,
+    "audio_resample_stats": audio_resample_stats,
+    "audio_specaugment_stats": audio_specaugment_stats,
 }
 
 # static ORACLE stays empty: the clips oracles embed an sf-dependent
@@ -1409,4 +1486,6 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_speed_perturb_stats": speed_perturb_oracle,
     "audio_noise_mix_stats": noise_mix_oracle,
     "clips_curation_funnel": curation_funnel_oracle,
+    "audio_resample_stats": resample_stats_oracle,
+    "audio_specaugment_stats": specaugment_oracle,
 }

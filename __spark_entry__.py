@@ -40,17 +40,15 @@ def oracle_sql() -> dict[str, str]:
     oracle-checked: its sniff + stub geometry are pure arithmetic, so DuckDB
     recomputes it from the same cached clips parquet (path baked in at
     sf0.01 — the driver's comparison scale; generated here if absent)."""
-    from wallaby2caom2_spark.queries.clips_flagship import (
-        CLIPS_ORACLE_BUILDERS,
-    )
+    from wallaby2caom2_spark.queries import ALL_ORACLE_BUILDERS
 
-    # clips queries replay from per-sf fixture parquets (the clips cache,
-    # the image-mix side table, and the pure-Python oracle fixture —
+    # clips/shards queries replay from per-sf fixture parquets (the clips
+    # cache, the image-mix side table, and the pure-Python oracle fixture —
     # wallaby2caom2_spark/fixtures.py, bit-identical to the UDFs, pinned in
     # tests/test_fixtures.py), so their SQL is BUILT here at the driver's
     # comparison scale; scripts/check_oracle.py re-derives for other scales
     sf = "/root/testdata/sf0.01"
     out = dict(ALL_ORACLE)
-    for name, build in CLIPS_ORACLE_BUILDERS.items():
+    for name, build in ALL_ORACLE_BUILDERS.items():
         out[name] = build(sf)
     return out

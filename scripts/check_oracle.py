@@ -61,11 +61,9 @@ def main() -> int:
         # the entry contract bakes the clips-fixture oracle paths at the
         # driver's comparison scale (sf0.01); re-derive EVERY clips oracle
         # for local runs at other scales so both engines read the same cache
-        from wallaby2caom2_spark.queries.clips_flagship import (
-            CLIPS_ORACLE_BUILDERS,
-        )
+        from wallaby2caom2_spark.queries import ALL_ORACLE_BUILDERS
 
-        for name, build in CLIPS_ORACLE_BUILDERS.items():
+        for name, build in ALL_ORACLE_BUILDERS.items():
             oracles[name] = build(SF_DIR)
     spark = get_spark("check_oracle")
     con = duckdb.connect()

@@ -194,6 +194,9 @@ CLIPS_QUERIES = [
     "audio_dropout_stats",
     "audio_resample_stats",
     "audio_specaugment_stats",
+    "clips_shard_packing",
+    "audio_incremental_dedup",
+    "crossmodal_dup_consistency",
 ]
 
 

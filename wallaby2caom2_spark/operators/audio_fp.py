@@ -85,28 +85,17 @@ def with_fingerprint(df: DataFrame) -> DataFrame:
     )
 
 
-def banded_neardup_pairs(
-    fp_df: DataFrame, max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup clip pairs via LSH banding over the 60-bit fingerprint.
-
-    Input needs columns ``clip_id, fp_ok, fp``. Pairs within hamming
-    ``max_hamming`` are found by exploding each fingerprint into 4
-    ``(band_idx, band_bits)`` keys, equi-joining on the band key, then
-    verifying the full hamming distance with JVM ``bit_count`` — all
-    codegen after the one UDF stage.
-
-    Recall guarantee (qualified): hamming ≤ 3 across 60 bits must leave at
-    least one of the 4 bands untouched (pigeonhole), BUT the hot-key filter
-    below drops the all-zero band value — so a true near-dup pair whose
-    ONLY untouched band encodes exactly 0 (a gated silent segment, or a
-    live segment whose 15 comparisons all came out false) is missed. This
-    is deliberate: a zero band is either silence (no content identity to
-    match on) or a degenerate monotone-down spectrum shared by unrelated
-    clips, and keeping it would recreate the quadratic (band_idx, 0) LSH
-    hot bucket at corpus scale. Pairs with ≥1 nonzero shared band — every
-    case the golden fixtures exercise — are always found.
-    """
+def explode_bands(fp_df: DataFrame) -> DataFrame:
+    """(clip_id, fp_ok, fp) → one slim row per nonzero 15-bit band:
+    (clip_id, fp, band_idx, band_bits). The all-zero band value is dropped:
+    gated (near-silent) segments emit 15 deterministic zero bits, so every
+    clip with a silent segment at the same position would land in ONE
+    (band_idx, 0) bucket — a quadratic hot key on any downstream equi-join
+    at corpus scale. Cost: a pair whose only equal band is the degenerate
+    zero band is missed — acceptable, since an all-quiet band carries no
+    content identity to match on. Shared by the in-corpus pair join and the
+    incremental new-batch-vs-store match, so the hot-key policy cannot
+    drift between them."""
     base = fp_df.filter(F.col("fp_ok")).select("clip_id", "fp")
     bands = base.select(
         "clip_id",
@@ -126,13 +115,32 @@ def banded_neardup_pairs(
             )
         ).alias("b"),
     ).select("clip_id", "fp", "b.band_idx", "b.band_bits")
-    # drop the all-zero band value: gated (near-silent) segments emit 15
-    # deterministic zero bits, so every clip with a silent segment at the
-    # same position would land in ONE (band_idx, 0) bucket — a quadratic
-    # hot key on the equi-join at corpus scale. Cost: a pair whose only
-    # equal band is the degenerate zero band is missed — acceptable, since
-    # an all-quiet band carries no content identity to match on.
-    bands = bands.filter(F.col("band_bits") != 0)
+    return bands.filter(F.col("band_bits") != 0)
+
+
+def banded_neardup_pairs(
+    fp_df: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup clip pairs via LSH banding over the 60-bit fingerprint.
+
+    Input needs columns ``clip_id, fp_ok, fp``. Pairs within hamming
+    ``max_hamming`` are found by exploding each fingerprint into 4
+    ``(band_idx, band_bits)`` keys, equi-joining on the band key, then
+    verifying the full hamming distance with JVM ``bit_count`` — all
+    codegen after the one UDF stage.
+
+    Recall guarantee (qualified): hamming ≤ 3 across 60 bits must leave at
+    least one of the 4 bands untouched (pigeonhole), BUT the hot-key filter
+    in ``explode_bands`` drops the all-zero band value — so a true near-dup pair whose
+    ONLY untouched band encodes exactly 0 (a gated silent segment, or a
+    live segment whose 15 comparisons all came out false) is missed. This
+    is deliberate: a zero band is either silence (no content identity to
+    match on) or a degenerate monotone-down spectrum shared by unrelated
+    clips, and keeping it would recreate the quadratic (band_idx, 0) LSH
+    hot bucket at corpus scale. Pairs with ≥1 nonzero shared band — every
+    case the golden fixtures exercise — are always found.
+    """
+    bands = explode_bands(fp_df)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -153,4 +161,62 @@ def banded_neardup_pairs(
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return pairs.withColumn("hamming", ham.cast("int")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def incremental_matches(
+    new_fp: DataFrame, store_fp: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Day-2 ingest dedup: best store match per NEW clip, via the banded
+    equi-join of the new batch's fingerprints against a PERSISTED corpus
+    signature store.
+
+    This is the incremental form of ``banded_neardup_pairs``: instead of
+    pairing a corpus against itself (day-0 backfill), each ingest batch is
+    fingerprinted once and probed against the signature table the previous
+    runs wrote — the O(batch) work a 10^12-clip corpus requires, never a
+    re-pair of the whole corpus. Inputs are (clip_id, fp_ok, fp) frames;
+    only these ~16-byte rows participate, payloads never enter the plan.
+
+    Scale shape: both sides explode to (band_idx, band_bits) keys with the
+    shared zero-band hot-key policy (``explode_bands``) and equi-join on
+    the band key. The store side is the big one (corpus-sized, read from
+    its own table — at scale, bucketed by band key so the probe is a
+    co-located join); the batch side is a day's ingest. The hamming verify
+    and the best-match reduction (min hamming, then min store id for a
+    deterministic tiebreak) are codegen. Returns one row per matched new
+    clip: (clip_id, match_id, hamming).
+
+    Reference analog: store-if-newer / read-existing-before-write
+    (``wallaby2caom2/composable.py`` read-modify-write per record) — the
+    "does the corpus already have this content" probe, batched.
+    """
+    nb = explode_bands(new_fp).alias("n")
+    sb = explode_bands(store_fp).alias("s")
+    cand = (
+        nb.join(
+            sb,
+            (F.col("n.band_idx") == F.col("s.band_idx"))
+            & (F.col("n.band_bits") == F.col("s.band_bits")),
+        )
+        .select(
+            F.col("n.clip_id").alias("clip_id"),
+            F.col("s.clip_id").alias("match_id"),
+            F.col("n.fp").alias("fp_n"),
+            F.col("s.fp").alias("fp_s"),
+        )
+        .dropDuplicates(["clip_id", "match_id"])
+    )
+    ham = F.bit_count(F.col("fp_n").bitwiseXOR(F.col("fp_s"))).cast("int")
+    verified = cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    )
+    # best match per new clip: min (hamming, match_id) — deterministic
+    best = verified.groupBy("clip_id").agg(
+        F.min(F.struct("hamming", "match_id")).alias("_b")
+    )
+    return best.select(
+        "clip_id",
+        F.col("_b.match_id").alias("match_id"),
+        F.col("_b.hamming").alias("hamming"),
     )

@@ -20,6 +20,7 @@ from . import (
     dedup,
     nested,
     relational,
+    shards,
     similarity,
     streaming,
     textstats,
@@ -36,13 +37,21 @@ _MODULES = (
     curation,
     streaming,
     clips_flagship,
+    shards,
 )
 
 ALL_QUERIES = {}
 ALL_ORACLE = {}
+# sf-dependent oracles (fixture paths baked at call time): modules expose
+# ORACLE_BUILDERS (name → callable(sf_dir) → SQL) next to static ORACLE
+ALL_ORACLE_BUILDERS = {}
 for _m in _MODULES:
     for _k in _m.QUERIES:
         if _k in ALL_QUERIES:
             raise ValueError(f"duplicate query name {_k}")
     ALL_QUERIES.update(_m.QUERIES)
     ALL_ORACLE.update(_m.ORACLE)
+    for _k in getattr(_m, "ORACLE_BUILDERS", {}):
+        if _k in ALL_ORACLE_BUILDERS or _k in ALL_ORACLE:
+            raise ValueError(f"duplicate oracle for {_k}")
+    ALL_ORACLE_BUILDERS.update(getattr(_m, "ORACLE_BUILDERS", {}))

@@ -1489,3 +1489,8 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_resample_stats": resample_stats_oracle,
     "audio_specaugment_stats": specaugment_oracle,
 }
+
+# registry-wide aggregation name (queries/__init__.py collects the
+# per-module ORACLE_BUILDERS dicts; CLIPS_ORACLE_BUILDERS kept as the
+# historical alias used by scripts and docs)
+ORACLE_BUILDERS = CLIPS_ORACLE_BUILDERS

@@ -12,14 +12,12 @@ from __future__ import annotations
 
 import json
 
-from . import ALL_ORACLE, ALL_QUERIES
+from . import ALL_ORACLE, ALL_ORACLE_BUILDERS, ALL_QUERIES
 
-# clips queries whose oracle is generated at call time from the cached
-# fixture parquets (__spark_entry__.oracle_sql) rather than registered in a
+# queries whose oracle is generated at call time from the cached fixture
+# parquets (__spark_entry__.oracle_sql) rather than registered in a
 # module-level ORACLE dict — single source: the builders registry itself
-from .clips_flagship import CLIPS_ORACLE_BUILDERS
-
-_GENERATED_ORACLES = frozenset(CLIPS_ORACLE_BUILDERS)
+_GENERATED_ORACLES = frozenset(ALL_ORACLE_BUILDERS)
 
 # rows-only queries → the pytest file that pins their values. EMPTY since
 # round 3: every registered query now carries a DuckDB oracle (the clips

@@ -1,0 +1,369 @@
+"""Corpus-assembly queries: shard packing, incremental ingest dedup, and
+cross-modal duplicate consistency.
+
+These are the day-2 operations of a training-data pipeline — after the
+quality filter (plans/pipeline.py) and the day-0 backfill dedup
+(audio_fingerprint_neardup) have run once, the corpus lives as tables and
+every later run must (a) pack kept clips into fixed-duration training
+shards deterministically, (b) dedup each new ingest batch against the
+persisted corpus WITHOUT re-pairing the corpus, and (c) cross-check the
+two duplicate signals (audio content vs transcript text) to surface label
+noise (same audio delivered with a different transcript, or vice versa).
+
+Oracle strategy: all three replay in DuckDB from the clips cache plus the
+pure-Python per-clip fixture (fixtures.py — bit-identical to the live
+UDFs, pinned in tests/test_fixtures.py): the packing as one SQL window,
+the dedup and consistency joins as the same banding/equality SQL the
+in-corpus dedup oracle already uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import audio_fp, packing
+from ..plans.pipeline import quality_filter
+from .clips_flagship import clips_path_for, features_path_for, load_clips
+
+# ---------------------------------------------------------------------------
+# 1. shard packing
+# ---------------------------------------------------------------------------
+
+_BUDGET_MS = packing.DEFAULT_BUDGET_MS
+
+
+def clips_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept clips → fixed-duration training shards (offset rule) → per-shard
+    membership stats.
+
+    The packing key is the clip's numeric id suffix (unique, deterministic
+    corpus order); the duration is the MEASURED one (header lies were
+    already dropped by the filter). The running offset is the two-pass
+    distributed prefix sum (operators/packing.py) — no global window ever
+    touches the corpus. ``fill_pct`` may exceed 100 by at most one clip
+    (the boundary straddler; bound asserted in tests/test_packing.py).
+    """
+    kept = (
+        quality_filter(load_clips(spark, sf_dir))
+        .filter(F.col("keep"))
+        .select(
+            F.substring(F.col("clip_id"), -10, 10)
+            .cast("long")
+            .alias("order_key"),
+            F.col("dur_ms_meas").cast("long").alias("dur_ms"),
+        )
+    )
+    packed = packing.pack_by_budget(
+        kept, dur_col="dur_ms", order_col="order_key", budget_ms=_BUDGET_MS
+    )
+    return packing.shard_summary(packed, dur_col="dur_ms", budget_ms=_BUDGET_MS)
+
+
+def shard_packing_oracle(sf_dir: str) -> str:
+    """DuckDB oracle: the offset-rule packing is ONE SQL window over the
+    fixture's (keep, dur_ms_meas) — exact integer arithmetic end-to-end.
+    A different packing order, an inclusive-vs-exclusive off-by-one in the
+    prefix sum, or a wrong straddler rule all hash-mismatch."""
+    path = features_path_for(sf_dir)
+    return f"""
+WITH kept AS (
+  SELECT CAST(right(clip_id, 10) AS BIGINT) AS k,
+         dur_ms_meas::BIGINT AS dur
+  FROM read_parquet('{path}/*.parquet') WHERE keep
+),
+c AS (
+  SELECT k, dur,
+         sum(dur) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) - dur
+           AS start_off
+  FROM kept
+),
+assigned AS (SELECT start_off // {_BUDGET_MS} AS shard_id, dur FROM c)
+SELECT shard_id, count(*)::BIGINT AS n_clips,
+       sum(dur)::BIGINT AS total_ms,
+       round(sum(dur) * 100.0 / {_BUDGET_MS}, 4) AS fill_pct
+FROM assigned GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. incremental ingest dedup against the persisted signature store
+# ---------------------------------------------------------------------------
+
+
+def _md5_head(col: str = "clip_id") -> F.Column:
+    """First 4 md5 hex chars as a long — the engine-portable hash every
+    deterministic sampling rule in the clips family keys on (DuckDB
+    computes the identical value)."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 4), 16, 10).cast("long")
+
+
+def audio_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 ingest dedup: split the corpus into an EXISTING half (its
+    fingerprints stand in for the persisted signature store) and a NEW
+    ingest batch; re-deliver a deterministic sample of existing clips into
+    the batch under fresh ids (the cross-batch duplicate a crawler
+    re-fetch produces); probe the batch against the store
+    (operators/audio_fp.py ``incremental_matches`` — banded equi-join,
+    never a corpus self-pair) and report the triage a real ingest run
+    acts on: dup / novel / unfingerprintable counts by match distance.
+    """
+    clips = load_clips(spark, sf_dir)
+    h = _md5_head()
+    existing = clips.filter(h % 2 == 0)
+    redelivered = clips.filter(h % 16 == 0).withColumn(
+        "clip_id", F.concat(F.lit("ingest-"), F.col("clip_id"))
+    )
+    batch = clips.filter(h % 2 == 1).unionByName(redelivered)
+
+    store_fp = audio_fp.with_fingerprint(existing).select(
+        "clip_id", "fp_ok", "fp"
+    )
+    batch_fp = audio_fp.with_fingerprint(batch).select(
+        "clip_id", "fp_ok", "fp"
+    )
+    best = audio_fp.incremental_matches(batch_fp, store_fp, max_hamming=3)
+    status = (
+        F.when(~F.col("fp_ok"), F.lit("unfingerprintable"))
+        .when(F.col("match_id").isNotNull(), F.lit("dup"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        batch_fp.join(best, "clip_id", "left")
+        .withColumn("status", status)
+        .groupBy("status", "hamming")
+        .agg(F.count("*").alias("n_clips"))
+        .orderBy("status", "hamming")
+    )
+
+
+def incremental_dedup_oracle(sf_dir: str) -> str:
+    """DuckDB oracle: the whole incremental probe replays in SQL from the
+    fixture's fingerprints — store/batch md5 split, ingest redelivery,
+    shared zero-band hot-key policy, banded join, hamming verify, best
+    (min-hamming) match per batch clip, triage counts."""
+    path = features_path_for(sf_dir)
+    return f"""
+WITH fx AS (
+  SELECT clip_id, fp_ok, fp,
+         ('0x' || substr(md5(clip_id), 1, 4))::BIGINT AS h
+  FROM read_parquet('{path}/*.parquet')
+),
+store AS (SELECT clip_id, fp_ok, fp FROM fx WHERE h % 2 = 0),
+batch AS (
+  SELECT clip_id, fp_ok, fp FROM fx WHERE h % 2 = 1
+  UNION ALL
+  SELECT 'ingest-' || clip_id, fp_ok, fp FROM fx WHERE h % 16 = 0
+),
+sb AS (
+  SELECT clip_id, fp, b.band_idx,
+         (fp >> (b.band_idx * 15)) % 32768 AS band_bits
+  FROM store, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+  WHERE fp_ok
+),
+bb AS (
+  SELECT clip_id, fp, b.band_idx,
+         (fp >> (b.band_idx * 15)) % 32768 AS band_bits
+  FROM batch, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+  WHERE fp_ok
+),
+cand AS (
+  SELECT DISTINCT n.clip_id, s.clip_id AS match_id, n.fp AS fpn, s.fp AS fps
+  FROM (SELECT * FROM bb WHERE band_bits != 0) n
+  JOIN (SELECT * FROM sb WHERE band_bits != 0) s
+    ON n.band_idx = s.band_idx AND n.band_bits = s.band_bits
+),
+best AS (
+  SELECT clip_id, min(bit_count(xor(fpn, fps)))::INT AS hamming
+  FROM cand WHERE bit_count(xor(fpn, fps)) <= 3
+  GROUP BY clip_id
+)
+SELECT CASE WHEN NOT b.fp_ok THEN 'unfingerprintable'
+            WHEN m.clip_id IS NOT NULL THEN 'dup'
+            ELSE 'novel' END AS status,
+       m.hamming,
+       count(*)::BIGINT AS n_clips
+FROM batch b LEFT JOIN best m ON b.clip_id = m.clip_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. cross-modal duplicate consistency (label-noise detection)
+# ---------------------------------------------------------------------------
+
+
+def crossmodal_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-check the AUDIO duplicate signal against the TEXT duplicate
+    signal over a corpus with three planted redelivery classes:
+
+    - ``dupb-``: byte-identical audio + identical transcript → a clean
+      redelivery, both signals fire (drop one copy, keep either label);
+    - ``dupa-``: byte-identical audio + a DIFFERENT transcript → label
+      noise — two transcripts claim the same recording; only the audio
+      signal fires, and a real pipeline routes the pair to re-labeling;
+    - ``dupt-``: identical transcript + an undecodable payload → only the
+      text signal fires (plus any natural transcript collisions in the
+      base corpus — short sentences do repeat).
+
+    Audio pairs come from the banded fingerprint join (hamming ≤ 3), text
+    pairs from an equality self-join keyed on ``md5(transcript)`` (hash
+    key for the exchange, full-string verify after — the same
+    key-then-verify shape as the LSH families). The full outer join of the
+    two pair sets classifies every duplicate pair; the count by class is
+    the corpus label-noise report.
+    """
+    clips = load_clips(spark, sf_dir)
+    m = _md5_head() % 24
+    dup_both = clips.filter(m == 1).withColumn(
+        "clip_id", F.concat(F.lit("dupb-"), F.col("clip_id"))
+    )
+    dup_audio = (
+        clips.filter(m == 2)
+        .withColumn("clip_id", F.concat(F.lit("dupa-"), F.col("clip_id")))
+        .withColumn(
+            "transcript", F.concat(F.lit("REPLACED "), F.col("clip_id"))
+        )
+    )
+    dup_text = (
+        clips.filter(m == 3)
+        .withColumn("clip_id", F.concat(F.lit("dupt-"), F.col("clip_id")))
+        .withColumn("bytes", F.lit(b""))
+    )
+    corpus = (
+        clips.unionByName(dup_both)
+        .unionByName(dup_audio)
+        .unionByName(dup_text)
+    )
+
+    apairs = audio_fp.banded_neardup_pairs(
+        audio_fp.with_fingerprint(corpus), max_hamming=3
+    ).select("clip_a", "clip_b")
+
+    t = corpus.select(
+        "clip_id", "transcript", F.md5("transcript").alias("tkey")
+    )
+    lt, rt = t.alias("l"), t.alias("r")
+    tpairs = (
+        lt.join(
+            rt,
+            (F.col("l.tkey") == F.col("r.tkey"))
+            & (F.col("l.transcript") == F.col("r.transcript"))
+            & (F.col("l.clip_id") < F.col("r.clip_id")),
+        )
+        .select(
+            F.col("l.clip_id").alias("clip_a"),
+            F.col("r.clip_id").alias("clip_b"),
+        )
+    )
+
+    a = apairs.withColumn("has_a", F.lit(True))
+    tx = tpairs.withColumn("has_t", F.lit(True))
+    merged = a.join(tx, ["clip_a", "clip_b"], "full_outer")
+    dup_class = (
+        F.when(F.col("has_a") & F.col("has_t"), F.lit("both"))
+        .when(F.col("has_a"), F.lit("audio_only"))
+        .otherwise(F.lit("text_only"))
+    )
+    return merged.withColumn("dup_class", dup_class).select(
+        "clip_a", "clip_b", "dup_class"
+    )
+
+
+def crossmodal_dup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class duplicate-pair counts — the corpus label-noise report
+    (see ``crossmodal_pair_table`` for the pair-level semantics and the
+    planted redelivery classes; pair-level assertions live in
+    tests/test_shards_queries.py)."""
+    return (
+        crossmodal_pair_table(spark, sf_dir)
+        .groupBy("dup_class")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("dup_class")
+    )
+
+
+def crossmodal_oracle(sf_dir: str) -> str:
+    """DuckDB oracle: transcripts come from the clips cache, fingerprints
+    from the fixture; the three redelivery classes, both pair joins and the
+    classification replay in SQL. The ``dupt-`` rows carry an empty
+    payload, whose decode failure (→ no fingerprint) is a pinned decode
+    contract (tests/test_audio.py), so the oracle sets fp_ok=false for
+    them directly."""
+    clips_path = clips_path_for(sf_dir)
+    fx_path = features_path_for(sf_dir)
+    return f"""
+WITH cl AS (
+  SELECT clip_id, transcript FROM read_parquet('{clips_path}/*.parquet')
+),
+fx AS (
+  SELECT clip_id, fp_ok, fp FROM read_parquet('{fx_path}/*.parquet')
+),
+base AS (
+  SELECT c.clip_id, c.transcript, f.fp_ok, f.fp,
+         ('0x' || substr(md5(c.clip_id), 1, 4))::BIGINT % 24 AS m
+  FROM cl c JOIN fx f ON c.clip_id = f.clip_id
+),
+corpus AS (
+  SELECT clip_id, transcript, fp_ok, fp FROM base
+  UNION ALL
+  SELECT 'dupb-' || clip_id, transcript, fp_ok, fp FROM base WHERE m = 1
+  UNION ALL
+  SELECT 'dupa-' || clip_id, 'REPLACED dupa-' || clip_id, fp_ok, fp
+  FROM base WHERE m = 2
+  UNION ALL
+  SELECT 'dupt-' || clip_id, transcript, false, 0 FROM base WHERE m = 3
+),
+bands AS (
+  SELECT clip_id, fp, b.band_idx,
+         (fp >> (b.band_idx * 15)) % 32768 AS band_bits
+  FROM corpus, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+  WHERE fp_ok
+),
+live AS (SELECT * FROM bands WHERE band_bits != 0),
+apairs AS (
+  SELECT DISTINCT l.clip_id AS clip_a, r.clip_id AS clip_b,
+                  l.fp AS fa, r.fp AS fb
+  FROM live l JOIN live r
+    ON l.band_idx = r.band_idx AND l.band_bits = r.band_bits
+   AND l.clip_id < r.clip_id
+),
+av AS (
+  SELECT clip_a, clip_b FROM apairs WHERE bit_count(xor(fa, fb)) <= 3
+),
+tpairs AS (
+  SELECT l.clip_id AS clip_a, r.clip_id AS clip_b
+  FROM corpus l JOIN corpus r
+    ON md5(l.transcript) = md5(r.transcript)
+   AND l.transcript = r.transcript
+   AND l.clip_id < r.clip_id
+),
+merged AS (
+  SELECT coalesce(a.clip_a, t.clip_a) AS clip_a,
+         a.clip_a IS NOT NULL AS has_a,
+         t.clip_a IS NOT NULL AS has_t
+  FROM av a FULL OUTER JOIN tpairs t
+    ON a.clip_a = t.clip_a AND a.clip_b = t.clip_b
+)
+SELECT CASE WHEN has_a AND has_t THEN 'both'
+            WHEN has_a THEN 'audio_only'
+            ELSE 'text_only' END AS dup_class,
+       count(*)::BIGINT AS n_pairs
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "clips_shard_packing": clips_shard_packing,
+    "audio_incremental_dedup": audio_incremental_dedup,
+    "crossmodal_dup_consistency": crossmodal_dup_consistency,
+}
+
+# oracles embed sf-dependent fixture paths → built at oracle_sql() time
+ORACLE: dict[str, str] = {}
+
+ORACLE_BUILDERS = {
+    "clips_shard_packing": shard_packing_oracle,
+    "audio_incremental_dedup": incremental_dedup_oracle,
+    "crossmodal_dup_consistency": crossmodal_oracle,
+}

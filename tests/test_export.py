@@ -11,7 +11,13 @@ import numpy as np
 import pytest
 
 from wallaby2caom2_spark import datagen
-from wallaby2caom2_spark.plans.export import export_training_shards, validate_shards
+from pyspark.sql import functions as F
+
+from wallaby2caom2_spark.plans.export import (
+    export_packed_shards,
+    export_training_shards,
+    validate_shards,
+)
 
 
 @pytest.fixture(scope="module")
@@ -183,3 +189,101 @@ def test_validate_shards_detects_stale_buckets(spark, tmp_path):
     shutil.copytree(os.path.join(shards, src), os.path.join(shards, "bucket=9"))
     with pytest.raises(ValueError, match="stale"):
         validate_shards(spark, out2)
+
+
+@pytest.fixture(scope="module")
+def packed_run(spark, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("packed"))
+    clips = os.path.join(work, "clips")
+    out = os.path.join(work, "out")
+    datagen.write_clips_parquet(clips, 600, seed=7)
+    manifest = export_packed_shards(spark, clips, out, budget_ms=20_000)
+    return clips, out, manifest
+
+
+def test_packed_manifest_matches_shards(spark, packed_run):
+    """Packed export: shards on disk agree with the manifest, every shard
+    respects the straddler overflow bound, and non-final shards reach
+    their budget (offset rule, operators/packing.py)."""
+    _, out, manifest = packed_run
+    assert manifest["n_shards"] > 1
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    assert shards.count() == manifest["n_clips"]
+    per = {
+        (int(r["shard_id"])): (r["cnt"], r["ms"])
+        for r in shards.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("dur_pack_ms").alias("ms"),
+        )
+        .collect()
+    }
+    max_dur = int(
+        shards.agg({"dur_pack_ms": "max"}).collect()[0][0]
+    )
+    budget = manifest["budget_ms"]
+    assert set(per) == {int(s) for s in manifest["shards"]}
+    for sid, info in manifest["shards"].items():
+        cnt, ms = per[int(sid)]
+        assert cnt == info["n_clips"]
+        assert ms == info["total_ms"]
+        assert info["total_ms"] <= budget + max_dur
+        assert info["fill_pct"] == round(info["total_ms"] * 100.0 / budget, 4)
+
+
+def test_packed_membership_matches_serial_offset_rule(spark, packed_run):
+    """The on-disk shard of every clip equals the serial offset-rule
+    reference computed from (order_key, duration) alone."""
+    _, out, _ = packed_run
+    rows = (
+        spark.read.parquet(os.path.join(out, "shards"))
+        .selectExpr(
+            "cast(substring(clip_id, -10, 10) as long) AS k",
+            "dur_pack_ms AS dur",
+            "shard_id",
+        )
+        .collect()
+    )
+    order = sorted(rows, key=lambda r: r["k"])
+    off = 0
+    for r in order:
+        assert r["shard_id"] == off // 20_000, r
+        off += r["dur"]
+
+
+def test_packed_rerun_is_idempotent(spark, packed_run):
+    clips, out, manifest = packed_run
+    again = export_packed_shards(spark, clips, out, budget_ms=20_000)
+    assert again == manifest
+
+
+def test_packed_plan_has_exactly_one_payload_exchange(spark, tmp_path):
+    """The packed frame's contract: join-free, and the ONE exchange that
+    carries tensor/payload columns is the packing window's — the sink
+    regrouping itself. A second payload-bearing exchange (e.g. a join-back
+    sneaking in) fails here."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from wallaby2caom2_spark.plans.export import packed_shard_frame
+
+    inp = str(tmp_path / "clips")
+    datagen.write_clips_parquet(inp, 50, seed=3, rows_per_file=50)
+    frame = packed_shard_frame(spark, inp, budget_ms=20_000)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        frame.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
+    payload = re.compile(r"\b(bytes|feat_bytes)#\d+")
+    n_payload_exchanges = 0
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if head.startswith("(") and "Exchange" in head and "Broadcast" not in head:
+            inp_line = next(
+                (l for l in block.splitlines() if l.startswith("Input")), ""
+            )
+            if payload.search(inp_line):
+                n_payload_exchanges += 1
+    assert n_payload_exchanges == 1, plan

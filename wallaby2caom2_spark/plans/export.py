@@ -213,3 +213,141 @@ def validate_shards(spark: SparkSession, out_path: str) -> DataFrame:
         if int(r["n_geom_ok"]) != int(r["n_clips"]):
             raise ValueError(f"bucket {b}: tensor geometry corruption")
     return per_bucket
+
+
+def packed_shard_frame(
+    spark: SparkSession, clips_path: str, budget_ms: int = 60_000
+) -> DataFrame:
+    """The lazy packed-shard DataFrame ``export_packed_shards`` writes:
+    narrow keep/scrub attach → narrow feature extract → duration-budget
+    packing (the window's exchange is the ONE payload movement — the sink
+    regrouping itself). Exposed so the plan-shape test can pin the
+    one-payload-exchange bound without running the write."""
+    from ..operators import packing
+
+    clips = read_clips(spark, clips_path)
+    labeled = (
+        clips.transform(with_fused_features_retaining)
+        .transform(cascade.with_transcript_stats)
+        .transform(lambda d: cascade.with_keep_drop(d, DEFAULT_CONFIG))
+        .transform(text_stage.mask_scrub)
+    )
+    kept_payload = labeled.filter(F.col("keep")).select(
+        "clip_id", "bytes", "codec", "sr_hz", "lang",
+        "scrubbed_transcript", "dur_ms_meas",
+    )
+    feats = feature_frames(
+        kept_payload,
+        passthrough=("lang", "scrubbed_transcript", "dur_ms_meas"),
+    ).filter(F.col("feat_ok"))
+    # content-derived packing key: unique numeric id suffix — deterministic
+    # and layout-independent, so a re-run (or the DuckDB oracle) reproduces
+    # the same shard membership regardless of file order
+    keyed = feats.withColumn(
+        "order_key", F.substring(F.col("clip_id"), -10, 10).cast("long")
+    ).withColumn("dur_pack_ms", F.col("dur_ms_meas").cast("long"))
+    return packing.pack_by_budget(
+        keyed, dur_col="dur_pack_ms", order_col="order_key",
+        budget_ms=budget_ms,
+    ).select(
+        "clip_id", "lang", "scrubbed_transcript", "n_frames", "n_bands",
+        "feat_bytes", "dur_pack_ms", "shard_id",
+    )
+
+
+def export_packed_shards(
+    spark: SparkSession,
+    clips_path: str,
+    out_path: str,
+    budget_ms: int = 60_000,
+) -> dict:
+    """Packed-shard export: the bucket hash of ``export_training_shards``
+    replaced by the deterministic duration-budget packing
+    (operators/packing.py) — each output partition is one ~budget-sized
+    training shard, the layout a sequence-packing dataloader consumes
+    directly instead of re-packing per epoch.
+
+    Payload-movement contract (deliberately different from the hash-bucket
+    export): shard assembly IS a physical regrouping — every clip's tensor
+    must land in its shard's file, so the payload crosses EXACTLY ONE
+    exchange, the packing window's, and that exchange is the sink movement
+    itself (the same shuffle a bucketed-table write pays once at write
+    time). Nothing else moves bytes: the keep/scrub decision attaches
+    narrowly (payload-retaining fused stage), features extract narrowly,
+    and the shard write after the window is dynamic-partition with no
+    further exchange. Pinned by tests/test_export.py (exactly one
+    payload-bearing exchange). At lakehouse scale the same one-movement
+    bound holds as: write the slim (clip_id → shard_id) assignment as a
+    clip_id-bucketed table and co-located-join it to a clip_id-bucketed
+    clips table (sources/bucketed.py) — the movement becomes the bucketed
+    write's.
+
+    The manifest records per-shard clip counts, frame counts, and fill
+    percentage against the budget (straddler overflow included — bounded
+    by one clip, operators/packing.py).
+    """
+    if budget_ms <= 0:
+        raise ValueError(f"budget_ms must be positive, got {budget_ms}")
+    packed = packed_shard_frame(spark, clips_path, budget_ms)
+
+    from pyspark.storagelevel import StorageLevel
+
+    packed = packed.persist(StorageLevel.DISK_ONLY)
+    try:
+        written = {
+            int(r["shard_id"])
+            for r in packed.select("shard_id").distinct().collect()
+        }
+        if len(written) > MANIFEST_MAX_BUCKETS:
+            raise ValueError(
+                f"{len(written)} shards exceeds MANIFEST_MAX_BUCKETS="
+                f"{MANIFEST_MAX_BUCKETS}: raise budget_ms or split the "
+                "export"
+            )
+        (
+            packed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard_id")
+            .parquet(os.path.join(out_path, "shards"))
+        )
+        per_shard = (
+            _read_shards_or_empty(
+                spark,
+                os.path.join(out_path, "shards"),
+                "shard_id bigint, n_frames int, dur_pack_ms bigint",
+            )
+            .groupBy("shard_id")
+            .agg(
+                F.count("*").alias("n_clips"),
+                F.sum("n_frames").alias("n_frames"),
+                F.sum("dur_pack_ms").alias("total_ms"),
+            )
+            .collect()
+        )
+    finally:
+        packed.unpersist()
+    stale = sorted(
+        int(r["shard_id"]) for r in per_shard
+        if int(r["shard_id"]) not in written
+    )
+    if stale:
+        raise ValueError(
+            f"shards dir has stale shards {stale} from a previous export "
+            f"— clear {os.path.join(out_path, 'shards')} before re-exporting"
+        )
+    manifest = {
+        "n_clips": int(sum(r["n_clips"] for r in per_shard)),
+        "budget_ms": budget_ms,
+        "n_shards": len(per_shard),
+        "shards": {
+            str(int(r["shard_id"])): {
+                "n_clips": int(r["n_clips"]),
+                "n_frames": int(r["n_frames"]),
+                "total_ms": int(r["total_ms"]),
+                "fill_pct": round(int(r["total_ms"]) * 100.0 / budget_ms, 4),
+            }
+            for r in per_shard
+        },
+    }
+    write_manifest_atomic(out_path, manifest)
+    return manifest

@@ -353,10 +353,92 @@ FROM merged GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. curriculum binning — composite quality score → per-language deciles
+# ---------------------------------------------------------------------------
+
+
+def _quality_score() -> F.Column:
+    """Composite per-clip quality score in pure codegen over the filter's
+    own output columns: language-ID confidence (higher = better),
+    perplexity (lower = better, saturated at 10k), signal level (RMS,
+    saturated at 0.25). Weights are a policy knob; what matters here is
+    that the arithmetic is deterministic double math BOTH engines compute
+    bit-identically, so the decile boundaries cannot drift."""
+    return (
+        F.col("lang_conf") * 0.5
+        + (1.0 - F.least(F.col("ppl") / 10000.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("rms") * 4.0, F.lit(1.0)) * 0.2
+    )
+
+
+def clips_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning bins: kept clips scored by the composite quality
+    signal, split into per-language deciles (NTILE over score with a
+    clip_id tiebreak for a total order), summarized per (lang, decile) —
+    the table a curriculum sampler consumes ("start training on decile 10,
+    anneal toward 1").
+
+    Scale shape: the NTILE window partitions by ``lang`` — parallel across
+    languages, one partition per language. At 10^12 rows the per-language
+    partition is itself too big for one task; the documented scale path is
+    the same switch ``sample_mixture_quota`` names: replace exact NTILE
+    with approximate quantile thresholds (one pass, broadcast thresholds),
+    keeping this exact form as the oracle-checkable reference semantics.
+    """
+    from pyspark.sql.window import Window
+
+    kept = (
+        quality_filter(load_clips(spark, sf_dir))
+        .filter(F.col("keep"))
+        .select("clip_id", "lang", "lang_conf", "ppl", "rms")
+        .withColumn("score", _quality_score())
+    )
+    w = Window.partitionBy("lang").orderBy("score", "clip_id")
+    return (
+        kept.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("score") + 1e-9, 4).alias("avg_score"),
+            F.round(F.avg("ppl") + 1e-9, 2).alias("avg_ppl"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+def quality_curriculum_oracle(sf_dir: str) -> str:
+    """DuckDB oracle: the score, the per-language NTILE (same SQL-standard
+    remainder rule) and the per-bin aggregates replay from the fixture's
+    filter columns."""
+    path = features_path_for(sf_dir)
+    return f"""
+WITH kept AS (
+  SELECT clip_id, lang,
+         lang_conf * 0.5
+           + (1.0 - least(ppl / 10000.0, 1.0)) * 0.3
+           + least(rms * 4.0, 1.0) * 0.2 AS score,
+         ppl
+  FROM read_parquet('{path}/*.parquet') WHERE keep
+),
+binned AS (
+  SELECT lang, score, ppl,
+         ntile(10) OVER (PARTITION BY lang ORDER BY score, clip_id)
+           AS decile
+  FROM kept
+)
+SELECT lang, decile, count(*)::BIGINT AS n_clips,
+       round(avg(score) + 1e-9, 4) AS avg_score,
+       round(avg(ppl) + 1e-9, 2) AS avg_ppl
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "clips_shard_packing": clips_shard_packing,
     "audio_incremental_dedup": audio_incremental_dedup,
     "crossmodal_dup_consistency": crossmodal_dup_consistency,
+    "clips_quality_curriculum": clips_quality_curriculum,
 }
 
 # oracles embed sf-dependent fixture paths → built at oracle_sql() time
@@ -366,4 +448,5 @@ ORACLE_BUILDERS = {
     "clips_shard_packing": shard_packing_oracle,
     "audio_incremental_dedup": incremental_dedup_oracle,
     "crossmodal_dup_consistency": crossmodal_oracle,
+    "clips_quality_curriculum": quality_curriculum_oracle,
 }

@@ -34,12 +34,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query. Most clips entries are omitted (the
-    pandas-UDF decode/langid/scrub stages are not SQL-expressible → driver
-    rows-only check + golden pytest), but ``multimodal_media_meta`` IS
-    oracle-checked: its sniff + stub geometry are pure arithmetic, so DuckDB
-    recomputes it from the same cached clips parquet (path baked in at
-    sf0.01 — the driver's comparison scale; generated here if absent)."""
+    """DuckDB-equivalent SQL per query — EVERY registered query has one.
+    The pandas-UDF stages (decode/langid/scrub/audio ops) are not
+    SQL-expressible directly, so their per-clip outputs are persisted by
+    the pure-Python oracle-replay fixture (fixtures.py, bit-identical to
+    the UDFs per tests/test_fixtures.py) and DuckDB replays every
+    downstream classification/aggregation from it under the full
+    rows+schema+value-hash check."""
     from wallaby2caom2_spark.queries import ALL_ORACLE_BUILDERS
 
     # clips/shards queries replay from per-sf fixture parquets (the clips

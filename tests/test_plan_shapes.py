@@ -197,6 +197,7 @@ CLIPS_QUERIES = [
     "clips_shard_packing",
     "audio_incremental_dedup",
     "crossmodal_dup_consistency",
+    "clips_quality_curriculum",
 ]
 
 

@@ -96,10 +96,86 @@ GROUP BY 1, 2
 """
 
 
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingest content-dedup stage
+    (streaming/ingest_dedup.py) run as a REAL bounded stream over the
+    whole clips corpus: file source → per-micro-batch fingerprint →
+    within-batch keeper election + persisted-store probe → signature
+    append + triage summary. A fresh work dir per call makes the run
+    deterministic (one availableNow batch, empty store → statuses are
+    novel / dup_in_batch / unfingerprintable), so DuckDB replays the
+    whole triage from the fixture's fingerprints. Cross-RUN semantics
+    (dup_of_store, retry isolation) are pinned in
+    tests/test_ingest_dedup.py."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest_dedup import run_ingest_dedup_stream
+    from .clips_flagship import clips_path_for
+
+    work = tempfile.mkdtemp(prefix="wallaby_ingest_dedup_")
+    try:
+        run_ingest_dedup_stream(spark, clips_path_for(sf_dir), work)
+        rows = (
+            spark.read.parquet(os.path.join(work, "triage"))
+            .groupBy("status")
+            .agg(F.sum("n_clips").alias("n_clips"))
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # materialized before the work dir is removed; re-wrapped so the
+    # driver's collect() after return still works
+    return spark.createDataFrame(rows, "status string, n_clips bigint")
+
+
+def ingest_dedup_oracle(sf_dir: str) -> str:
+    """DuckDB oracle: one-batch triage — within-batch banded pairs with
+    the shared zero-band hot-key policy, min-id losers, status cascade —
+    replayed from the fixture's fingerprints."""
+    from .clips_flagship import features_path_for
+
+    path = features_path_for(sf_dir)
+    return f"""
+WITH fx AS (
+  SELECT clip_id, fp_ok, fp FROM read_parquet('{path}/*.parquet')
+),
+bands AS (
+  SELECT clip_id, fp, b.band_idx,
+         (fp >> (b.band_idx * 15)) % 32768 AS band_bits
+  FROM fx, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+  WHERE fp_ok
+),
+live AS (SELECT * FROM bands WHERE band_bits != 0),
+pairs AS (
+  SELECT DISTINCT l.clip_id AS ca, r.clip_id AS cb, l.fp AS fa, r.fp AS fb
+  FROM live l JOIN live r
+    ON l.band_idx = r.band_idx AND l.band_bits = r.band_bits
+   AND l.clip_id < r.clip_id
+),
+losers AS (
+  SELECT DISTINCT cb AS clip_id FROM pairs
+  WHERE bit_count(xor(fa, fb)) <= 3
+)
+SELECT CASE WHEN NOT f.fp_ok THEN 'unfingerprintable'
+            WHEN l.clip_id IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'novel' END AS status,
+       count(*)::BIGINT AS n_clips
+FROM fx f LEFT JOIN losers l ON f.clip_id = l.clip_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "stream_hourly_rollup": stream_hourly_rollup,
+    "stream_ingest_dedup": stream_ingest_dedup,
 }
 
 ORACLE = {
     "stream_hourly_rollup": _STREAM_HOURLY_ROLLUP_SQL,
+}
+
+ORACLE_BUILDERS = {
+    "stream_ingest_dedup": ingest_dedup_oracle,
 }

@@ -100,6 +100,21 @@ def test_fixture_matches_vad_and_fingerprint_and_preview(spark, fixture_rows):
         assert r["sgram_name"] == f["sgram_name"], r["clip_id"]
 
 
+def test_fixture_matches_embedding(spark, fixture_rows):
+    """v7 replay columns: the persisted embedding equals the live operator
+    per clip, element-exact (raw doubles, no rounding) — the bit-identity
+    the audio_embed oracles depend on."""
+    from wallaby2caom2_spark.operators.embed import EMB_DIM, embed_clips
+
+    clips_path, fix = fixture_rows
+    clips = _clips_df(spark, clips_path)
+    for r in embed_clips(clips).collect():
+        f = fix[r["clip_id"]]
+        assert r["emb_ok"] == f["emb_ok"], r["clip_id"]
+        assert list(r["emb"]) == list(f["emb"]), r["clip_id"]
+        assert len(r["emb"]) == EMB_DIM, r["clip_id"]
+
+
 def test_fixture_matches_resample_and_specaugment(spark, fixture_rows):
     """v6 replay columns: per-clip equality against the live operators,
     raw (unrounded) doubles included."""

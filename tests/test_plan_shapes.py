@@ -198,6 +198,8 @@ CLIPS_QUERIES = [
     "audio_incremental_dedup",
     "crossmodal_dup_consistency",
     "clips_quality_curriculum",
+    "audio_embedding_stats",
+    "audio_semantic_neardup",
 ]
 
 

@@ -121,6 +121,9 @@ FIXTURE_SCHEMA = pa.schema(
         ("sa_masked_cells", pa.int64()),
         ("sa_masked_frac", pa.float64()),
         ("sa_mean_after", pa.float64()),
+        # semantic embedding (operators/embed.py — shared pool_embedding)
+        ("emb_ok", pa.bool_()),
+        ("emb", pa.list_(pa.float64())),
     ]
 )
 
@@ -213,6 +216,7 @@ _SEG_COLS = (
     "mix_ok", "mix_len", "mix_rms",
     "rs_ok", "rs_method", "rs_len", "rs_dur_out", "rs_rms",
     "sa_ok", "sa_masked_cells", "sa_masked_frac", "sa_mean_after",
+    "emb_ok", "emb",
 )
 
 
@@ -224,6 +228,7 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
     from .functions import audio
     from .operators.augment import _clip_seed
     from .operators.features import _band_matrix, _frame_matrix
+    from .operators.embed import pool_embedding
     from .operators.resample import resample_clip
     from .operators.spectral import _clip_spectrum
     from .operators.specaugment import specaugment_clip
@@ -240,6 +245,7 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         mix_ok=False, mix_rms=0.0,
         rs_ok=False, rs_method="undecodable", rs_rms=0.0,
         sa_ok=False, sa_masked_frac=0.0, sa_mean_after=0.0,
+        emb_ok=False, emb=[0.0] * 24,  # zero vector, never NULL (embed.py contract)
     )
     decodable = samples is not None and len(samples) > 0 and sr_f > 0
     if decodable:
@@ -314,6 +320,11 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
                 sa_masked_cells=int(n_cells),
                 sa_masked_frac=n_cells / feats.size,
                 sa_mean_after=float(masked.mean()),
+            )
+
+            # --- semantic embedding (same feats matrix, shared pooler) ---
+            out.update(
+                emb_ok=True, emb=pool_embedding(feats).tolist()
             )
 
         # --- spectral shape (per-clip UDF rounding of spectral_stats) ---

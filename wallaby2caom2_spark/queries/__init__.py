@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from . import (
     analytics,
+    audio_embed,
     clips_flagship,
     corpus,
     curation,
@@ -38,6 +39,7 @@ _MODULES = (
     streaming,
     clips_flagship,
     shards,
+    audio_embed,
 )
 
 ALL_QUERIES = {}

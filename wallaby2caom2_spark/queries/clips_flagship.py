@@ -139,7 +139,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v6"  # v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v7b"  # v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:

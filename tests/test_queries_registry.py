@@ -75,6 +75,9 @@ def test_manifest_in_sync_with_registry():
         "events_asof_join",
         "events_range_join",
         "kmeans_train",
+        "semantic_cluster_dedup",
+        "dedup_exact_substring",
+        "classifier_train_logreg",
         "events_lag_delta",
         "events_pivot_by_type",
         "value_histogram",

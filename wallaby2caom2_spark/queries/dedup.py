@@ -578,8 +578,118 @@ FROM c WHERE containment >= {_CONTAINMENT_MIN}
 """
 
 
+# ---------------------------------------------------------------------------
+# exact-substring dedup — sliding K-token window hashing (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 8       # tokens per window (the paper uses 50 BPE tokens; the
+                    # synthetic docs are 10-99 words, so 8 keeps every doc
+                    # in-domain — the operator shape is length-independent)
+_SUBSTR_DROP = 0.5  # drop a doc when ≥ half its windows are duplicated
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication in the shape of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every K-token sliding window is content-hashed; a
+    window whose hash occurs more than once ANYWHERE in the corpus (another
+    doc or another offset of the same doc) is a duplicated span; docs are
+    scored by their duplicated-window fraction. The suffix-array machinery
+    of the paper is a single-node construct — the distributed re-expression
+    is windows → hash → groupBy(count) → join back, which is how a Spark
+    engine finds repeated substrings at 10^12 docs:
+
+    - window generation is a per-row ``transform`` over an offset
+      ``sequence`` + one ``explode`` (whole-stage codegen feeds the
+      generator; no Python);
+    - the only data-sized shuffles are the groupBy on the window hash
+      (md5 → uniform key, map-side-combined counts) and the join back on
+      the same key (AQE broadcasts the duplicated-hash side when small —
+      at real scale it stays a co-hashed equi-join on the SAME key, so the
+      exchange is reused), then one groupBy(doc_id);
+    - complements the family: `dedup_exact` catches whole-doc clones,
+      MinHash/LSH catches near-dups, this catches *verbatim spans inside
+      otherwise-distinct docs* (boilerplate, quoted chains, licenses).
+
+    Docs shorter than K tokens have no windows and are kept with
+    dup_fraction 0.0 (left join + coalesce), preserving one-row-per-doc.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _words().alias("w")
+    )
+    n = F.size("w")
+    win = (
+        docs.filter(n >= _SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - _SUBSTR_K),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("w"), i + 1, _SUBSTR_K))
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    counts = win.groupBy("h").agg(F.count("*").alias("c"))
+    per_doc = (
+        win.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("c") > 1).cast("bigint")).alias("n_dup_windows"),
+        )
+    )
+    dup_frac = F.coalesce(
+        F.round(
+            F.col("n_dup_windows") / F.col("n_windows") + 1e-9, 4
+        ),
+        F.lit(0.0),
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            dup_frac.alias("dup_fraction"),
+            (dup_frac < _SUBSTR_DROP).alias("keep"),
+        )
+    )
+
+
+_EXACT_SUBSTR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+win AS (
+  SELECT doc_id, md5(array_to_string(w[i : i + {_SUBSTR_K} - 1], ' ')) AS h
+  FROM d, UNNEST(generate_series(1, len(w) - {_SUBSTR_K} + 1)) AS t(i)
+  WHERE len(w) >= {_SUBSTR_K}
+),
+counts AS (SELECT h, count(*) AS c FROM win GROUP BY h),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_windows,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows
+  FROM win JOIN counts USING (h) GROUP BY doc_id
+)
+SELECT d2.doc_id,
+       COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(round(n_dup_windows * 1.0 / n_windows + 1e-9, 4), 0.0)
+         AS dup_fraction,
+       COALESCE(round(n_dup_windows * 1.0 / n_windows + 1e-9, 4), 0.0)
+         < {_SUBSTR_DROP} AS keep
+FROM (SELECT doc_id FROM documents) d2 LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_exact_substring": dedup_exact_substring,
     "decontaminate_containment": decontaminate_containment,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_lsh_bands": dedup_lsh_bands,
@@ -591,6 +701,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_exact_substring": _EXACT_SUBSTR_SQL,
     "decontaminate_containment": _containment_sql(),
     "dedup_minhash_signature": _minhash_sig_sql(),
     "dedup_lsh_bands": _lsh_bands_sql(),

@@ -746,6 +746,134 @@ FROM a{final} GROUP BY 1, 2 ORDER BY 1, 2""")
     return "\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup — cluster-blocked cosine pruning
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3
+
+
+def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): block the corpus by k-means cluster, compare pairs
+    ONLY within a cluster, and among near-duplicates keep the vector closest
+    to its centroid. This is the third — and at 100 TB the cheapest —
+    candidate-generation strategy in the embedding-dedup family:
+    `dedup_embedding_neardup` blocks by LSH bucket (recall bounded by the
+    hyperplane count), `similarity_topk_bruteforce` is the exact-but-
+    quadratic baseline; cluster blocking reuses centroids the pipeline
+    already trains (`kmeans_train`) so candidate generation costs one
+    broadcast-literal map-only assignment (zero shuffle) plus ONE window +
+    ONE self-equi-join on `cluster_id` — the window's hash-partitioning on
+    `cluster_id` is reused by the join, and the quadratic work is confined
+    to a cluster (K fixed → cluster size ~N/K; at 10^12 rows K grows with N
+    to hold cluster size constant, exactly as the paper scales it).
+
+    Election rule (deterministic, both engines): within a cluster, rank by
+    (rounded centroid distance ASC, vec_id ASC); a vector is REMOVED iff
+    some better-ranked vector in its cluster has cosine ≥ SEMDEDUP_TAU with
+    it. The greedy rank form (not connected components) is the paper's
+    semantics — a removed vector still shadows worse-ranked ones, which
+    `dedup_connected_components` handles when full transitive grouping is
+    wanted. Centroids here are the deterministic kmeans init (K lowest
+    vec_ids) so the DuckDB oracle can replay assignment exactly; in
+    production they'd be `kmeans_train`'s output, broadcast as literals the
+    same way.
+
+    Reference analog: none (the reference dedups nothing) — this extends
+    SURVEY §2's A3/A6 distinct-key family to the semantic domain.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    init_rows = emb.orderBy("vec_id").limit(KMEANS_K).select("e").collect()
+    cents = [list(r["e"]) for r in init_rows]
+    dists = F.array(*[F.round(_sq_l2_to(c) + 1e-9, 4) for c in cents])
+    assigned = emb.withColumn("dists", dists).select(
+        "vec_id",
+        "e",
+        (F.expr("array_position(dists, array_min(dists))") - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.array_min("dists").alias("centroid_d2"),
+        _norm(F.col("e")).alias("nrm"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("centroid_d2").asc(), F.col("vec_id").asc()
+    )
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    better = ranked.select(
+        "cluster_id",
+        F.col("rk").alias("b_rk"),
+        F.col("e").alias("be"),
+        F.col("nrm").alias("bn"),
+    )
+    worse = ranked.select(
+        "cluster_id",
+        F.col("rk").alias("w_rk"),
+        F.col("vec_id").alias("w_id"),
+        F.col("e").alias("we"),
+        F.col("nrm").alias("wn"),
+    )
+    cos = _dot(F.col("be"), F.col("we")) / (F.col("bn") * F.col("wn"))
+    removed = (
+        better.join(worse, "cluster_id")
+        .filter(F.col("b_rk") < F.col("w_rk"))
+        .filter(F.round(cos + 1e-9, 4) >= SEMDEDUP_TAU)
+        .select(F.col("w_id").alias("vec_id"))
+        .distinct()
+        .withColumn("removed", F.lit(True))
+    )
+    return (
+        ranked.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "centroid_d2",
+            F.col("removed").isNull().alias("keep"),
+        )
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+  FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+),
+a AS (
+  SELECT vec_id, e, cid AS cluster_id, dist AS centroid_d2 FROM (
+    SELECT e.vec_id, e.e, c.cid,
+           round(list_dot_product(e.e, e.e) - 2*list_dot_product(e.e, c.ce)
+                 + list_dot_product(c.ce, c.ce) + 1e-9, 4) AS dist,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.e, e.e)
+                            - 2*list_dot_product(e.e, c.ce)
+                            + list_dot_product(c.ce, c.ce) + 1e-9, 4) ASC,
+                      c.cid ASC) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY centroid_d2 ASC, vec_id ASC) AS rk
+  FROM a
+),
+removed AS (
+  SELECT DISTINCT w.vec_id
+  FROM r b JOIN r w ON b.cluster_id = w.cluster_id AND b.rk < w.rk
+  WHERE round(list_dot_product(b.e, w.e)
+              / (sqrt(list_dot_product(b.e, b.e))
+                 * sqrt(list_dot_product(w.e, w.e))) + 1e-9, 4)
+        >= {SEMDEDUP_TAU}
+)
+SELECT r.vec_id, r.cluster_id, r.centroid_d2,
+       removed.vec_id IS NULL AS keep
+FROM r LEFT JOIN removed ON r.vec_id = removed.vec_id
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -756,10 +884,12 @@ QUERIES = {
     "embedding_pq_code": embedding_pq_code,
     "ann_pq_topk": ann_pq_topk,
     "kmeans_train": kmeans_train,
+    "semantic_cluster_dedup": semantic_cluster_dedup,
 }
 
 ORACLE = {
     "kmeans_train": _kmeans_sql(),
+    "semantic_cluster_dedup": _SEMDEDUP_SQL,
     "similarity_topk_bruteforce": _TOPK_SQL,
     "ann_lsh_buckets": _lsh_buckets_sql(),
     "ann_ivf_assign": _IVF_SQL,

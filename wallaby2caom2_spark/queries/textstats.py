@@ -745,8 +745,164 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# quality-classifier TRAINING — full-batch gradient descent, Spark-iterative
+# ---------------------------------------------------------------------------
+
+TRAIN_BUCKETS = 32
+TRAIN_ITERS = 8
+TRAIN_LR = 4.0
+TRAIN_SCALE = 16.0  # feature scale: raw fractions are ~1/31 while the bias
+                    # input is 1.0 — unscaled, the gradient is dominated by
+                    # the intercept and 8 steps barely move the word weights
+
+
+def classifier_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed linear quality classifier, not just score with one
+    (`text_linear_classifier` is the inference path): full-batch gradient
+    descent on a logistic-style model over hashing-trick bag-of-words
+    features, expressed in the repo's iterative-algorithm pattern
+    (`kmeans_train`, `bpe_train_merges`) — per step the weight vector is a
+    broadcast literal, the per-doc margin/error is whole-stage codegen, and
+    the gradient is ONE map-side-combined aggregation of TRAIN_BUCKETS
+    cells; only the B-cell gradient row returns to the driver between
+    steps. At 10^12 docs each step is a single slim scan-and-agg (the
+    featurized table is doc_id + B doubles — at real scale you persist it
+    once and every step reuses the cache).
+
+    Cross-engine determinism: the link is the SOFTSIGN logistic
+    p = 0.5 + 0.5·m/(1+|m|) — rational arithmetic only, so Spark and DuckDB
+    produce bit-identical per-doc probabilities (libm ``exp`` is NOT
+    guaranteed to round identically across engines, so the textbook sigmoid
+    would be a 1-ulp trap of exactly the kind `_sq_l2_to` documents);
+    per-step gradients are plan-rounded at 6 dp before becoming next-step
+    literals (the `kmeans_train` handoff discipline); labels (lang == 'en')
+    and features (bucket-count / n_words) are exact rationals.
+
+    Output: per-lang evaluation of the final model (n_docs, predicted-keep
+    count, 4-dp mean margin) — the learned separation of 'en' from the rest.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        _words().alias("w"),
+    )
+    bucket = lambda t: (  # noqa: E731 — md5-prefix hashing trick, _CLF rule
+        F.conv(F.substring(F.md5(F.lower(t)), 1, 8), 16, 10).cast("bigint")
+        % TRAIN_BUCKETS
+    ).cast("int")
+    # features: scaled bucket fractions + a trailing bias input of 1.0
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "y",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(TRAIN_BUCKETS - 1)),
+                lambda b: F.size(
+                    F.filter(
+                        F.transform(F.col("w"), bucket), lambda x: x == b
+                    )
+                )
+                * TRAIN_SCALE
+                / F.size(F.col("w")),
+            ),
+            F.array(F.lit(1.0)),
+        ).alias("f"),
+    )
+
+    def margin(weights: list[float]) -> F.Column:
+        wl = F.array(*[F.lit(float(v)) for v in weights])
+        return F.aggregate(
+            F.zip_with(wl, F.col("f"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    n_dims = TRAIN_BUCKETS + 1  # + bias
+    weights = [0.0] * n_dims
+    for _ in range(TRAIN_ITERS):
+        m = margin(weights)
+        err = F.lit(0.5) + F.lit(0.5) * m / (F.lit(1.0) + F.abs(m)) - F.col("y")
+        row = feat.agg(
+            *[
+                F.round(F.avg(err * F.col("f").getItem(b)) + 1e-9, 6).alias(
+                    f"g{b}"
+                )
+                for b in range(n_dims)
+            ]
+        ).collect()[0]
+        # plain IEEE double update, NO Python-side rounding (Python rounds
+        # half-to-even, DuckDB half-away — the 6-dp plan rounding above is
+        # the only rounding, identical in both engines)
+        weights = [
+            weights[b] - TRAIN_LR * row[f"g{b}"] for b in range(n_dims)
+        ]
+
+    m_final = margin(weights)
+    return feat.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((m_final > 0).cast("bigint")).alias("n_pred_keep"),
+        F.round(F.avg(m_final) + 1e-9, 4).alias("avg_margin"),
+    )
+
+
+def _train_logreg_sql() -> str:
+    """Oracle: the same TRAIN_ITERS gradient steps as a DuckDB CTE chain —
+    margins via list_dot_product against the previous step's weight list,
+    per-dim gradient via UNNEST(generate_series), weight update as
+    element-wise list_transform (everything ::DOUBLE[], never DECIMAL)."""
+    n_dims = TRAIN_BUCKETS + 1
+    zeros = ", ".join(["0.0"] * n_dims)
+    parts = [
+        f"""WITH d AS (
+  SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         list_transform(string_split_regex(trim(text), '\\s+'),
+           t -> (('0x' || left(md5(lower(t)), 8))::BIGINT
+                 % {TRAIN_BUCKETS})::INT) AS bw
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, y,
+         list_append(
+           [len(list_filter(bw, x -> x = b)) * {TRAIN_SCALE} / len(bw)
+            FOR b IN generate_series(0, {TRAIN_BUCKETS - 1})],
+           1.0)::DOUBLE[] AS f
+  FROM d
+),
+w0 AS (SELECT [{zeros}]::DOUBLE[] AS wl),""",
+    ]
+    for it in range(TRAIN_ITERS):
+        parts.append(f"""m{it} AS (
+  SELECT lang, y, f, list_dot_product(wl, f) AS m FROM feat, w{it}
+),""")
+        parts.append(f"""g{it} AS (
+  SELECT list(gv ORDER BY dim) AS gl FROM (
+    SELECT dim,
+           round(avg((0.5 + 0.5*m/(1+abs(m)) - y) * f[dim]) + 1e-9, 6) AS gv
+    FROM m{it}, UNNEST(generate_series(1, {n_dims})) AS t(dim)
+    GROUP BY dim
+  )
+),""")
+        parts.append(f"""w{it + 1} AS (
+  SELECT list_transform(generate_series(1, {n_dims}),
+                        i -> wl[i] - {TRAIN_LR}*gl[i])::DOUBLE[] AS wl
+  FROM w{it}, g{it}
+),""")
+    parts.append(f"""mf AS (
+  SELECT lang, list_dot_product(wl, f) AS m FROM feat, w{TRAIN_ITERS}
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pred_keep,
+       round(avg(m) + 1e-9, 4) AS avg_margin
+FROM mf GROUP BY lang""")
+    return "\n".join(parts)
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "classifier_train_logreg": classifier_train_logreg,
     "text_quality_score": text_quality_score,
     "text_langid_heuristic": text_langid_heuristic,
     "doc_fingerprint": doc_fingerprint,
@@ -762,6 +918,7 @@ QUERIES = {
 
 ORACLE = {
     "text_token_stats": _TOKEN_STATS_SQL,
+    "classifier_train_logreg": _train_logreg_sql(),
     "text_quality_score": _QUALITY_SQL,
     "text_langid_heuristic": _LANGID_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,

@@ -115,6 +115,27 @@ def test_fixture_matches_embedding(spark, fixture_rows):
         assert len(r["emb"]) == EMB_DIM, r["clip_id"]
 
 
+def test_fixture_matches_mfcc(spark, fixture_rows):
+    """v8 replay columns: the persisted MFCC summary equals the live
+    operator per clip, raw (unrounded) doubles included — the bit-identity
+    the audio_mfcc_stats oracle depends on."""
+    from wallaby2caom2_spark.operators.mfcc import mfcc_frames
+
+    clips_path, fix = fixture_rows
+    for r in mfcc_frames(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["mfcc_ok"] == f["mfcc_ok"], r["clip_id"]
+        assert r["n_frames"] == f["mfcc_n_frames"], r["clip_id"]
+        got_len = len(r["mfcc_bytes"]) if r["mfcc_bytes"] is not None else 0
+        assert got_len == f["mfcc_len"], r["clip_id"]
+        for col, live in (
+            ("mfcc_c0", r["c0_mean"]),
+            ("mfcc_c1", r["c1_mean"]),
+            ("mfcc_c2", r["c2_mean"]),
+        ):
+            assert _norm(live) == _norm(f[col]), (r["clip_id"], col)
+
+
 def test_fixture_matches_resample_and_specaugment(spark, fixture_rows):
     """v6 replay columns: per-clip equality against the live operators,
     raw (unrounded) doubles included."""

@@ -124,6 +124,13 @@ FIXTURE_SCHEMA = pa.schema(
         # semantic embedding (operators/embed.py — shared pool_embedding)
         ("emb_ok", pa.bool_()),
         ("emb", pa.list_(pa.float64())),
+        # MFCC (operators/mfcc.py — shared clip_mfcc)
+        ("mfcc_ok", pa.bool_()),
+        ("mfcc_n_frames", pa.int32()),
+        ("mfcc_len", pa.int32()),
+        ("mfcc_c0", pa.float64()),
+        ("mfcc_c1", pa.float64()),
+        ("mfcc_c2", pa.float64()),
     ]
 )
 
@@ -217,6 +224,7 @@ _SEG_COLS = (
     "rs_ok", "rs_method", "rs_len", "rs_dur_out", "rs_rms",
     "sa_ok", "sa_masked_cells", "sa_masked_frac", "sa_mean_after",
     "emb_ok", "emb",
+    "mfcc_ok", "mfcc_n_frames", "mfcc_len", "mfcc_c0", "mfcc_c1", "mfcc_c2",
 )
 
 
@@ -246,6 +254,7 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         rs_ok=False, rs_method="undecodable", rs_rms=0.0,
         sa_ok=False, sa_masked_frac=0.0, sa_mean_after=0.0,
         emb_ok=False, emb=[0.0] * 24,  # zero vector, never NULL (embed.py contract)
+        mfcc_ok=False, mfcc_c0=0.0, mfcc_c1=0.0, mfcc_c2=0.0,
     )
     decodable = samples is not None and len(samples) > 0 and sr_f > 0
     if decodable:
@@ -325,6 +334,21 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
             # --- semantic embedding (same feats matrix, shared pooler) ---
             out.update(
                 emb_ok=True, emb=pool_embedding(feats).tolist()
+            )
+
+        # --- MFCC (shared per-clip function verbatim, operators/mfcc.py) ---
+        from .operators.mfcc import N_MFCC, clip_mfcc
+
+        coef = clip_mfcc(samples, sr_f)
+        if coef is not None:
+            means = coef.mean(axis=0, dtype=np.float64)
+            out.update(
+                mfcc_ok=True,
+                mfcc_n_frames=int(coef.shape[0]),
+                mfcc_len=int(coef.shape[0]) * N_MFCC * 4,
+                mfcc_c0=float(means[0]),
+                mfcc_c1=float(means[1]),
+                mfcc_c2=float(means[2]),
             )
 
         # --- spectral shape (per-clip UDF rounding of spectral_stats) ---

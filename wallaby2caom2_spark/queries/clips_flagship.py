@@ -29,6 +29,7 @@ from ..operators import (
     audio_fp,
     augment,
     features,
+    mfcc,
     multimodal,
     normalize,
     preview,
@@ -139,7 +140,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v7b"  # v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v8"  # v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -1129,6 +1130,45 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_mfcc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC extraction (operators/mfcc.py) over kept clips — the canonical
+    ASR acoustic feature (true triangular mel filterbank + orthonormal
+    DCT-II, both built from their defining formulas). Summarized per
+    decode outcome; the oracle replays from the fixture's shared
+    ``clip_mfcc`` columns, so the mel/DCT math itself is value-hash-checked
+    end-to-end. Coefficient-basis invariants (orthonormality, tone
+    localization, containment) are pinned in tests/test_mfcc.py."""
+    m = mfcc.mfcc_frames(_kept_clips(spark, sf_dir))
+    return (
+        m.groupBy("mfcc_ok")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum(F.coalesce(F.length("mfcc_bytes"), F.lit(0))).alias(
+                "tensor_bytes"
+            ),
+            F.round(F.avg("c0_mean") + 1e-9, 3).alias("avg_c0"),
+            F.round(F.avg("c1_mean") + 1e-9, 3).alias("avg_c1"),
+            F.round(F.avg("c2_mean") + 1e-9, 3).alias("avg_c2"),
+        )
+        .orderBy("mfcc_ok")
+    )
+
+
+def mfcc_stats_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT mfcc_ok, count(*)::BIGINT AS n_clips,
+       sum(mfcc_n_frames)::BIGINT AS total_frames,
+       sum(mfcc_len)::BIGINT AS tensor_bytes,
+       round(avg(mfcc_c0) + 1e-9, 3) AS avg_c0,
+       round(avg(mfcc_c1) + 1e-9, 3) AS avg_c1,
+       round(avg(mfcc_c2) + 1e-9, 3) AS avg_c2
+FROM read_parquet('{path}/*.parquet') WHERE keep
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-VAD speech stats (operators/vad.py) over all clips — the
     speech-content gate an ASR corpus applies before token-budget math.
@@ -1444,6 +1484,7 @@ QUERIES = {
     "audio_segment_stats": audio_segment_stats,
     "audio_normalize_stats": audio_normalize_stats,
     "audio_feature_stats": audio_feature_stats,
+    "audio_mfcc_stats": audio_mfcc_stats,
     "audio_vad_stats": audio_vad_stats,
     "audio_tonality_gate": audio_tonality_gate,
     "clips_curation_funnel": clips_curation_funnel,
@@ -1481,6 +1522,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_segment_stats": segment_stats_oracle,
     "audio_normalize_stats": normalize_stats_oracle,
     "audio_feature_stats": feature_stats_oracle,
+    "audio_mfcc_stats": mfcc_stats_oracle,
     "audio_trim_stats": trim_stats_oracle,
     "audio_tonality_gate": tonality_gate_oracle,
     "audio_speed_perturb_stats": speed_perturb_oracle,

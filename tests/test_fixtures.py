@@ -136,6 +136,21 @@ def test_fixture_matches_mfcc(spark, fixture_rows):
             assert _norm(live) == _norm(f[col]), (r["clip_id"], col)
 
 
+def test_fixture_matches_pitch(spark, fixture_rows):
+    """v9 replay columns: the persisted F0 summary equals the live operator
+    per clip, raw doubles included."""
+    from wallaby2caom2_spark.operators.pitch import pitch_stats
+
+    clips_path, fix = fixture_rows
+    for r in pitch_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["pitch_ok"] == f["pitch_ok"], r["clip_id"]
+        assert r["n_frames"] == f["pitch_n_frames"], r["clip_id"]
+        assert r["n_voiced"] == f["pitch_n_voiced"], r["clip_id"]
+        assert _norm(r["voiced_ratio"]) == _norm(f["pitch_voiced_ratio"])
+        assert _norm(r["mean_f0"]) == _norm(f["pitch_mean_f0"])
+
+
 def test_fixture_matches_resample_and_specaugment(spark, fixture_rows):
     """v6 replay columns: per-clip equality against the live operators,
     raw (unrounded) doubles included."""

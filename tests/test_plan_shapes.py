@@ -185,6 +185,8 @@ CLIPS_QUERIES = [
     "audio_segment_stats",
     "audio_normalize_stats",
     "audio_feature_stats",
+    "audio_mfcc_stats",
+    "audio_pitch_stats",
     "audio_vad_stats",
     "audio_tonality_gate",
     "audio_trim_stats",

@@ -131,6 +131,12 @@ FIXTURE_SCHEMA = pa.schema(
         ("mfcc_c0", pa.float64()),
         ("mfcc_c1", pa.float64()),
         ("mfcc_c2", pa.float64()),
+        # F0 tracker (operators/pitch.py — shared clip_pitch)
+        ("pitch_ok", pa.bool_()),
+        ("pitch_n_frames", pa.int32()),
+        ("pitch_n_voiced", pa.int32()),
+        ("pitch_voiced_ratio", pa.float64()),
+        ("pitch_mean_f0", pa.float64()),
     ]
 )
 
@@ -225,6 +231,8 @@ _SEG_COLS = (
     "sa_ok", "sa_masked_cells", "sa_masked_frac", "sa_mean_after",
     "emb_ok", "emb",
     "mfcc_ok", "mfcc_n_frames", "mfcc_len", "mfcc_c0", "mfcc_c1", "mfcc_c2",
+    "pitch_ok", "pitch_n_frames", "pitch_n_voiced", "pitch_voiced_ratio",
+    "pitch_mean_f0",
 )
 
 
@@ -255,6 +263,7 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         sa_ok=False, sa_masked_frac=0.0, sa_mean_after=0.0,
         emb_ok=False, emb=[0.0] * 24,  # zero vector, never NULL (embed.py contract)
         mfcc_ok=False, mfcc_c0=0.0, mfcc_c1=0.0, mfcc_c2=0.0,
+        pitch_ok=False, pitch_voiced_ratio=0.0, pitch_mean_f0=0.0,
     )
     decodable = samples is not None and len(samples) > 0 and sr_f > 0
     if decodable:
@@ -349,6 +358,19 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
                 mfcc_c0=float(means[0]),
                 mfcc_c1=float(means[1]),
                 mfcc_c2=float(means[2]),
+            )
+
+        # --- F0 tracker (shared per-clip function verbatim, pitch.py) ---
+        from .operators.pitch import clip_pitch
+
+        pres = clip_pitch(samples, sr_f)
+        if pres is not None:
+            out.update(
+                pitch_ok=True,
+                pitch_n_frames=pres[0],
+                pitch_n_voiced=pres[1],
+                pitch_voiced_ratio=pres[2],
+                pitch_mean_f0=pres[3],
             )
 
         # --- spectral shape (per-clip UDF rounding of spectral_stats) ---

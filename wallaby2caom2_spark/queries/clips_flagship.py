@@ -32,6 +32,7 @@ from ..operators import (
     mfcc,
     multimodal,
     normalize,
+    pitch,
     preview,
     segment,
     spectral,
@@ -140,7 +141,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v8"  # v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v9"  # v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -1169,6 +1170,44 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def audio_pitch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F0/voicing statistics (operators/pitch.py) over ALL clips — the
+    periodicity gate: hum/hiss/music beds carry transcripts but no voiced
+    frames. Oracle replays from the fixture's shared ``clip_pitch``
+    columns; tracker accuracy (tone F0 within lag quantization, noise and
+    silence unvoiced, octave-error guard) is pinned in
+    tests/test_pitch.py."""
+    stats = pitch.pitch_stats(load_clips(spark, sf_dir))
+    return (
+        stats.groupBy("pitch_ok")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_voiced").alias("total_voiced"),
+            F.round(F.avg("voiced_ratio") + 1e-9, 4).alias("avg_voiced_ratio"),
+            F.round(
+                F.avg(F.when(F.col("n_voiced") > 0, F.col("mean_f0"))) + 1e-9,
+                2,
+            ).alias("avg_f0_voiced"),
+        )
+        .orderBy("pitch_ok")
+    )
+
+
+def pitch_stats_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT pitch_ok, count(*)::BIGINT AS n_clips,
+       sum(pitch_n_frames)::BIGINT AS total_frames,
+       sum(pitch_n_voiced)::BIGINT AS total_voiced,
+       round(avg(pitch_voiced_ratio) + 1e-9, 4) AS avg_voiced_ratio,
+       round(avg(CASE WHEN pitch_n_voiced > 0 THEN pitch_mean_f0 END)
+             + 1e-9, 2) AS avg_f0_voiced
+FROM read_parquet('{path}/*.parquet')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-VAD speech stats (operators/vad.py) over all clips — the
     speech-content gate an ASR corpus applies before token-budget math.
@@ -1485,6 +1524,7 @@ QUERIES = {
     "audio_normalize_stats": audio_normalize_stats,
     "audio_feature_stats": audio_feature_stats,
     "audio_mfcc_stats": audio_mfcc_stats,
+    "audio_pitch_stats": audio_pitch_stats,
     "audio_vad_stats": audio_vad_stats,
     "audio_tonality_gate": audio_tonality_gate,
     "clips_curation_funnel": clips_curation_funnel,
@@ -1523,6 +1563,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_normalize_stats": normalize_stats_oracle,
     "audio_feature_stats": feature_stats_oracle,
     "audio_mfcc_stats": mfcc_stats_oracle,
+    "audio_pitch_stats": pitch_stats_oracle,
     "audio_trim_stats": trim_stats_oracle,
     "audio_tonality_gate": tonality_gate_oracle,
     "audio_speed_perturb_stats": speed_perturb_oracle,

@@ -44,6 +44,8 @@ def main() -> None:
         "audio_normalize_stats",
         "audio_vad_stats",
         "audio_tonality_gate",
+        "audio_mfcc_stats",
+        "audio_pitch_stats",
         "clips_curation_funnel",
     ):
         fn = ALL_QUERIES[qname]
@@ -91,7 +93,10 @@ def main() -> None:
             "normalize to −20 dBFS with −1 dBFS peak limiter → re-encoded "
             "pcm_s16le payload out; `audio_vad_stats` = decode → "
             "adaptive-threshold energy VAD on exact int64 frame energies → "
-            "speech ratio / run count / SNR). Min-of-samples protocol.\n\n"
+            "speech ratio / run count / SNR; `audio_mfcc_stats` = kept "
+            "clips → true mel filterbank + orthonormal DCT-II; "
+            "`audio_pitch_stats` = decode → batched-FFT unbiased NACF F0 "
+            "tracker with octave guard). Min-of-samples protocol.\n\n"
             "| query | best sec | clips/sec | samples |\n|---|---|---|---|\n"
             + "".join(
                 f"| {k} | {v['best_sec']} | {v['clips_per_sec_best']:,} | "

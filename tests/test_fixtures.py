@@ -151,6 +151,24 @@ def test_fixture_matches_pitch(spark, fixture_rows):
         assert _norm(r["mean_f0"]) == _norm(f["pitch_mean_f0"])
 
 
+def test_fixture_matches_bandwidth(spark, fixture_rows):
+    """v10 replay columns: the persisted bandwidth profile equals the live
+    operator per clip, raw doubles included."""
+    from wallaby2caom2_spark.operators.bandwidth import bandwidth_stats
+
+    clips_path, fix = fixture_rows
+    for r in bandwidth_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["bw_ok"] == f["bw_ok"], r["clip_id"]
+        assert r["upsample_suspect"] == f["bw_suspect"], r["clip_id"]
+        for live, col in (
+            (r["rolloff95_hz"], "bw_rolloff95"),
+            (r["rolloff99_hz"], "bw_rolloff99"),
+            (r["bw_ratio"], "bw_ratio"),
+        ):
+            assert _norm(live) == _norm(f[col]), (r["clip_id"], col)
+
+
 def test_fixture_matches_resample_and_specaugment(spark, fixture_rows):
     """v6 replay columns: per-clip equality against the live operators,
     raw (unrounded) doubles included."""

@@ -185,6 +185,7 @@ CLIPS_QUERIES = [
     "audio_segment_stats",
     "audio_normalize_stats",
     "audio_feature_stats",
+    "audio_bandwidth_gate",
     "audio_mfcc_stats",
     "audio_pitch_stats",
     "audio_vad_stats",

@@ -137,6 +137,12 @@ FIXTURE_SCHEMA = pa.schema(
         ("pitch_n_voiced", pa.int32()),
         ("pitch_voiced_ratio", pa.float64()),
         ("pitch_mean_f0", pa.float64()),
+        # bandwidth gate (operators/bandwidth.py — shared clip_bandwidth)
+        ("bw_ok", pa.bool_()),
+        ("bw_rolloff95", pa.float64()),
+        ("bw_rolloff99", pa.float64()),
+        ("bw_ratio", pa.float64()),
+        ("bw_suspect", pa.bool_()),
     ]
 )
 
@@ -233,6 +239,7 @@ _SEG_COLS = (
     "mfcc_ok", "mfcc_n_frames", "mfcc_len", "mfcc_c0", "mfcc_c1", "mfcc_c2",
     "pitch_ok", "pitch_n_frames", "pitch_n_voiced", "pitch_voiced_ratio",
     "pitch_mean_f0",
+    "bw_ok", "bw_rolloff95", "bw_rolloff99", "bw_ratio", "bw_suspect",
 )
 
 
@@ -264,6 +271,8 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         emb_ok=False, emb=[0.0] * 24,  # zero vector, never NULL (embed.py contract)
         mfcc_ok=False, mfcc_c0=0.0, mfcc_c1=0.0, mfcc_c2=0.0,
         pitch_ok=False, pitch_voiced_ratio=0.0, pitch_mean_f0=0.0,
+        bw_ok=False, bw_rolloff95=0.0, bw_rolloff99=0.0, bw_ratio=0.0,
+        bw_suspect=False,
     )
     decodable = samples is not None and len(samples) > 0 and sr_f > 0
     if decodable:
@@ -371,6 +380,19 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
                 pitch_n_voiced=pres[1],
                 pitch_voiced_ratio=pres[2],
                 pitch_mean_f0=pres[3],
+            )
+
+        # --- bandwidth gate (shared per-clip function, bandwidth.py) ---
+        from .operators.bandwidth import clip_bandwidth
+
+        bres = clip_bandwidth(samples, sr_f)
+        if bres is not None:
+            out.update(
+                bw_ok=True,
+                bw_rolloff95=bres[0],
+                bw_rolloff99=bres[1],
+                bw_ratio=bres[2],
+                bw_suspect=bres[3],
             )
 
         # --- spectral shape (per-clip UDF rounding of spectral_stats) ---

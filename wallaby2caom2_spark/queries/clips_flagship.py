@@ -28,6 +28,7 @@ from .. import datagen
 from ..operators import (
     audio_fp,
     augment,
+    bandwidth,
     features,
     mfcc,
     multimodal,
@@ -141,7 +142,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v9"  # v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v10"  # v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -1170,6 +1171,53 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def audio_bandwidth_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-bandwidth profile (operators/bandwidth.py) over ALL clips —
+    spectral rolloff vs declared Nyquist, the upsample/band-limit detector
+    corpus QC runs before trusting rate-derived features. Classified in
+    codegen into occupancy bands so the output is a small stable relation;
+    the rolloff math replays through the fixture's shared
+    ``clip_bandwidth`` columns. Gate behavior (wideband vs band-limited vs
+    tone vs silence) pinned in tests/test_bandwidth.py."""
+    stats = bandwidth.bandwidth_stats(load_clips(spark, sf_dir))
+    band = (
+        F.when(~F.col("bw_ok"), "undecodable")
+        .when(F.col("upsample_suspect"), "suspect_narrow")
+        .when(F.col("bw_ratio") < 0.5, "band_limited")
+        .when(F.col("bw_ratio") < 0.8, "nominal")
+        .otherwise("full_band")
+    )
+    return (
+        stats.withColumn("occupancy", band)
+        .groupBy("occupancy")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("rolloff95_hz") + 1e-9, 1).alias("avg_rolloff95"),
+            F.round(F.avg("bw_ratio") + 1e-9, 4).alias("avg_bw_ratio"),
+        )
+        .orderBy("occupancy")
+    )
+
+
+def bandwidth_gate_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH b AS (
+  SELECT CASE WHEN NOT bw_ok THEN 'undecodable'
+              WHEN bw_suspect THEN 'suspect_narrow'
+              WHEN bw_ratio < 0.5 THEN 'band_limited'
+              WHEN bw_ratio < 0.8 THEN 'nominal'
+              ELSE 'full_band' END AS occupancy,
+         bw_rolloff95, bw_ratio
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT occupancy, count(*)::BIGINT AS n_clips,
+       round(avg(bw_rolloff95) + 1e-9, 1) AS avg_rolloff95,
+       round(avg(bw_ratio) + 1e-9, 4) AS avg_bw_ratio
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 def audio_pitch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F0/voicing statistics (operators/pitch.py) over ALL clips — the
     periodicity gate: hum/hiss/music beds carry transcripts but no voiced
@@ -1523,6 +1571,7 @@ QUERIES = {
     "audio_segment_stats": audio_segment_stats,
     "audio_normalize_stats": audio_normalize_stats,
     "audio_feature_stats": audio_feature_stats,
+    "audio_bandwidth_gate": audio_bandwidth_gate,
     "audio_mfcc_stats": audio_mfcc_stats,
     "audio_pitch_stats": audio_pitch_stats,
     "audio_vad_stats": audio_vad_stats,
@@ -1562,6 +1611,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_segment_stats": segment_stats_oracle,
     "audio_normalize_stats": normalize_stats_oracle,
     "audio_feature_stats": feature_stats_oracle,
+    "audio_bandwidth_gate": bandwidth_gate_oracle,
     "audio_mfcc_stats": mfcc_stats_oracle,
     "audio_pitch_stats": pitch_stats_oracle,
     "audio_trim_stats": trim_stats_oracle,

@@ -527,8 +527,134 @@ FROM doc_words JOIN tok_map USING (word)
 GROUP BY doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# bigram LM — distributed count-based training + held-out scoring
+# ---------------------------------------------------------------------------
+
+LM_K = 0.5          # add-k smoothing mass
+LM_TRAIN_MOD = 10   # doc_id % 10 < 8 → train split (deterministic, both engines)
+LM_TRAIN_KEEP = 8
+
+
+def ngram_lm_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model, TRAINED and APPLIED in one plan —
+    the distributed-LM pattern of Brants et al. 2007 ("Large Language
+    Models in Machine Translation": n-gram counting as MapReduce
+    aggregations, the model itself a distributed table keyed by n-gram).
+    The pipeline's `functions/perplexity.py` LM is the inference-side
+    hashed stand-in; this is the training side, fully relational:
+
+    - split: deterministic ``doc_id % 10 < 8`` → train, rest → eval (the
+      layout-independent hash-split discipline of `split_train_valid_test`,
+      reduced to arithmetic both engines share);
+    - train: explode bigrams ONCE; context counts c(u) and pair counts
+      c(u,v) are map-side-combined groupBys on uniform token keys; vocab
+      size V = distinct train tokens (for the add-k denominator);
+    - score: eval bigrams LEFT-join the model on (u,v) — an equi-join on
+      the bigram key, exactly how a 10^12-token model shards (partition
+      the model table BY n-gram hash and the probe is co-hashed; never a
+      broadcast of the full model) — with add-k smoothing
+      p(v|u) = (c(u,v)+k)/(c(u)+k·V); unseen context → k/(k·V) = 1/V;
+    - output: per-lang held-out mean log-probability (the model quality
+      signal a data-mixing loop reads per source/lang).
+
+    Float determinism: ln() on identical rationals (the tfidf_top_terms
+    precedent), per-doc means rounded at 6 dp, per-lang mean at 4 dp.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _words_col().alias("w")
+    )
+    is_train = (F.col("doc_id") % LM_TRAIN_MOD) < LM_TRAIN_KEEP
+    bigrams = docs.select(
+        "doc_id",
+        "lang",
+        is_train.alias("train"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("w"), i + 1).alias("u"),
+                    F.element_at(F.col("w"), i + 2).alias("v"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "train", F.col("bg.u").alias("u"), F.col("bg.v").alias("v"))
+
+    train_bg = bigrams.filter("train")
+    pair_counts = train_bg.groupBy("u", "v").agg(F.count("*").alias("cuv"))
+    ctx_counts = train_bg.groupBy("u").agg(F.count("*").alias("cu"))
+    vocab_size = (
+        docs.filter(is_train)
+        .select(F.explode("w").alias("t"))
+        .agg(F.countDistinct("t").alias("vsz"))
+    )
+
+    scored = (
+        bigrams.filter(~F.col("train"))
+        .join(pair_counts, ["u", "v"], "left")
+        .join(ctx_counts, ["u"], "left")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "doc_id",
+            "lang",
+            F.log(
+                (F.coalesce(F.col("cuv"), F.lit(0)) + LM_K)
+                / (F.coalesce(F.col("cu"), F.lit(0)) + LM_K * F.col("vsz"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(F.avg("lp") + 1e-9, 6).alias("doc_lp")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_eval_docs"),
+        F.round(F.avg("doc_lp") + 1e-9, 4).alias("avg_logprob"),
+    )
+
+
+_NGRAM_LM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, (doc_id % {LM_TRAIN_MOD}) < {LM_TRAIN_KEEP} AS train,
+         regexp_extract_all(lower(text), '{WORD_RE}') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, train, w[i] AS u, w[i + 1] AS v
+  FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+pair_counts AS (
+  SELECT u, v, count(*) AS cuv FROM bg WHERE train GROUP BY u, v
+),
+ctx_counts AS (
+  SELECT u, count(*) AS cu FROM bg WHERE train GROUP BY u
+),
+vocab AS (
+  SELECT count(DISTINCT t) AS vsz
+  FROM (SELECT unnest(w) AS t FROM d WHERE train)
+),
+scored AS (
+  SELECT doc_id, lang,
+         ln((COALESCE(cuv, 0) + {LM_K}) / (COALESCE(cu, 0) + {LM_K} * vsz))
+           AS lp
+  FROM bg
+  LEFT JOIN pair_counts USING (u, v)
+  LEFT JOIN ctx_counts USING (u)
+  CROSS JOIN vocab
+  WHERE NOT train
+),
+per_doc AS (
+  SELECT doc_id, lang, round(avg(lp) + 1e-9, 6) AS doc_lp
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT lang, count(*)::BIGINT AS n_eval_docs,
+       round(avg(doc_lp) + 1e-9, 4) AS avg_logprob
+FROM per_doc GROUP BY lang
+"""
+
+
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
+    "ngram_lm_train_score": ngram_lm_train_score,
     "bpe_train_merges": bpe_train_merges,
     "bpe_encode_fertility": bpe_encode_fertility,
     "tfidf_top_terms": tfidf_top_terms,
@@ -538,6 +664,7 @@ QUERIES = {
 
 ORACLE = {
     "bpe_pair_counts": _BPE_SQL,
+    "ngram_lm_train_score": _NGRAM_LM_SQL,
     "bpe_train_merges": _bpe_train_sql(),
     "bpe_encode_fertility": _bpe_encode_sql(),
     "tfidf_top_terms": _TFIDF_SQL,

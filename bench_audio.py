@@ -46,6 +46,7 @@ def main() -> None:
         "audio_tonality_gate",
         "audio_mfcc_stats",
         "audio_pitch_stats",
+        "audio_bandwidth_gate",
         "clips_curation_funnel",
     ):
         fn = ALL_QUERIES[qname]

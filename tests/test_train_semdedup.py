@@ -183,3 +183,33 @@ def test_train_logreg_deterministic(spark):
     a = entry.queries()["classifier_train_logreg"](spark, SF_DIR).collect()
     b = entry.queries()["classifier_train_logreg"](spark, SF_DIR).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# embedding_diversity — the sum-vector identity vs the O(N^2) ground truth
+# ---------------------------------------------------------------------------
+
+def test_diversity_identity_matches_quadratic_bruteforce(spark):
+    """||Σu||² − N over N(N−1) must equal the literal mean over all ordered
+    pairs — verified per label against the O(N²) numpy computation."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT label, embedding FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    by_label: dict[int, list] = {}
+    for label, e in rows:
+        by_label.setdefault(label, []).append(e)
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_pairwise_cos"])
+        for r in entry.queries()["embedding_diversity"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        X = np.array(vecs, dtype=np.float64)
+        U = X / np.sqrt((X * X).sum(1))[:, None]
+        cos = U @ U.T
+        n = len(U)
+        brute = (cos.sum() - np.trace(cos)) / (n * (n - 1))
+        assert got[label][0] == n
+        assert abs(got[label][1] - brute) < 1e-4, label

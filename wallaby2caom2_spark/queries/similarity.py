@@ -874,8 +874,76 @@ FROM r LEFT JOIN removed ON r.vec_id = removed.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding diversity — EXACT mean pairwise cosine without the pair join
+# ---------------------------------------------------------------------------
+
+def embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mean pairwise cosine similarity per label — the corpus
+    diversity/redundancy metric a data-mixing loop reads — computed WITHOUT
+    materializing any pair: for unit-normalized vectors,
+    ``Σ_{i≠j} cos(i,j) = ||Σ e_i||² − N``, so the whole statistic is ONE
+    map-side-combined aggregation of DIM sum cells per group. The naive
+    form is an O(N²) self-join (exactly what `dedup_embedding_neardup`
+    confines to LSH buckets because it's unaffordable corpus-wide); this
+    identity makes the corpus-wide answer O(N) — the canonical example of
+    an algebraic rewrite beating a physical-plan optimization. At 10^12
+    rows: one scan, partial aggregation collapses everything map-side,
+    K×DIM cells cross the wire.
+
+    Determinism: the per-dim sums are the only cross-engine float risk
+    (summation order); the result is rounded at 6 dp after the +1e-9
+    nudge — the `kmeans_train` handoff discipline.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label", _to_double(F.col("embedding")).alias("e")
+    )
+    unit = emb.select(
+        "label",
+        F.transform(
+            F.col("e"), lambda x: x / F.sqrt(_dot(F.col("e"), F.col("e")))
+        ).alias("u"),
+    )
+    sums = unit.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        *[F.sum(F.col("u").getItem(d)).alias(f"s{d}") for d in range(DIM)],
+    )
+    sq = sum((F.col(f"s{d}") * F.col(f"s{d}") for d in range(DIM)), F.lit(0.0))
+    n = F.col("n_vectors")
+    return sums.select(
+        "label",
+        "n_vectors",
+        F.round((sq - n) / (n * (n - 1)) + 1e-9, 6).alias("mean_pairwise_cos"),
+    )
+
+
+_DIVERSITY_SQL = """
+WITH u AS (
+  SELECT label,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS u
+  FROM embeddings
+),
+dims AS (
+  SELECT label, dim, sum(x) AS s
+  FROM (SELECT label, unnest(u) AS x, generate_subscripts(u, 1) AS dim FROM u)
+  GROUP BY label, dim
+),
+agg AS (
+  SELECT label, sum(s * s) AS sq FROM dims GROUP BY label
+),
+counts AS (SELECT label, count(*) AS n_vectors FROM u GROUP BY label)
+SELECT label, n_vectors::BIGINT AS n_vectors,
+       round((sq - n_vectors) / (n_vectors * (n_vectors - 1.0)) + 1e-9, 6)
+         AS mean_pairwise_cos
+FROM agg JOIN counts USING (label)
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "embedding_diversity": embedding_diversity,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf_assign": ann_ivf_assign,
     "ann_ivf_topk": ann_ivf_topk,
@@ -890,6 +958,7 @@ QUERIES = {
 ORACLE = {
     "kmeans_train": _kmeans_sql(),
     "semantic_cluster_dedup": _SEMDEDUP_SQL,
+    "embedding_diversity": _DIVERSITY_SQL,
     "similarity_topk_bruteforce": _TOPK_SQL,
     "ann_lsh_buckets": _lsh_buckets_sql(),
     "ann_ivf_assign": _IVF_SQL,

@@ -79,6 +79,25 @@ def test_lsh_banding_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_contrastive_mining_is_bucket_equi_join(spark):
+    """Pair generation must stay blocked by the LSH bucket — the vec_id
+    inequality is a post-join residual on a bucket EQUI-join, never the
+    join condition of a nested-loop all-pairs plan."""
+    plan = plan_of(spark, "contrastive_pair_mining")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quality_calibration_is_jvm_single_scan(spark):
+    """Score + percent_rank calibration: one documents scan, pure codegen
+    (no Python stage); the only wide op is the per-source window."""
+    plan = plan_of(spark, "quality_calibration_per_source")
+    assert count(plan, "Location: InMemoryFileIndex") == 1, plan
+    assert "MapInPandas" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 @pytest.mark.parametrize(
     "name", ["kmeans_train", "doc_intradoc_dedup", "text_linear_classifier"]
 )

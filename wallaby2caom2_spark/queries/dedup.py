@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ._tables import load
 
@@ -33,6 +34,8 @@ _SHINGLE = 3  # words per shingle
 # the fuzzy (containment) and exact (n-gram) decontamination queries must
 # agree on both, so they are DEFINED in textstats and imported here
 from .textstats import _words  # noqa: E402
+from .textstats import _QUALITY_SQL as _TEXT_QUALITY_SQL  # noqa: E402
+from .textstats import text_quality_score  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -477,6 +480,86 @@ FROM reach GROUP BY src
 
 
 # ---------------------------------------------------------------------------
+# quality-keeper election — CC groups keep the BEST doc, not the lowest id
+# ---------------------------------------------------------------------------
+
+def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor election by QUALITY: within each near-dup group (the
+    connected components over LSH-verified pairs), keep the highest-quality
+    member instead of the arbitrary min-id canonical — the election a real
+    curation pipeline runs (RefinedWeb/FineWeb keep the best-scoring copy of
+    boilerplate families, not the first-crawled one). Singleton docs (no
+    near-dup edge) are their own component and always keep.
+
+    Plan shape at 10^12 docs: the component labels come from the iterative
+    CC (equi-joins + partial-agg min per round); the quality score is a
+    map-only codegen projection over the SAME documents scan; the election
+    is ONE left join (labels are the pair-graph subset — tiny next to the
+    corpus, AQE broadcasts it) + ONE window partitioned by ``component``.
+    Ranking uses the ROUNDED quality (4 dp, the cross-engine handoff
+    discipline) with doc_id tie-break, so both engines elect identically.
+
+    Reference analog: J1's re-key + canonical regroup
+    (``fix_product_id_visit.py:80-107``) with the canonical chosen by a
+    quality metric instead of key order.
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    allq = quality.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "quality",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return allq.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "component",
+        "quality",
+        (F.col("rk") == 1).alias("is_keeper"),
+    )
+
+
+def _quality_keeper_sql() -> str:
+    # the CC closure and the quality query both nest verbatim as CTE bodies
+    # (each may carry its own WITH chain), so the oracle provably walks the
+    # same pair graph AND scores with the same formula
+    return f"""
+WITH RECURSIVE p AS (
+{_lsh_verified_sql()}
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+q AS (
+{_TEXT_QUALITY_SQL}
+),
+allq AS (
+  SELECT q.doc_id, COALESCE(comp.component, q.doc_id) AS component, q.quality
+  FROM q LEFT JOIN comp USING (doc_id)
+)
+SELECT doc_id, component, quality, rk = 1 AS is_keeper
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM allq
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # fuzzy decontamination — shingle-set CONTAINMENT on LSH candidates
 # ---------------------------------------------------------------------------
 
@@ -697,6 +780,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_quality_keeper": dedup_quality_keeper,
 }
 
 ORACLE = {
@@ -709,4 +793,5 @@ ORACLE = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_connected_components": _cc_sql(),
+    "dedup_quality_keeper": _quality_keeper_sql(),
 }

@@ -941,8 +941,112 @@ FROM agg JOIN counts USING (label)
 """
 
 
+# ---------------------------------------------------------------------------
+# contrastive pair mining — LSH-blocked positive / hard-negative generation
+# ---------------------------------------------------------------------------
+
+PAIRS_PER_ANCHOR = 4
+HARDNEG_TAU = 0.1
+
+
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair generation for a contrastive/metric-learning objective
+    (SimCLR/CLIP-style supervised variant): POSITIVES are same-label pairs,
+    HARD NEGATIVES are different-label pairs the encoder currently confuses
+    (cosine ≥ ``HARDNEG_TAU``) — the pairs that carry gradient signal, as
+    opposed to random negatives that are already far apart.
+
+    The mining is where the 100 TB shape lives: candidate pairs come ONLY
+    from within an 8-hyperplane LSH bucket (the same blocking as
+    ``ann_lsh_buckets`` / ``dedup_embedding_neardup``), so pair generation
+    is a self-equi-join on ``bucket`` — never all-pairs — and the per-anchor
+    budget (``row_number ≤ PAIRS_PER_ANCHOR`` per (anchor, class)) bounds
+    the output at O(N·budget) rows regardless of bucket skew. The budget
+    window hash-partitions on ``anchor_id``; everything else is codegen
+    (norms precomputed per side before the join — one fold per pair).
+
+    Deterministic in both engines: cosine rounded 4 dp after the +1e-9
+    nudge, budget ranking tie-breaks on ``other_id``.
+
+    Reference analog: none (the reference trains nothing) — this is the
+    training-data-pipeline extension of the LSH bucket family.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e")
+    )
+    bucket = F.lit(0)
+    for h in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in PLANES[h]])
+        bucket = bucket + F.when(_dot(F.col("e"), plane) > 0, 1 << h).otherwise(0)
+    b = emb.select(
+        "vec_id",
+        "label",
+        "e",
+        bucket.cast("int").alias("bucket"),
+        _norm(F.col("e")).alias("nrm"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    )
+    cos = _dot(F.col("a.e"), F.col("c.e")) / (F.col("a.nrm") * F.col("c.nrm"))
+    labeled = pairs.select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("c.vec_id").alias("other_id"),
+        F.round(cos + 1e-9, 4).alias("cos_sim"),
+        F.when(F.col("a.label") == F.col("c.label"), F.lit("positive"))
+        .when(
+            F.round(cos + 1e-9, 4) >= HARDNEG_TAU, F.lit("hard_negative")
+        )
+        .alias("pair_label"),
+    ).filter(F.col("pair_label").isNotNull())
+    w = Window.partitionBy("anchor_id", "pair_label").orderBy(
+        F.col("cos_sim").desc(), F.col("other_id").asc()
+    )
+    return (
+        labeled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PAIRS_PER_ANCHOR)
+        .select("anchor_id", "other_id", "pair_label", "cos_sim", "rank")
+    )
+
+
+def _contrastive_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_sql_plane_literal(h)}) > 0 "
+        f"THEN {1 << h} ELSE 0 END)"
+        for h in range(N_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, label, e, ({terms}) AS bucket FROM e),
+labeled AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS other_id,
+         round(list_dot_product(a.e, c.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(c.e, c.e))) + 1e-9, 4) AS cos_sim,
+         CASE WHEN a.label = c.label THEN 'positive'
+              WHEN round(list_dot_product(a.e, c.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(c.e, c.e))) + 1e-9, 4)
+                   >= {HARDNEG_TAU} THEN 'hard_negative'
+         END AS pair_label
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT anchor_id, other_id, pair_label, cos_sim, rank::INTEGER AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id, pair_label
+    ORDER BY cos_sim DESC, other_id ASC) AS rank
+  FROM labeled WHERE pair_label IS NOT NULL
+) WHERE rank <= {PAIRS_PER_ANCHOR}
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "contrastive_pair_mining": contrastive_pair_mining,
     "embedding_diversity": embedding_diversity,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf_assign": ann_ivf_assign,
@@ -957,6 +1061,7 @@ QUERIES = {
 
 ORACLE = {
     "kmeans_train": _kmeans_sql(),
+    "contrastive_pair_mining": _contrastive_sql(),
     "semantic_cluster_dedup": _SEMDEDUP_SQL,
     "embedding_diversity": _DIVERSITY_SQL,
     "similarity_topk_bruteforce": _TOPK_SQL,

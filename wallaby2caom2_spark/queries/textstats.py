@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ._tables import load
 
@@ -68,17 +69,25 @@ FROM documents GROUP BY source
 # quality scoring — length / stopword / punctuation components
 # ---------------------------------------------------------------------------
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def _quality_score() -> F.Column:
+    """The composite quality score as ONE column expression (length /
+    stopword / punctuation components) — shared by ``text_quality_score``,
+    ``quality_calibration_per_source`` and the dedup keeper election so
+    every consumer scores with the identical formula."""
     words = _words()
     n_words = F.size(words)
     stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     len_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
     stop_ratio = stop_hits / n_words
     punct_ratio = F.regexp_count(F.col("text"), F.lit(PUNCT_RE)) / F.col("n_chars")
-    score = 0.5 * len_score + 0.3 * stop_ratio + 0.2 * (
+    return 0.5 * len_score + 0.3 * stop_ratio + 0.2 * (
         1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))
     )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    score = _quality_score()
     bucket = (
         F.when(score >= 0.55, F.lit("high"))
         .when(score >= 0.4, F.lit("medium"))
@@ -114,6 +123,77 @@ SELECT doc_id, round(score + 1e-9, 4) AS quality,
        CASE WHEN score >= 0.55 THEN 'high'
             WHEN score >= 0.4 THEN 'medium'
             ELSE 'low' END AS quality_bucket
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source quality calibration — percentile-rank normalization
+# ---------------------------------------------------------------------------
+
+CAL_KEEP_PCT = 0.2  # drop the bottom 20% of each source
+
+
+def quality_calibration_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source CALIBRATION of the quality score — the filter a mixed
+    corpus actually needs: raw quality distributions differ per source
+    (a clean-books 0.5 and a web-crawl 0.5 mean different things), so a
+    single global threshold over-prunes the weakest source and under-prunes
+    the strongest. Replacing the raw score with its within-source percentile
+    rank makes "drop the bottom 20%" mean the same thing everywhere — the
+    CCNet-style per-shard quantile bucketing, expressed as one window.
+
+    Plan shape at 10^12 docs: the score is map-only codegen over the scan;
+    the calibration is ONE window hash-partitioned by ``source`` —
+    percent_rank needs a per-source sort, which AQE splits across tasks per
+    source partition; with thousands of sources the key is uniform enough,
+    and for a pathological mega-source the switch is the same as
+    `clips_quality_curriculum`: approxQuantile thresholds instead of an
+    exact rank. Ranking uses the ROUNDED quality (4 dp) so both engines
+    see identical tie groups — percent_rank is tie-stable (equal inputs get
+    equal ranks), making the output order-insensitive.
+
+    Reference analog: the calibration-level rule P4
+    (``storage_name.py:89-93``) generalized from a literal cascade to a
+    distribution-relative rule.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(_quality_score() + 1e-9, 4).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").asc())
+    cal = F.round(F.percent_rank().over(w) + 1e-9, 6)
+    return scored.withColumn("cal_pct", cal).select(
+        "doc_id",
+        "source",
+        "quality",
+        "cal_pct",
+        (F.col("cal_pct") >= CAL_KEEP_PCT).alias("keep"),
+    )
+
+
+_CALIBRATION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars, text,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         round(0.5 * least(n_chars / 400.0, 1.0)
+         + 0.3 * (len(list_filter(words,
+                    x -> x IN {STOPWORDS!r}))::DOUBLE / len(words))
+         + 0.2 * (1.0 - least(
+              (len(regexp_extract_all(text, '{PUNCT_RE}'))::DOUBLE / n_chars)
+              * 10.0, 1.0)) + 1e-9, 4) AS quality
+  FROM w
+)
+SELECT doc_id, source, quality,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY quality ASC)
+             + 1e-9, 6) AS cal_pct,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY quality ASC)
+             + 1e-9, 6) >= {CAL_KEEP_PCT} AS keep
 FROM s
 """
 
@@ -904,6 +984,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "classifier_train_logreg": classifier_train_logreg,
     "text_quality_score": text_quality_score,
+    "quality_calibration_per_source": quality_calibration_per_source,
     "text_langid_heuristic": text_langid_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "sample_stratified": sample_stratified,
@@ -920,6 +1001,7 @@ ORACLE = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "classifier_train_logreg": _train_logreg_sql(),
     "text_quality_score": _QUALITY_SQL,
+    "quality_calibration_per_source": _CALIBRATION_SQL,
     "text_langid_heuristic": _LANGID_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "sample_stratified": _SAMPLE_SQL,

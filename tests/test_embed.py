@@ -74,6 +74,38 @@ def test_zero_vector_is_inert_and_never_null(spark, clips):
         assert all(r["d"] == 0.0 for r in norms)
 
 
+def test_cluster_balance_weights_are_a_distribution(spark):
+    """audio_cluster_balance invariants at sf0.001: weights form a
+    probability distribution over the K clusters, boost is exactly the
+    weight/natural-share ratio (so sum(boost * share) == 1 too), cluster
+    sizes partition the embeddable corpus, and the whole report is
+    deterministic across runs (pinned centroid init)."""
+    import math
+
+    from wallaby2caom2_spark.operators import embed as embmod
+    from wallaby2caom2_spark.queries import audio_embed as ae
+    from wallaby2caom2_spark.queries.clips_flagship import load_clips
+
+    sf = "/root/testdata/sf0.001"
+    rows = ae.audio_cluster_balance(spark, sf).collect()
+    assert 1 <= len(rows) <= ae.AC_K
+    tot = sum(r["n_clips"] for r in rows)
+    n_ok = (
+        embmod.embed_clips(load_clips(spark, sf)).filter("emb_ok").count()
+    )
+    assert tot == n_ok  # assignment partitions the embeddable corpus
+    w_sum = sum(r["weight"] for r in rows)
+    assert math.isclose(w_sum, 1.0, abs_tol=1e-4)
+    for r in rows:
+        share = r["n_clips"] / tot
+        # boost was rounded to 4 dp from weight/share on UNROUNDED weight;
+        # bound the check by the two roundings' combined slack
+        assert abs(r["boost"] - r["weight"] / share) < 2e-3
+        assert r["avg_d2"] >= 0.0
+    again = ae.audio_cluster_balance(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_semantic_neardup_pairs_share_bucket_by_construction(spark, clips):
     """Every reported pair's two clips agree on all 8 hyperplane signs —
     the bucket equi-join can never emit a cross-bucket pair."""

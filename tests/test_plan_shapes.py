@@ -222,6 +222,7 @@ CLIPS_QUERIES = [
     "clips_quality_curriculum",
     "audio_embedding_stats",
     "audio_semantic_neardup",
+    "audio_cluster_balance",
 ]
 
 

@@ -146,9 +146,111 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+AC_K = 8  # clusters for the balance report
+
+
+def audio_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling weights over the audio-embedding space —
+    the data-mixing step after SemDeDup-style clustering (DataComp /
+    cluster-balanced sampling): assign every clip to its nearest centroid,
+    then give each cluster a temperature-flattened sampling weight
+    ``sqrt(n_c) / Σ sqrt(n_c)`` so over-represented acoustic modes (one
+    speaker, one room, one synthetic tone family) stop dominating the
+    training mix. ``boost`` = weight / natural share — the per-cluster
+    over/under-sampling multiplier a sampler applies downstream.
+
+    Plan shape at 10^12 clips: ONE Arrow crossing (the shared embed pass,
+    payload dies in the worker), assignment is a broadcast-literal map-only
+    projection (zero shuffle — the `kmeans_train` pattern), the per-cluster
+    aggregate is map-side combined, and the only unpartitioned window runs
+    over the K aggregate rows (the `sample_token_budget` discipline).
+    Centroids are the K lowest-clip_id vectors (deterministic init, exactly
+    replayable in SQL); production swaps in `kmeans_train` output the same
+    way. Rounding: distances 4 dp, weights 6 dp, boost 4 dp, all after the
+    +1e-9 nudge — the cross-engine handoff discipline.
+
+    Reference analog: none — this extends the A5 outcome-counter family
+    into the sampling-policy domain.
+    """
+    e = embed.embed_clips(load_clips(spark, sf_dir)).filter(F.col("emb_ok"))
+    init = [
+        list(r["emb"])
+        for r in e.orderBy("clip_id").limit(AC_K).select("emb").collect()
+    ]
+    def _d2(c: list[float]) -> F.Column:
+        cl = F.array(*[F.lit(float(v)) for v in c])
+        em = F.col("emb")
+        return _dot(em, em) - 2.0 * _dot(em, cl) + _dot(cl, cl)
+
+    dists = F.array(*[F.round(_d2(c) + 1e-9, 4) for c in init])
+    assigned = e.withColumn("dists", dists).select(
+        (F.expr("array_position(dists, array_min(dists))") - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.array_min("dists").alias("d2"),
+    )
+    agg = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_clips"),
+        F.round(F.avg("d2") + 1e-9, 4).alias("avg_d2"),
+    )
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    tot_sqrt = F.sum(F.sqrt(F.col("n_clips"))).over(w_all)
+    tot_n = F.sum(F.col("n_clips")).over(w_all)
+    weight = F.sqrt(F.col("n_clips")) / tot_sqrt
+    share = F.col("n_clips") / tot_n
+    return agg.select(
+        "cluster_id",
+        "n_clips",
+        "avg_d2",
+        F.round(weight + 1e-9, 6).alias("weight"),
+        F.round(weight / share + 1e-9, 4).alias("boost"),
+    )
+
+
+def cluster_balance_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH e AS (
+  SELECT clip_id, emb FROM read_parquet('{path}/*.parquet') WHERE emb_ok
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY clip_id) - 1 AS cid, emb AS ce
+  FROM e ORDER BY clip_id LIMIT {AC_K}
+),
+a AS (
+  SELECT cid AS cluster_id, d2 FROM (
+    SELECT e.clip_id, c.cid,
+           round(list_dot_product(e.emb, e.emb)
+                 - 2*list_dot_product(e.emb, c.ce)
+                 + list_dot_product(c.ce, c.ce) + 1e-9, 4) AS d2,
+           row_number() OVER (
+             PARTITION BY e.clip_id
+             ORDER BY round(list_dot_product(e.emb, e.emb)
+                            - 2*list_dot_product(e.emb, c.ce)
+                            + list_dot_product(c.ce, c.ce) + 1e-9, 4) ASC,
+                      c.cid ASC) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT cluster_id, count(*)::BIGINT AS n_clips,
+         round(avg(d2) + 1e-9, 4) AS avg_d2
+  FROM a GROUP BY cluster_id
+)
+SELECT cluster_id, n_clips, avg_d2,
+       round(sqrt(n_clips) / sum(sqrt(n_clips)) OVER () + 1e-9, 6) AS weight,
+       round((sqrt(n_clips) / sum(sqrt(n_clips)) OVER ())
+             / (n_clips * 1.0 / sum(n_clips) OVER ()) + 1e-9, 4) AS boost
+FROM agg
+"""
+
+
 QUERIES = {
     "audio_embedding_stats": audio_embedding_stats,
     "audio_semantic_neardup": audio_semantic_neardup,
+    "audio_cluster_balance": audio_cluster_balance,
 }
 
 ORACLE: dict[str, str] = {}
@@ -156,4 +258,5 @@ ORACLE: dict[str, str] = {}
 ORACLE_BUILDERS = {
     "audio_embedding_stats": embedding_stats_oracle,
     "audio_semantic_neardup": semantic_neardup_oracle,
+    "audio_cluster_balance": cluster_balance_oracle,
 }

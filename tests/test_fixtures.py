@@ -169,6 +169,37 @@ def test_fixture_matches_bandwidth(spark, fixture_rows):
             assert _norm(live) == _norm(f[col]), (r["clip_id"], col)
 
 
+def test_fixture_matches_reverb(spark, fixture_rows):
+    """v11 replay columns: the persisted decay profile equals the live
+    operator per clip, raw doubles included."""
+    from wallaby2caom2_spark.operators.reverb import reverb_stats
+
+    clips_path, fix = fixture_rows
+    for r in reverb_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["rev_ok"] == f["rev_ok"], r["clip_id"]
+        for live, col in (
+            (r["decay_db_s"], "rev_decay_db_s"),
+            (r["rt60_ms"], "rev_rt60_ms"),
+            (r["tail_ms"], "rev_tail_ms"),
+        ):
+            assert _norm(live) == _norm(f[col]), (r["clip_id"], col)
+
+
+def test_fixture_matches_hum(spark, fixture_rows):
+    """v11 replay columns: the persisted hum profile equals the live
+    operator per clip, raw doubles included."""
+    from wallaby2caom2_spark.operators.hum import hum_stats
+
+    clips_path, fix = fixture_rows
+    for r in hum_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["hum_ok"] == f["hum_ok"], r["clip_id"]
+        assert r["hum_hz"] == f["hum_hz"], r["clip_id"]
+        assert r["hum_harmonics"] == f["hum_harmonics"], r["clip_id"]
+        assert _norm(r["hum_ratio"]) == _norm(f["hum_ratio"]), r["clip_id"]
+
+
 def test_fixture_matches_resample_and_specaugment(spark, fixture_rows):
     """v6 replay columns: per-clip equality against the live operators,
     raw (unrounded) doubles included."""

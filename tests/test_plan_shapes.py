@@ -205,6 +205,9 @@ CLIPS_QUERIES = [
     "audio_normalize_stats",
     "audio_feature_stats",
     "audio_bandwidth_gate",
+    "audio_reverb_gate",
+    "audio_hum_gate",
+    "audio_ols_speech_model",
     "audio_mfcc_stats",
     "audio_pitch_stats",
     "audio_vad_stats",

@@ -143,6 +143,16 @@ FIXTURE_SCHEMA = pa.schema(
         ("bw_rolloff99", pa.float64()),
         ("bw_ratio", pa.float64()),
         ("bw_suspect", pa.bool_()),
+        # reverberation gate (operators/reverb.py — shared clip_reverb)
+        ("rev_ok", pa.bool_()),
+        ("rev_decay_db_s", pa.float64()),
+        ("rev_rt60_ms", pa.float64()),
+        ("rev_tail_ms", pa.float64()),
+        # mains-hum gate (operators/hum.py — shared clip_hum)
+        ("hum_ok", pa.bool_()),
+        ("hum_hz", pa.int32()),
+        ("hum_ratio", pa.float64()),
+        ("hum_harmonics", pa.int32()),
     ]
 )
 
@@ -240,6 +250,8 @@ _SEG_COLS = (
     "pitch_ok", "pitch_n_frames", "pitch_n_voiced", "pitch_voiced_ratio",
     "pitch_mean_f0",
     "bw_ok", "bw_rolloff95", "bw_rolloff99", "bw_ratio", "bw_suspect",
+    "rev_ok", "rev_decay_db_s", "rev_rt60_ms", "rev_tail_ms",
+    "hum_ok", "hum_hz", "hum_ratio", "hum_harmonics",
 )
 
 
@@ -273,6 +285,8 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         pitch_ok=False, pitch_voiced_ratio=0.0, pitch_mean_f0=0.0,
         bw_ok=False, bw_rolloff95=0.0, bw_rolloff99=0.0, bw_ratio=0.0,
         bw_suspect=False,
+        rev_ok=False, rev_decay_db_s=0.0, rev_rt60_ms=0.0, rev_tail_ms=0.0,
+        hum_ok=False, hum_ratio=0.0,
     )
     decodable = samples is not None and len(samples) > 0 and sr_f > 0
     if decodable:
@@ -393,6 +407,30 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
                 bw_rolloff99=bres[1],
                 bw_ratio=bres[2],
                 bw_suspect=bres[3],
+            )
+
+        # --- reverberation gate (shared per-clip function, reverb.py) ---
+        from .operators.reverb import clip_reverb
+
+        rres = clip_reverb(samples, sr_f)
+        if rres is not None:
+            out.update(
+                rev_ok=True,
+                rev_decay_db_s=rres[0],
+                rev_rt60_ms=rres[1],
+                rev_tail_ms=rres[2],
+            )
+
+        # --- mains-hum gate (shared per-clip function, hum.py) ---
+        from .operators.hum import clip_hum
+
+        hres = clip_hum(samples, sr_f)
+        if hres is not None:
+            out.update(
+                hum_ok=True,
+                hum_hz=hres[0],
+                hum_ratio=hres[1],
+                hum_harmonics=hres[2],
             )
 
         # --- spectral shape (per-clip UDF rounding of spectral_stats) ---

@@ -30,11 +30,13 @@ from ..operators import (
     augment,
     bandwidth,
     features,
+    hum,
     mfcc,
     multimodal,
     normalize,
     pitch,
     preview,
+    reverb,
     segment,
     spectral,
     vad,
@@ -142,7 +144,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v10"  # v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v11"  # v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -1218,6 +1220,232 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def audio_reverb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverberation profile (operators/reverb.py) over ALL clips — the
+    energy-decay slope after the loudest frame, the room-acoustics gate a
+    speech corpus applies before trusting transcripts (heavy reverb is a
+    strong ASR-label-noise predictor). Classified in codegen into the
+    familiar RT60 bands; the decay math replays through the fixture's
+    shared ``clip_reverb`` columns. Decay-fit accuracy (synthetic
+    exponential tails land in the right band, sustained signals read
+    no-decay) is pinned in tests/test_reverb.py."""
+    stats = reverb.reverb_stats(load_clips(spark, sf_dir))
+    band = (
+        F.when(~F.col("rev_ok"), "unmeasurable")
+        .when(F.col("rt60_ms") <= 0.0, "no_decay")
+        .when(F.col("rt60_ms") < 300.0, "dry")
+        .when(F.col("rt60_ms") < 800.0, "live")
+        .when(F.col("rt60_ms") < 2000.0, "reverberant")
+        .otherwise("boomy")
+    )
+    return (
+        stats.withColumn("room", band)
+        .groupBy("room")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("decay_db_s") + 1e-9, 2).alias("avg_decay_db_s"),
+            F.round(F.avg("rt60_ms") + 1e-9, 1).alias("avg_rt60_ms"),
+            F.round(F.avg("tail_ms") + 1e-9, 1).alias("avg_tail_ms"),
+        )
+        .orderBy("room")
+    )
+
+
+def reverb_gate_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH r AS (
+  SELECT CASE WHEN NOT rev_ok THEN 'unmeasurable'
+              WHEN rev_rt60_ms <= 0.0 THEN 'no_decay'
+              WHEN rev_rt60_ms < 300.0 THEN 'dry'
+              WHEN rev_rt60_ms < 800.0 THEN 'live'
+              WHEN rev_rt60_ms < 2000.0 THEN 'reverberant'
+              ELSE 'boomy' END AS room,
+         rev_decay_db_s, rev_rt60_ms, rev_tail_ms
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT room, count(*)::BIGINT AS n_clips,
+       round(avg(rev_decay_db_s) + 1e-9, 2) AS avg_decay_db_s,
+       round(avg(rev_rt60_ms) + 1e-9, 1) AS avg_rt60_ms,
+       round(avg(rev_tail_ms) + 1e-9, 1) AS avg_tail_ms
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def audio_hum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mains-hum contamination profile (operators/hum.py) over ALL clips —
+    50/60 Hz family power share, the ground-loop screen corpus QC runs
+    before feature extraction (hum drags MFCC C0/C1 and captures pitch
+    trackers). Contaminated = winning family holds over 5% of clip power;
+    the Goertzel math replays through the fixture's shared ``clip_hum``
+    columns. Detector behavior (planted 50/60 Hz flagged, clean audio
+    passes, silence contained) is pinned in tests/test_hum.py."""
+    stats = hum.hum_stats(load_clips(spark, sf_dir))
+    verdict = (
+        F.when(~F.col("hum_ok"), "unmeasurable")
+        .when(F.col("hum_ratio") > 0.05, F.concat(F.lit("hum_"), F.col("hum_hz")))
+        .otherwise("clean")
+    )
+    return (
+        stats.withColumn("verdict", verdict)
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("hum_ratio") + 1e-9, 4).alias("avg_hum_ratio"),
+            F.round(F.avg("hum_harmonics") + 1e-9, 2).alias("avg_harmonics"),
+        )
+        .orderBy("verdict")
+    )
+
+
+def hum_gate_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH h AS (
+  SELECT CASE WHEN NOT hum_ok THEN 'unmeasurable'
+              WHEN hum_ratio > 0.05 THEN 'hum_' || hum_hz
+              ELSE 'clean' END AS verdict,
+         hum_ratio, hum_harmonics
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT verdict, count(*)::BIGINT AS n_clips,
+       round(avg(hum_ratio) + 1e-9, 4) AS avg_hum_ratio,
+       round(avg(hum_harmonics) + 1e-9, 2) AS avg_harmonics
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+def audio_ols_speech_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS distributed least squares — fit
+    ``n_speech_frames ≈ b0 + b1·n_frames + b2·n_chars`` over the VAD-able
+    corpus by normal equations: a single map-side-combined aggregation
+    collapses the corpus to ten EXACT integer sufficient statistics
+    (n, Σx, ΣxᵀX, Σxy, Σy²), then Cramer's rule solves the 3×3 system in
+    codegen over the one-row frame. Complements the ITERATIVE trainers
+    (kmeans_train, classifier_train_logreg, bpe_train_merges): a linear
+    model needs no rounds at all — data never moves, nothing is collected.
+
+    Cross-engine determinism: the sufficient statistics are integer sums
+    (order-independent, exact), and the solve applies the identical IEEE
+    double expression to identical integers in both engines. At 10^12
+    rows the Σx² accumulators approach int64 range — the scale path swaps
+    the sums to decimal(38,0)/HUGEINT, same plan shape.
+
+    Model-quality floor (R² strongly positive — speech frames really do
+    track total frames) is pinned in tests/test_ols.py alongside an exact
+    numpy lstsq replay.
+    """
+    v = vad.vad_stats(
+        load_clips(spark, sf_dir).withColumn(
+            "n_chars", F.coalesce(F.length("transcript"), F.lit(0))
+        ),
+        passthrough=("n_chars",),
+    ).filter(F.col("vad_ok"))
+    x1, x2, y = (
+        F.col("n_frames").cast("long"),
+        F.col("n_chars").cast("long"),
+        F.col("n_speech_frames").cast("long"),
+    )
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx11"),
+        F.sum(x1 * x2).alias("sx12"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    # identical double-precision solve expression as the oracle SQL below
+    solved = s.select(
+        "n",
+        *[F.col(c).cast("double").alias(f"{c}_d") for c in (
+            "sx1", "sx2", "sy", "sx11", "sx12", "sx22", "sx1y", "sx2y", "syy"
+        )],
+    ).selectExpr(
+        "n",
+        "sy_d", "sx1y_d", "sx2y_d", "syy_d",
+        """(n * (sx11_d * sx22_d - sx12_d * sx12_d)
+            - sx1_d * (sx1_d * sx22_d - sx12_d * sx2_d)
+            + sx2_d * (sx1_d * sx12_d - sx11_d * sx2_d)) AS det""",
+        """(sy_d * (sx11_d * sx22_d - sx12_d * sx12_d)
+            - sx1_d * (sx1y_d * sx22_d - sx12_d * sx2y_d)
+            + sx2_d * (sx1y_d * sx12_d - sx11_d * sx2y_d)) AS det0""",
+        """(n * (sx1y_d * sx22_d - sx12_d * sx2y_d)
+            - sy_d * (sx1_d * sx22_d - sx12_d * sx2_d)
+            + sx2_d * (sx1_d * sx2y_d - sx1y_d * sx2_d)) AS det1""",
+        """(n * (sx11_d * sx2y_d - sx1y_d * sx12_d)
+            - sx1_d * (sx1_d * sx2y_d - sx1y_d * sx2_d)
+            + sy_d * (sx1_d * sx12_d - sx11_d * sx2_d)) AS det2""",
+    )
+    b0, b1, b2 = (F.col("det0") / F.col("det"),
+                  F.col("det1") / F.col("det"),
+                  F.col("det2") / F.col("det"))
+    sse = (F.col("syy_d")
+           - b0 * F.col("sy_d") - b1 * F.col("sx1y_d") - b2 * F.col("sx2y_d"))
+    sst = F.col("syy_d") - F.col("sy_d") * F.col("sy_d") / F.col("n")
+    return solved.select(
+        F.col("n").alias("n_clips"),
+        F.round(b0 + 1e-9, 6).alias("b_intercept"),
+        F.round(b1 + 1e-9, 6).alias("b_frames"),
+        F.round(b2 + 1e-9, 6).alias("b_chars"),
+        F.round(F.lit(1.0) - sse / sst + 1e-9, 6).alias("r2"),
+    )
+
+
+def ols_speech_model_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(n_frames::BIGINT) AS sx1,
+         sum(n_chars::BIGINT) AS sx2,
+         sum(n_speech_frames::BIGINT) AS sy,
+         sum(n_frames::BIGINT * n_frames::BIGINT) AS sx11,
+         sum(n_frames::BIGINT * n_chars::BIGINT) AS sx12,
+         sum(n_chars::BIGINT * n_chars::BIGINT) AS sx22,
+         sum(n_frames::BIGINT * n_speech_frames::BIGINT) AS sx1y,
+         sum(n_chars::BIGINT * n_speech_frames::BIGINT) AS sx2y,
+         sum(n_speech_frames::BIGINT * n_speech_frames::BIGINT) AS syy
+  FROM read_parquet('{path}/*.parquet') WHERE vad_ok
+),
+d AS (
+  SELECT n,
+         sx1::DOUBLE AS sx1_d, sx2::DOUBLE AS sx2_d, sy::DOUBLE AS sy_d,
+         sx11::DOUBLE AS sx11_d, sx12::DOUBLE AS sx12_d,
+         sx22::DOUBLE AS sx22_d, sx1y::DOUBLE AS sx1y_d,
+         sx2y::DOUBLE AS sx2y_d, syy::DOUBLE AS syy_d
+  FROM s
+),
+k AS (
+  SELECT n, sy_d, sx1y_d, sx2y_d, syy_d,
+         (n * (sx11_d * sx22_d - sx12_d * sx12_d)
+          - sx1_d * (sx1_d * sx22_d - sx12_d * sx2_d)
+          + sx2_d * (sx1_d * sx12_d - sx11_d * sx2_d)) AS det,
+         (sy_d * (sx11_d * sx22_d - sx12_d * sx12_d)
+          - sx1_d * (sx1y_d * sx22_d - sx12_d * sx2y_d)
+          + sx2_d * (sx1y_d * sx12_d - sx11_d * sx2y_d)) AS det0,
+         (n * (sx1y_d * sx22_d - sx12_d * sx2y_d)
+          - sy_d * (sx1_d * sx22_d - sx12_d * sx2_d)
+          + sx2_d * (sx1_d * sx2y_d - sx1y_d * sx2_d)) AS det1,
+         (n * (sx11_d * sx2y_d - sx1y_d * sx12_d)
+          - sx1_d * (sx1_d * sx2y_d - sx1y_d * sx2_d)
+          + sy_d * (sx1_d * sx12_d - sx11_d * sx2_d)) AS det2
+  FROM d
+)
+SELECT n AS n_clips,
+       round(det0 / det + 1e-9, 6) AS b_intercept,
+       round(det1 / det + 1e-9, 6) AS b_frames,
+       round(det2 / det + 1e-9, 6) AS b_chars,
+       round(1.0 - (syy_d - (det0 / det) * sy_d - (det1 / det) * sx1y_d
+                    - (det2 / det) * sx2y_d)
+                 / (syy_d - sy_d * sy_d / n) + 1e-9, 6) AS r2
+FROM k
+"""
+
+
 def audio_pitch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F0/voicing statistics (operators/pitch.py) over ALL clips — the
     periodicity gate: hum/hiss/music beds carry transcripts but no voiced
@@ -1572,6 +1800,9 @@ QUERIES = {
     "audio_normalize_stats": audio_normalize_stats,
     "audio_feature_stats": audio_feature_stats,
     "audio_bandwidth_gate": audio_bandwidth_gate,
+    "audio_reverb_gate": audio_reverb_gate,
+    "audio_hum_gate": audio_hum_gate,
+    "audio_ols_speech_model": audio_ols_speech_model,
     "audio_mfcc_stats": audio_mfcc_stats,
     "audio_pitch_stats": audio_pitch_stats,
     "audio_vad_stats": audio_vad_stats,
@@ -1612,6 +1843,9 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_normalize_stats": normalize_stats_oracle,
     "audio_feature_stats": feature_stats_oracle,
     "audio_bandwidth_gate": bandwidth_gate_oracle,
+    "audio_reverb_gate": reverb_gate_oracle,
+    "audio_hum_gate": hum_gate_oracle,
+    "audio_ols_speech_model": ols_speech_model_oracle,
     "audio_mfcc_stats": mfcc_stats_oracle,
     "audio_pitch_stats": pitch_stats_oracle,
     "audio_trim_stats": trim_stats_oracle,

@@ -47,6 +47,7 @@ def main() -> None:
         "audio_mfcc_stats",
         "audio_pitch_stats",
         "audio_bandwidth_gate",
+        "audio_loudness_gate",
         "clips_curation_funnel",
     ):
         fn = ALL_QUERIES[qname]

@@ -200,6 +200,25 @@ def test_fixture_matches_hum(spark, fixture_rows):
         assert _norm(r["hum_ratio"]) == _norm(f["hum_ratio"]), r["clip_id"]
 
 
+def test_fixture_matches_loudness(spark, fixture_rows):
+    """v12 replay columns: the persisted gated-loudness profile equals the
+    live operator per clip, raw doubles included."""
+    from wallaby2caom2_spark.operators.loudness import loudness_stats
+
+    clips_path, fix = fixture_rows
+    for r in loudness_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["loud_ok"] == f["loud_ok"], r["clip_id"]
+        assert r["n_blocks"] == f["loud_blocks"], r["clip_id"]
+        assert r["n_gated_blocks"] == f["loud_gated"], r["clip_id"]
+        for live, col in (
+            (r["lufs"], "loud_lufs"),
+            (r["peak_dbfs"], "loud_peak_dbfs"),
+            (r["block_range_db"], "loud_range_db"),
+        ):
+            assert _norm(live) == _norm(f[col]), (r["clip_id"], col)
+
+
 def test_fixture_matches_resample_and_specaugment(spark, fixture_rows):
     """v6 replay columns: per-clip equality against the live operators,
     raw (unrounded) doubles included."""

@@ -153,6 +153,13 @@ FIXTURE_SCHEMA = pa.schema(
         ("hum_hz", pa.int32()),
         ("hum_ratio", pa.float64()),
         ("hum_harmonics", pa.int32()),
+        # gated program loudness (operators/loudness.py — shared clip_loudness)
+        ("loud_ok", pa.bool_()),
+        ("loud_lufs", pa.float64()),
+        ("loud_peak_dbfs", pa.float64()),
+        ("loud_blocks", pa.int32()),
+        ("loud_gated", pa.int32()),
+        ("loud_range_db", pa.float64()),
     ]
 )
 
@@ -252,6 +259,8 @@ _SEG_COLS = (
     "bw_ok", "bw_rolloff95", "bw_rolloff99", "bw_ratio", "bw_suspect",
     "rev_ok", "rev_decay_db_s", "rev_rt60_ms", "rev_tail_ms",
     "hum_ok", "hum_hz", "hum_ratio", "hum_harmonics",
+    "loud_ok", "loud_lufs", "loud_peak_dbfs", "loud_blocks", "loud_gated",
+    "loud_range_db",
 )
 
 
@@ -287,6 +296,8 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         bw_suspect=False,
         rev_ok=False, rev_decay_db_s=0.0, rev_rt60_ms=0.0, rev_tail_ms=0.0,
         hum_ok=False, hum_ratio=0.0,
+        loud_ok=False, loud_lufs=-120.0, loud_peak_dbfs=-120.0,
+        loud_range_db=0.0,
     )
     decodable = samples is not None and len(samples) > 0 and sr_f > 0
     if decodable:
@@ -431,6 +442,20 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
                 hum_hz=hres[0],
                 hum_ratio=hres[1],
                 hum_harmonics=hres[2],
+            )
+
+        # --- gated program loudness (shared per-clip function, loudness.py) ---
+        from .operators.loudness import clip_loudness
+
+        lres = clip_loudness(samples, sr_f)
+        if lres is not None:
+            out.update(
+                loud_ok=True,
+                loud_lufs=lres[0],
+                loud_peak_dbfs=lres[1],
+                loud_blocks=lres[2],
+                loud_gated=lres[3],
+                loud_range_db=lres[4],
             )
 
         # --- spectral shape (per-clip UDF rounding of spectral_stats) ---

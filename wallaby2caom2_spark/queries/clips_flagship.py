@@ -31,6 +31,7 @@ from ..operators import (
     bandwidth,
     features,
     hum,
+    loudness,
     mfcc,
     multimodal,
     normalize,
@@ -144,7 +145,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v11"  # v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v12"  # v12: + gated-loudness replay columns (loud_*, shared clip_loudness); v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -1315,6 +1316,63 @@ FROM h GROUP BY 1 ORDER BY 1
 """
 
 
+def audio_loudness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated program-loudness profile (operators/loudness.py) over ALL
+    clips — BS.1770-style K-weighted, two-stage-gated integrated loudness,
+    the level screen a speech corpus runs BEFORE normalization: ungated
+    RMS over-boosts clips with long pauses, the gate tracks program
+    material. Verdict bands: too_quiet (< −35 LUFS integrated),
+    too_loud (> −10), ok, unmeasurable (silence / sub-block / low-rate).
+    The spectral-K math replays through the fixture's shared
+    ``clip_loudness`` columns; spec-anchor behavior (997 Hz full-scale
+    sine ≈ −3 LUFS, gating tracks bursts) is pinned in
+    tests/test_loudness.py."""
+    stats = loudness.loudness_stats(load_clips(spark, sf_dir))
+    verdict = (
+        F.when(~F.col("loud_ok"), "unmeasurable")
+        .when(F.col("lufs") < -35.0, "too_quiet")
+        .when(F.col("lufs") > -10.0, "too_loud")
+        .otherwise("ok")
+    )
+    return (
+        stats.withColumn("verdict", verdict)
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("lufs") + 1e-9, 4).alias("avg_lufs"),
+            F.round(F.avg("peak_dbfs") + 1e-9, 4).alias("avg_peak_dbfs"),
+            F.round(
+                F.avg(F.col("n_gated_blocks") / F.greatest(F.col("n_blocks"), F.lit(1)))
+                + 1e-9,
+                4,
+            ).alias("avg_gated_frac"),
+            F.round(F.avg("block_range_db") + 1e-9, 4).alias("avg_range_db"),
+        )
+        .orderBy("verdict")
+    )
+
+
+def loudness_gate_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH l AS (
+  SELECT CASE WHEN NOT loud_ok THEN 'unmeasurable'
+              WHEN loud_lufs < -35.0 THEN 'too_quiet'
+              WHEN loud_lufs > -10.0 THEN 'too_loud'
+              ELSE 'ok' END AS verdict,
+         loud_lufs, loud_peak_dbfs, loud_range_db,
+         loud_gated::DOUBLE / greatest(loud_blocks, 1) AS gated_frac
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT verdict, count(*)::BIGINT AS n_clips,
+       round(avg(loud_lufs) + 1e-9, 4) AS avg_lufs,
+       round(avg(loud_peak_dbfs) + 1e-9, 4) AS avg_peak_dbfs,
+       round(avg(gated_frac) + 1e-9, 4) AS avg_gated_frac,
+       round(avg(loud_range_db) + 1e-9, 4) AS avg_range_db
+FROM l GROUP BY 1 ORDER BY 1
+"""
+
+
 def audio_ols_speech_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-PASS distributed least squares — fit
     ``n_speech_frames ≈ b0 + b1·n_frames + b2·n_chars`` over the VAD-able
@@ -1802,6 +1860,7 @@ QUERIES = {
     "audio_bandwidth_gate": audio_bandwidth_gate,
     "audio_reverb_gate": audio_reverb_gate,
     "audio_hum_gate": audio_hum_gate,
+    "audio_loudness_gate": audio_loudness_gate,
     "audio_ols_speech_model": audio_ols_speech_model,
     "audio_mfcc_stats": audio_mfcc_stats,
     "audio_pitch_stats": audio_pitch_stats,
@@ -1845,6 +1904,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_bandwidth_gate": bandwidth_gate_oracle,
     "audio_reverb_gate": reverb_gate_oracle,
     "audio_hum_gate": hum_gate_oracle,
+    "audio_loudness_gate": loudness_gate_oracle,
     "audio_ols_speech_model": ols_speech_model_oracle,
     "audio_mfcc_stats": mfcc_stats_oracle,
     "audio_pitch_stats": pitch_stats_oracle,

@@ -219,7 +219,9 @@ CLIPS_QUERIES = [
     "audio_dropout_stats",
     "audio_resample_stats",
     "audio_specaugment_stats",
+    "audio_loudness_gate",
     "clips_shard_packing",
+    "corpus_shuffle_order",
     "audio_incremental_dedup",
     "crossmodal_dup_consistency",
     "clips_quality_curriculum",

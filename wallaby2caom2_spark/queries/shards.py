@@ -434,11 +434,118 @@ FROM binned GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. deterministic training-order shuffle
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = "epoch0"
+_SHUFFLE_SHARDS = 64
+_KEY_HEX = 12  # 48-bit key: exact in int64 AND in DuckDB's double arithmetic
+
+
+def _shuffle_key(seed: str, col: str = "clip_id") -> F.Column:
+    """48-bit engine-portable shuffle key: md5(seed ‖ clip_id) head. The
+    full-width head (vs _md5_head's 16 bits) makes ties astronomically
+    rare so the key alone is a total training order; DuckDB computes the
+    identical value."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(col))), 1, _KEY_HEX),
+        16,
+        10,
+    ).cast("long")
+
+
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle → ordered shard ranges.
+
+    Before training, the kept corpus must be read in a decorrelated,
+    RESUMABLE order — `orderBy(rand())` is neither (non-deterministic
+    across retries, and a global sort). This operator keys every kept clip
+    with a seeded content-independent hash (new epoch = new seed, same
+    plan) and cuts the KEY SPACE, not the row count, into contiguous
+    shards: ``shard_id = key >> 42`` (top 6 of 48 key bits → 64 shards).
+    Uniform hash keys make shards
+    statistically equal-sized with zero coordination — the 100 TB path is
+    a pure map-side assignment (each row knows its shard from its own key)
+    followed by one slim groupBy; writing the actual shards is the
+    existing export plan partitioned by this column, with intra-shard
+    order = the key order.
+
+    The output proves the two invariants a shuffle must have: shards
+    partition the key space in order (``follows_prev`` — each shard's min
+    key lands above the previous shard's max; window over N_SHARDS rows,
+    not corpus rows), and the shuffle decorrelates content (per-shard
+    ``avg_ppl`` hugs the corpus mean; a sorted-by-quality order would
+    stripe it). Epoch determinism + seed sensitivity pinned in
+    tests/test_shuffle_order.py.
+
+    Reference analog: the reference processes its work list in
+    deterministic todo-file order (``wallaby2caom2/composable.py``) — this
+    is that contract lifted to a seeded, resumable corpus-scale order.
+    """
+    kept = (
+        quality_filter(load_clips(spark, sf_dir))
+        .filter(F.col("keep"))
+        .select(
+            _shuffle_key(_SHUFFLE_SEED).alias("k"),
+            F.col("ppl"),
+        )
+    )
+    # key-space cut in EXACT integer arithmetic: 64 shards = top 6 key bits
+    # (k·N/2^48 via double division would go inexact past 2^53)
+    shards = kept.groupBy(
+        F.shiftright(F.col("k"), 48 - 6).alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_clips"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+        F.round(F.avg("ppl") + 1e-9, 4).alias("avg_ppl"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("shard_id")
+    return (
+        shards.withColumn(
+            "follows_prev",
+            F.coalesce(
+                F.col("min_key") > F.lag("max_key").over(w), F.lit(True)
+            ),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def shuffle_order_oracle(sf_dir: str) -> str:
+    """DuckDB replay: identical md5-head keys over the fixture's kept rows,
+    identical key-space cut, identical window. A wrong radix, a row-count
+    (vs key-space) cut, or a broken range invariant all hash-mismatch."""
+    path = features_path_for(sf_dir)
+    return f"""
+WITH kept AS (
+  SELECT CAST(('0x' || substring(md5('{_SHUFFLE_SEED}' || clip_id), 1, {_KEY_HEX})) AS BIGINT) AS k,
+         ppl
+  FROM read_parquet('{path}/*.parquet') WHERE keep
+),
+s AS (
+  SELECT k // {2**42} AS shard_id,
+         count(*)::BIGINT AS n_clips,
+         min(k)::BIGINT AS min_key, max(k)::BIGINT AS max_key,
+         round(avg(ppl) + 1e-9, 4) AS avg_ppl
+  FROM kept GROUP BY 1
+)
+SELECT shard_id, n_clips, min_key, max_key, avg_ppl,
+       coalesce(min_key > lag(max_key) OVER (ORDER BY shard_id), TRUE)
+         AS follows_prev
+FROM s ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "clips_shard_packing": clips_shard_packing,
     "audio_incremental_dedup": audio_incremental_dedup,
     "crossmodal_dup_consistency": crossmodal_dup_consistency,
     "clips_quality_curriculum": clips_quality_curriculum,
+    "corpus_shuffle_order": corpus_shuffle_order,
 }
 
 # oracles embed sf-dependent fixture paths → built at oracle_sql() time
@@ -449,4 +556,5 @@ ORACLE_BUILDERS = {
     "audio_incremental_dedup": incremental_dedup_oracle,
     "crossmodal_dup_consistency": crossmodal_oracle,
     "clips_quality_curriculum": quality_curriculum_oracle,
+    "corpus_shuffle_order": shuffle_order_oracle,
 }

@@ -652,6 +652,126 @@ FROM per_doc GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# epoch up-sampling materialization — the mixture weights, executed
+# ---------------------------------------------------------------------------
+
+MAX_EPOCHS = 4.0  # UniMax-style repetition cap per source
+
+
+def sample_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture as deterministic per-document
+    REPETITION — the step after ``source_temperature_weights`` computes the
+    knob: a source whose tempered share implies ``r`` epochs contributes
+    ``floor(r)`` copies of every document plus one more where a per-document
+    hash gate lands under ``frac(r)``, capped at ``MAX_EPOCHS`` (UniMax-style
+    — unlimited repetition of a tiny source hurts more than it helps).
+    rand() would be neither retry-safe nor oracle-replayable; the md5 gate
+    is both, and content-independent so repeated epochs stay unbiased.
+
+    Scale shape: the factor table is |sources| rows (broadcast), the copy
+    materialization is a map-side ``explode(sequence(...))`` — each row
+    expands in place, nothing shuffles until the final slim per-source
+    verification aggregate. The realized dataset at 100 TB is this same
+    plan with the exploded rows flowing to the shard writer instead of a
+    groupBy.
+
+    Output per source: the target epochs, the materialized count, and the
+    realized epochs — hash-checked against DuckDB replaying the identical
+    gate WITHOUT exploding (sum of per-doc copy counts), so a wrong
+    explode bound (0- vs 1-based sequence) hash-mismatches.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    raw = F.pow(p, MIX_ALPHA)
+    weight = raw / F.sum(raw).over(w_all)
+    # expected draws for a budget of one full corpus pass, as epochs of s
+    total = F.sum("n_docs").over(w_all)
+    factors = per_src.select(
+        "source",
+        "n_docs",
+        F.least(weight * total / F.col("n_docs"), F.lit(MAX_EPOCHS)).alias(
+            "epochs"
+        ),
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        / F.lit(65536.0)
+    )
+    n_copies = (
+        F.floor("epochs")
+        + F.when(gate < F.col("epochs") - F.floor("epochs"), 1).otherwise(0)
+    ).alias("n_copies")
+    replicated = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(factors), "source")
+        .select("doc_id", "source", "n_docs", "epochs", n_copies)
+        # a downsampled source (epochs < 1) leaves 0-copy docs; guard them
+        # out BEFORE explode — sequence(1, 0) would count DOWN, not empty
+        .filter(F.col("n_copies") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+    )
+    return (
+        replicated.groupBy("source")
+        .agg(
+            F.count("*").alias("n_materialized"),
+            F.first("n_docs").alias("n_docs"),
+            F.max("copy").alias("max_copies"),
+            F.round(F.first("epochs") + 1e-9, 4).alias("target_epochs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_materialized",
+            F.round(F.col("n_materialized") / F.col("n_docs") + 1e-9, 4).alias(
+                "realized_epochs"
+            ),
+            "max_copies",
+            "target_epochs",
+        )
+        .orderBy("source")
+    )
+
+
+_EPOCH_UPSAMPLING_SQL = f"""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, n_docs,
+         pow(n_docs / sum(n_docs) OVER (), {MIX_ALPHA}) AS raw,
+         sum(n_docs) OVER () AS total
+  FROM s
+),
+f AS (
+  SELECT source, n_docs,
+         least(raw / sum(raw) OVER () * total / n_docs, {MAX_EPOCHS})
+           AS epochs
+  FROM t
+),
+c AS (
+  SELECT d.source, f.epochs,
+         CAST(floor(f.epochs) AS BIGINT)
+           + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT
+                       / 65536.0 < f.epochs - floor(f.epochs)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN f USING (source)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_copies)::BIGINT AS n_materialized,
+       round(sum(n_copies)::DOUBLE / count(*) + 1e-9, 4) AS realized_epochs,
+       max(n_copies)::BIGINT AS max_copies,
+       round(any_value(epochs) + 1e-9, 4) AS target_epochs
+FROM c
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "ngram_lm_train_score": ngram_lm_train_score,
@@ -659,10 +779,12 @@ QUERIES = {
     "bpe_encode_fertility": bpe_encode_fertility,
     "tfidf_top_terms": tfidf_top_terms,
     "source_temperature_weights": source_temperature_weights,
+    "sample_epoch_upsampling": sample_epoch_upsampling,
     "vocab_jaccard_sources": vocab_jaccard_sources,
 }
 
 ORACLE = {
+    "sample_epoch_upsampling": _EPOCH_UPSAMPLING_SQL,
     "bpe_pair_counts": _BPE_SQL,
     "ngram_lm_train_score": _NGRAM_LM_SQL,
     "bpe_train_merges": _bpe_train_sql(),

@@ -980,6 +980,106 @@ FROM mf GROUP BY lang""")
     return "\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# robust outlier screen — MAD over the quality score, per source
+# ---------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # scales MAD to σ under normality (the standard constant)
+_MAD_CUT = 3.5  # the conventional robust-z cutoff
+
+
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen over the per-document
+    quality score, per source — the robust counterpart of a z-score cut:
+    crawled sources have heavy-tailed quality, so mean/stddev are dragged
+    by the very outliers being hunted, while median and MAD are not. A
+    document is flagged when ``|q − median_s| > 3.5 · 1.4826 · MAD_s``
+    (the conventional robust-z rule); a degenerate source (MAD = 0, i.e.
+    over half its docs share one score) flags nothing.
+
+    Scale shape: two slim aggregations of (source, q) — the score itself
+    is codegen over the scan — each followed by a broadcast join of a
+    |sources|-row table back onto the docs; the payload text never moves.
+    Exact percentile is used at test scale; at 10^12 rows the same plan
+    swaps in ``approx_percentile`` (mergeable KLL partials) with the
+    tolerance-boolean oracle pattern of quantile_sketch_check.
+
+    The score is the rounded ``_quality_score`` (4 decimals) so the
+    medians interpolate identical values in both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(_quality_score() + 1e-9, 4).alias("q"),
+    )
+    med = scored.groupBy("source").agg(
+        F.expr("percentile(q, 0.5D)").alias("med_q")
+    )
+    dev = (
+        scored.join(F.broadcast(med), "source")
+        .withColumn("adev", F.abs(F.col("q") - F.col("med_q")))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "source").withColumn(
+        "is_outlier",
+        (F.col("mad") > 0)
+        & (F.col("adev") > _MAD_CUT * _MAD_K * F.col("mad")),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.first("med_q") + 1e-9, 4).alias("med_quality"),
+            F.round(F.first("mad") + 1e-9, 4).alias("mad"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_frac",
+            F.round(F.col("n_outliers") / F.col("n_docs") + 1e-9, 4),
+        )
+        .orderBy("source")
+    )
+
+
+_MAD_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars, text,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         round(0.5 * least(n_chars / 400.0, 1.0)
+         + 0.3 * (len(list_filter(words,
+                    x -> x IN {STOPWORDS!r}))::DOUBLE / len(words))
+         + 0.2 * (1.0 - least(
+              (len(regexp_extract_all(text, '{PUNCT_RE}'))::DOUBLE / n_chars)
+              * 10.0, 1.0)) + 1e-9, 4) AS q
+  FROM w
+), med AS (
+  SELECT source, median(q) AS med_q FROM scored GROUP BY source
+), dev AS (
+  SELECT s.source, s.q, m.med_q, abs(s.q - m.med_q) AS adev
+  FROM scored s JOIN med m USING (source)
+), mad AS (
+  SELECT source, median(adev) AS mad FROM dev GROUP BY source
+), flagged AS (
+  SELECT d.source, d.med_q, m.mad,
+         (m.mad > 0 AND d.adev > {_MAD_CUT} * {_MAD_K} * m.mad) AS is_outlier
+  FROM dev d JOIN mad m USING (source)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(any_value(med_q) + 1e-9, 4) AS med_quality,
+       round(any_value(mad) + 1e-9, 4) AS mad,
+       sum(CASE WHEN is_outlier THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             + 1e-9, 4) AS outlier_frac
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "classifier_train_logreg": classifier_train_logreg,
@@ -995,9 +1095,11 @@ QUERIES = {
     "doc_intradoc_dedup": doc_intradoc_dedup,
     "text_linear_classifier": text_linear_classifier,
     "doc_crossdoc_dedup": doc_crossdoc_dedup,
+    "quality_outlier_mad": quality_outlier_mad,
 }
 
 ORACLE = {
+    "quality_outlier_mad": _MAD_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "classifier_train_logreg": _train_logreg_sql(),
     "text_quality_score": _QUALITY_SQL,

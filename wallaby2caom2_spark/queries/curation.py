@@ -239,14 +239,192 @@ FROM u ORDER BY rule
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher-style document rule cascade (Rae et al. 2021, appendix A1.1)
+# --------------------------------------------------------------------------
+
+_G_MIN_WORDS, _G_MAX_WORDS = 50, 100_000
+_G_MIN_WLEN, _G_MAX_WLEN = 3.0, 10.0
+_G_SYMBOL_RATIO = 0.1  # '#' or '…'/'...' per word
+_G_MIN_ALPHA_FRAC = 0.80  # words containing ≥1 alphabetic char
+_G_MIN_STOP_HITS = 2  # distinct hits from the small required set
+_G_TOP_BIGRAM_FRAC = 0.20  # chars covered by the dominant bigram
+_G_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins document screen after the published Gopher rule set
+    (Rae et al. 2021, A1.1): word-count bounds, mean-word-length band,
+    symbol-to-word ratio, alphabetic-word fraction, required-stopword
+    hits, and the repetition rule — a document whose dominant word bigram
+    covers over 20 % of its characters is boilerplate/chant-like. Output:
+    per-verdict counts + mean word count (the corpus funnel view).
+
+    Words are whitespace tokens of the lowercased text (the same
+    convention as text_token_stats) so punctuation-only tokens exist for
+    the alphabetic rule to catch. The repetition signal is the max over
+    bigrams of ``occurrences × bigram_chars / n_chars`` — "most characters
+    covered", which needs no frequency tie-break and equals Gopher's
+    most-frequent-2-gram fraction whenever one bigram dominates;
+    overlapping occurrences double-count shared words identically in both
+    engines.
+
+    Scale shape: every per-row rule is codegen over the scan. The bigram
+    stage is the one shuffle — slim (doc_id, bigram) pairs partial-agg'd
+    to per-doc tops, then joined back by doc_id; the text column itself
+    never moves. At 10^12 docs the bigram pairs dominate the exchange, so
+    the production form pre-hashes bigrams to int64 before the shuffle
+    (same plan, narrower rows); kept as strings here so the oracle can
+    replay lengths directly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "n_chars", words.alias("words"))
+    n_words = F.size("words")
+    mean_wlen = (
+        F.aggregate("words", F.lit(0), lambda acc, w: acc + F.length(w))
+        / n_words
+    )
+    symbols = F.aggregate(
+        "words",
+        F.lit(0),
+        lambda acc, w: acc
+        + F.length(F.regexp_replace(w, r"[^#…]", ""))
+        + F.regexp_count(w, F.lit(r"\.\.\.")),
+    )
+    alpha_frac = (
+        F.size(F.filter("words", lambda w: w.rlike("[a-z]"))) / n_words
+    )
+    stop_hits = F.size(
+        F.array_distinct(F.filter("words", lambda w: w.isin(*_G_STOPS)))
+    )
+    per_doc = base.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        (symbols / n_words).alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.when(
+                F.size("words") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(words)-2),"
+                    " i -> concat(words[i], ' ', words[i+1]))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    top_frac = (
+        bigrams.groupBy("doc_id", "n_chars", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.col("count") * F.length("bigram") / F.col("n_chars")
+            ).alias("top_bigram_frac")
+        )
+    )
+    scored = per_doc.join(top_frac, "doc_id", "left").withColumn(
+        "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+    )
+    verdict = (
+        F.when(F.col("n_words") < _G_MIN_WORDS, "too_few_words")
+        .when(F.col("n_words") > _G_MAX_WORDS, "too_many_words")
+        .when(
+            (F.col("mean_wlen") < _G_MIN_WLEN)
+            | (F.col("mean_wlen") > _G_MAX_WLEN),
+            "word_length_out",
+        )
+        .when(F.col("symbol_ratio") > _G_SYMBOL_RATIO, "symbol_heavy")
+        .when(F.col("alpha_frac") < _G_MIN_ALPHA_FRAC, "low_alpha_words")
+        .when(F.col("stop_hits") < _G_MIN_STOP_HITS, "missing_stopwords")
+        .when(F.col("top_bigram_frac") > _G_TOP_BIGRAM_FRAC, "repetitive")
+        .otherwise("ok")
+    )
+    return (
+        scored.withColumn("verdict", verdict)
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_words") + 1e-9, 2).alias("avg_words"),
+            F.round(F.avg("top_bigram_frac") + 1e-9, 4).alias(
+                "avg_top_bigram_frac"
+            ),
+        )
+        .orderBy("verdict")
+    )
+
+
+_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, n_chars, len(words) AS n_words,
+         list_sum(list_transform(words, w -> length(w)))::DOUBLE
+           / len(words) AS mean_wlen,
+         list_sum(list_transform(words,
+             w -> length(regexp_replace(w, '[^#…]', '', 'g'))
+                  + len(regexp_extract_all(w, '\\.\\.\\.'))))::DOUBLE
+           / len(words) AS symbol_ratio,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+           / len(words) AS alpha_frac,
+         len(list_distinct(list_filter(words,
+             w -> w IN {_G_STOPS!r}))) AS stop_hits
+  FROM base
+), bg AS (
+  SELECT doc_id, n_chars,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1]))
+           AS bigram
+  FROM base
+), top AS (
+  SELECT doc_id,
+         max(cnt * length(bigram) / n_chars::DOUBLE) AS top_bigram_frac
+  FROM (
+    SELECT doc_id, n_chars, bigram, count(*)::BIGINT AS cnt
+    FROM bg GROUP BY doc_id, n_chars, bigram
+  ) GROUP BY doc_id
+), scored AS (
+  SELECT p.*, coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+  FROM per_doc p LEFT JOIN top t USING (doc_id)
+), v AS (
+  SELECT n_words, top_bigram_frac,
+         CASE WHEN n_words < {_G_MIN_WORDS} THEN 'too_few_words'
+              WHEN n_words > {_G_MAX_WORDS} THEN 'too_many_words'
+              WHEN mean_wlen < {_G_MIN_WLEN} OR mean_wlen > {_G_MAX_WLEN}
+                THEN 'word_length_out'
+              WHEN symbol_ratio > {_G_SYMBOL_RATIO} THEN 'symbol_heavy'
+              WHEN alpha_frac < {_G_MIN_ALPHA_FRAC} THEN 'low_alpha_words'
+              WHEN stop_hits < {_G_MIN_STOP_HITS} THEN 'missing_stopwords'
+              WHEN top_bigram_frac > {_G_TOP_BIGRAM_FRAC} THEN 'repetitive'
+              ELSE 'ok' END AS verdict
+  FROM scored
+)
+SELECT verdict, count(*)::BIGINT AS n_docs,
+       round(avg(n_words) + 1e-9, 2) AS avg_words,
+       round(avg(top_bigram_frac) + 1e-9, 4) AS avg_top_bigram_frac
+FROM v GROUP BY verdict ORDER BY verdict
+"""
+
+
 QUERIES = {
     "split_train_valid_test": split_train_valid_test,
     "text_normalize_stats": text_normalize_stats,
     "quality_rule_ablation": quality_rule_ablation,
+    "text_gopher_rules": text_gopher_rules,
 }
 
 ORACLE = {
     "split_train_valid_test": _SPLIT_SQL,
     "text_normalize_stats": _NORMALIZE_SQL,
     "quality_rule_ablation": _ABLATION_SQL,
+    "text_gopher_rules": _GOPHER_SQL,
 }

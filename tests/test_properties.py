@@ -387,3 +387,69 @@ def test_jpeg_decode_never_raises_on_garbage(payload):
 
     decode_jpeg_gray(payload)  # must not raise
     decode_jpeg_gray(b"\xff\xd8" + payload)  # valid SOI prefix: still safe
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(
+        np.float32,
+        st.integers(min_value=8000, max_value=24000),
+        elements=st.floats(
+            min_value=-0.0625,
+            max_value=0.0625,
+            width=32,
+            allow_nan=False,
+            allow_subnormal=False,
+        ),
+    ),
+    st.sampled_from([0.1, 0.5, 2.0, 8.0]),
+)
+def test_loudness_gain_shift_law(samples, gain):
+    """The defining loudness property: scaling a signal by g shifts the
+    K-weighted level by exactly 20·log10(g) — UNLESS the shift moves
+    blocks across a gate (the gates are level-dependent by design), which
+    on heterogeneous signals can bend the shift by a few LU. Restrict to
+    signals where every block already clears both gates on both sides
+    (gated == n_blocks) so the law must hold to float tolerance."""
+    from wallaby2caom2_spark.operators.loudness import clip_loudness
+
+    a = clip_loudness(samples, 16000)
+    b = clip_loudness((samples * gain).astype(np.float32), 16000)
+    if a is None or b is None:
+        return  # a side fell below the absolute gate entirely — contained
+    la, _, na, ga, _ = a
+    lb, _, nb, gb, _ = b
+    assert na == nb  # block framing is amplitude-independent
+    if ga == na and gb == nb:
+        assert abs((lb - la) - 20.0 * np.log10(gain)) < 0.05
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(
+        np.float32,
+        st.integers(min_value=2000, max_value=40000),
+        elements=st.floats(
+            min_value=-1.0,
+            max_value=1.0,
+            width=32,
+            allow_nan=False,
+            allow_subnormal=False,
+        ),
+    ),
+    st.sampled_from([8000, 16000, 22050]),
+)
+def test_loudness_contract_on_arbitrary_signals(samples, sr):
+    """clip_loudness never raises and holds its output contract on ANY
+    signal: finite LUFS, peak ≤ 0 dBFS for full-scale-bounded input,
+    1 ≤ gated ≤ blocks, non-negative block range."""
+    from wallaby2caom2_spark.operators.loudness import clip_loudness
+
+    res = clip_loudness(samples, sr)
+    if res is None:
+        return
+    lufs, peak, n_blocks, n_gated, rng = res
+    assert np.isfinite(lufs) and np.isfinite(peak) and np.isfinite(rng)
+    assert peak <= 1e-6
+    assert 1 <= n_gated <= n_blocks
+    assert rng >= 0.0

@@ -98,3 +98,33 @@ def test_mad_is_robust_where_stddev_is_not(spark, tmp_path):
     spiked = quality_outlier_mad(spark, d2).collect()[0]
     assert spiked["med_quality"] == pytest.approx(clean["med_quality"], abs=2e-4)
     assert spiked["mad"] == pytest.approx(clean["mad"], abs=2e-4)
+
+
+def test_psi_flags_a_shifted_source(spark, tmp_path):
+    """Sources drawn from the corpus-typical quality distribution read
+    'stable'; a source concentrated in one extreme decile reads 'shifted'
+    (PSI > 0.25)."""
+    from wallaby2caom2_spark.queries.textstats import quality_psi_by_source
+
+    # two big sources with the SAME varied length profile (they define the
+    # baseline), one source of uniformly tiny junk docs (mass in one bin)
+    rows = []
+    word = "the of and data row table scan "
+    for s in ("a", "b"):
+        for i in range(120):
+            rows.append(
+                (len(rows), word * (2 + i % 9), "en", s, len(word) * (2 + i % 9))
+            )
+    for i in range(60):
+        rows.append((len(rows), "zz", "en", "junk", 2))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(f"{d}/documents.parquet")
+    res = {r["source"]: r for r in quality_psi_by_source(spark, d).collect()}
+    assert res["junk"]["drift"] == "shifted"
+    assert res["a"]["drift"] == "stable"
+    assert res["b"]["drift"] == "stable"
+    # PSI is symmetric-ish in its inputs here: a and b mirror each other
+    assert abs(res["a"]["psi"] - res["b"]["psi"]) < 0.05

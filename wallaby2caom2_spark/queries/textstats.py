@@ -981,6 +981,119 @@ FROM mf GROUP BY lang""")
 
 
 # ---------------------------------------------------------------------------
+# distribution drift — population stability index per source
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10  # decile bins over the corpus baseline
+_PSI_EPS = 1e-4  # share smoothing so empty bins stay finite (standard)
+# conventional PSI reading: < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted
+_PSI_MODERATE, _PSI_SHIFTED = 0.1, 0.25
+
+
+def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of each source's quality distribution
+    against the whole-corpus baseline — the standard drift monitor a
+    production curation pipeline runs per ingest batch: a source whose PSI
+    drifts past 0.25 changed character (new scraper, new spam wave,
+    upstream format shift) and needs its thresholds re-calibrated before
+    its documents enter the mix. PSI = Σ (p_b − q_b)·ln(p_b/q_b) over the
+    baseline's decile bins, shares smoothed by 1e-4 so empty bins stay
+    finite.
+
+    Scale shape: ONE aggregation computes the corpus decile boundaries
+    (an array-typed exact percentile here; approx_percentile with the
+    tolerance-boolean oracle pattern at 10^12 rows), broadcast as a 1-row
+    frame; binning is then a codegen array-count per row (no join key —
+    a literal-style cross of one row), and the PSI reduces per source
+    from a (source × 10)-cell aggregate. The text column never moves.
+
+    Binning uses the ROUNDED quality (4 dp, the family convention) so both
+    engines form identical bins; bin = #boundaries strictly below q puts
+    each boundary value itself in the lower bin, matching the SQL replay
+    exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", F.round(_quality_score() + 1e-9, 4).alias("q")
+    )
+    qs = ", ".join(
+        str(i / _PSI_BINS) + "D" for i in range(1, _PSI_BINS)
+    )
+    bounds = scored.agg(
+        F.expr(f"percentile(q, array({qs}))").alias("bounds")
+    )
+    binned = scored.join(F.broadcast(bounds)).select(
+        "source",
+        F.size(F.filter("bounds", lambda b: b < F.col("q"))).alias("bin"),
+    )
+    cells = binned.groupBy("source", "bin").agg(F.count("*").alias("n"))
+    w_src = Window.partitionBy("source")
+    w_bin = Window.partitionBy("bin")
+    w_all = Window.partitionBy()
+    p = (F.col("n") / F.sum("n").over(w_src)) + _PSI_EPS
+    q_share = (F.sum("n").over(w_bin) / F.sum("n").over(w_all)) + _PSI_EPS
+    term = (p - q_share) * F.log(p / q_share)
+    psi = (
+        cells.select("source", term.alias("term"), F.col("n"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.round(F.sum("term") + 1e-9, 4).alias("psi"),
+        )
+    )
+    verdict = (
+        F.when(F.col("psi") > _PSI_SHIFTED, "shifted")
+        .when(F.col("psi") > _PSI_MODERATE, "moderate")
+        .otherwise("stable")
+    )
+    return psi.select(
+        "source", "n_docs", "psi", verdict.alias("drift")
+    ).orderBy("source")
+
+
+_PSI_QS = ", ".join(str(i / _PSI_BINS) for i in range(1, _PSI_BINS))
+
+_PSI_SQL = f"""
+WITH w AS (
+  SELECT source, n_chars, text,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+), scored AS (
+  SELECT source,
+         round(0.5 * least(n_chars / 400.0, 1.0)
+         + 0.3 * (len(list_filter(words,
+                    x -> x IN {STOPWORDS!r}))::DOUBLE / len(words))
+         + 0.2 * (1.0 - least(
+              (len(regexp_extract_all(text, '{PUNCT_RE}'))::DOUBLE / n_chars)
+              * 10.0, 1.0)) + 1e-9, 4) AS q
+  FROM w
+), b AS (
+  SELECT quantile_cont(q, [{_PSI_QS}]) AS bounds FROM scored
+), binned AS (
+  SELECT source,
+         len(list_filter(b.bounds, x -> x < s.q)) AS bin
+  FROM scored s CROSS JOIN b
+), cells AS (
+  SELECT source, bin, count(*)::BIGINT AS n FROM binned GROUP BY 1, 2
+), shares AS (
+  SELECT source, n,
+         n / sum(n) OVER (PARTITION BY source) + {_PSI_EPS} AS p,
+         sum(n) OVER (PARTITION BY bin) / sum(n) OVER () + {_PSI_EPS} AS qs
+  FROM cells
+), psi AS (
+  SELECT source, sum(n)::BIGINT AS n_docs,
+         round(sum((p - qs) * ln(p / qs)) + 1e-9, 4) AS psi
+  FROM shares GROUP BY source
+)
+SELECT source, n_docs, psi,
+       CASE WHEN psi > {_PSI_SHIFTED} THEN 'shifted'
+            WHEN psi > {_PSI_MODERATE} THEN 'moderate'
+            ELSE 'stable' END AS drift
+FROM psi ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # robust outlier screen — MAD over the quality score, per source
 # ---------------------------------------------------------------------------
 
@@ -1096,10 +1209,12 @@ QUERIES = {
     "text_linear_classifier": text_linear_classifier,
     "doc_crossdoc_dedup": doc_crossdoc_dedup,
     "quality_outlier_mad": quality_outlier_mad,
+    "quality_psi_by_source": quality_psi_by_source,
 }
 
 ORACLE = {
     "quality_outlier_mad": _MAD_SQL,
+    "quality_psi_by_source": _PSI_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "classifier_train_logreg": _train_logreg_sql(),
     "text_quality_score": _QUALITY_SQL,

@@ -51,7 +51,17 @@ def main() -> None:
         "clips_curation_funnel",
     ):
         fn = ALL_QUERIES[qname]
-        fn(spark, SF_DIR).collect()  # warm-up
+        # adaptive warm-up (bench.py rationale): fresh-boot page-cache +
+        # JIT ramp takes several executions; warm while improving >20%
+        prev = None
+        for _ in range(5):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            dt = time.time() - t0
+            if prev is not None and dt > 0.8 * prev:
+                break
+            prev = dt
         samples = []
         for _ in range(N_RUNS):
             # identical logical plans hit Spark's CacheManager: a re-built

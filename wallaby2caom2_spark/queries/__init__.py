@@ -21,6 +21,7 @@ from . import (
     dedup,
     nested,
     relational,
+    retrieval,
     shards,
     similarity,
     streaming,
@@ -36,6 +37,7 @@ _MODULES = (
     textstats,
     corpus,
     curation,
+    retrieval,
     streaming,
     clips_flagship,
     shards,

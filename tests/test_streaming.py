@@ -186,3 +186,53 @@ def test_chunked_drain_commits_per_batch(spark, tmp_path):
     for d in glob.glob(os.path.join(out, "results", "batch_id=*", "bucket=*")):
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_stream_quality_filter_gate_query_is_multi_batch(spark):
+    """The gate-facing streaming flagship (queries/streaming.py
+    stream_quality_filter) must (a) drain the sf0.001 cache in MORE than
+    one micro-batch (one part file per trigger — a real backlog drain,
+    not the single-batch degenerate case) and (b) produce the identical
+    triage to the batch pipeline."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wallaby2caom2_spark.plans.pipeline import quality_filter
+    from wallaby2caom2_spark.queries.clips_flagship import clips_path_for
+    from wallaby2caom2_spark.queries.streaming import stream_quality_filter
+    from wallaby2caom2_spark.streaming.stream import run_stream
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r["outcome"]: (r["n_clips"], r["scrub_edits"])
+        for r in stream_quality_filter(spark, sf).collect()
+    }
+    batch = {
+        r["outcome"]: (r["n_clips"], r["scrub_edits"])
+        for r in (
+            quality_filter(spark.read.parquet(clips_path_for(sf)))
+            .groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))
+            .agg(
+                F.count("*").alias("n_clips"),
+                F.sum("scrub_edits").alias("scrub_edits"),
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch
+    # multi-batch: drain the same input ourselves and count sink batches
+    work = tempfile.mkdtemp(prefix="wallaby_stream_qf_test_")
+    try:
+        run_stream(
+            spark, clips_path_for(sf), work, n_buckets=4,
+            max_files_per_trigger=1, record_ops=False,
+        )
+        batches = (
+            spark.read.parquet(os.path.join(work, "results"))
+            .select("batch_id").distinct().count()
+        )
+        assert batches >= 2, "one file per trigger must yield multiple batches"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -167,9 +167,78 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-rule pipeline itself as a multi-micro-batch stream under
+    the value-hash gate: file source over the clips cache chunked at ONE
+    part file per trigger (a real backlog drain, 4+ micro-batches at
+    sf0.01 — not a single-batch degenerate run), the full fused
+    decode→langid/ppl→cascade→scrub pipeline per batch, the idempotent
+    (batch_id, bucket) dynamic-overwrite sink, then the triage profile
+    read back FROM THE SINK FILES. Batching cannot move the result: each
+    clip lands in exactly one micro-batch and its outputs are
+    deterministic per clip, so the drained sink equals the batch run —
+    which DuckDB replays from the labeler fixture. Cross-run resume /
+    exactly-once retry semantics are pinned in tests/test_streaming.py;
+    this entry is the gate-facing proof the STREAMING front-end computes
+    the same answer as the batch plan."""
+    import shutil
+    import tempfile
+
+    from ..streaming.stream import run_stream
+    from .clips_flagship import clips_path_for
+
+    work = tempfile.mkdtemp(prefix="wallaby_stream_qf_")
+    try:
+        run_stream(
+            spark,
+            clips_path_for(sf_dir),
+            work,
+            n_buckets=8,
+            available_now=True,
+            max_files_per_trigger=1,
+            record_ops=False,
+        )
+        rows = (
+            spark.read.parquet(os.path.join(work, "results"))
+            .groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))
+            .agg(
+                F.count("*").alias("n_clips"),
+                F.sum("scrub_edits").alias("scrub_edits"),
+                F.round(F.avg("ppl") + 1e-9, 4).alias("avg_ppl"),
+            )
+            .orderBy("outcome")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # materialized before the work dir is removed; re-wrapped so the
+    # driver's collect() after return still works
+    return spark.createDataFrame(
+        rows, "outcome string, n_clips bigint, scrub_edits bigint, avg_ppl double"
+    )
+
+
+def stream_quality_filter_oracle(sf_dir: str) -> str:
+    """DuckDB replay from the labeler fixture: the drained stream must
+    equal the batch pipeline's triage exactly (counts, scrub volume, and
+    raw-double ppl means)."""
+    from .clips_flagship import features_path_for
+
+    path = features_path_for(sf_dir)
+    return f"""
+SELECT coalesce(drop_reason, 'kept') AS outcome,
+       count(*)::BIGINT AS n_clips,
+       sum(scrub_edits)::BIGINT AS scrub_edits,
+       round(avg(ppl) + 1e-9, 4) AS avg_ppl
+FROM read_parquet('{path}/*.parquet')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "stream_hourly_rollup": stream_hourly_rollup,
     "stream_ingest_dedup": stream_ingest_dedup,
+    "stream_quality_filter": stream_quality_filter,
 }
 
 ORACLE = {
@@ -178,4 +247,5 @@ ORACLE = {
 
 ORACLE_BUILDERS = {
     "stream_ingest_dedup": ingest_dedup_oracle,
+    "stream_quality_filter": stream_quality_filter_oracle,
 }

@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from bench_common import adaptive_warmup  # noqa: E402
 from wallaby2caom2_spark.queries import ALL_QUERIES  # noqa: E402
 from wallaby2caom2_spark.queries.clips_flagship import clips_path_for  # noqa: E402
 from wallaby2caom2_spark.session import get_spark  # noqa: E402
@@ -81,22 +82,9 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES[name]
-        # warm-up (excluded) — ADAPTIVE: on a fresh boot the first
-        # executions stack page-cache fill, Python-worker spin-up, and JIT
-        # of the codegen'd stages (measured: 52s → 8s → 9s → 7s → 3.4s
-        # steady for the flagship); a single warm-up run leaves the timed
-        # samples on that ramp. Keep warming while runs still improve
-        # >20%, bounded at 5 — steady-state is the honest estimate of a
-        # job that runs for hours at 100 TB.
-        prev = None
-        for _ in range(5):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            _force(name, fn(spark, SF_DIR))
-            dt = time.time() - t0
-            if prev is not None and dt > 0.8 * prev:
-                break
-            prev = dt
+        # warm-up (excluded) — adaptive steady-state rule, shared with the
+        # other benches (bench_common.adaptive_warmup)
+        adaptive_warmup(spark, lambda: _force(name, fn(spark, SF_DIR)))
         samples = []
         for _ in range(N_RUNS):
             # cold-path guard shared with the other benches: none of

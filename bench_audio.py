@@ -23,6 +23,7 @@ N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 
 def main() -> None:
+    from bench_common import adaptive_warmup
     from wallaby2caom2_spark.queries import ALL_QUERIES
     from wallaby2caom2_spark.queries.clips_flagship import (
         _N_BY_SF,
@@ -51,17 +52,8 @@ def main() -> None:
         "clips_curation_funnel",
     ):
         fn = ALL_QUERIES[qname]
-        # adaptive warm-up (bench.py rationale): fresh-boot page-cache +
-        # JIT ramp takes several executions; warm while improving >20%
-        prev = None
-        for _ in range(5):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            fn(spark, SF_DIR).collect()
-            dt = time.time() - t0
-            if prev is not None and dt > 0.8 * prev:
-                break
-            prev = dt
+        # adaptive steady-state warm-up, shared heuristic (bench_common)
+        adaptive_warmup(spark, lambda: fn(spark, SF_DIR).collect())
         samples = []
         for _ in range(N_RUNS):
             # identical logical plans hit Spark's CacheManager: a re-built

@@ -111,11 +111,15 @@ def test_psi_flags_a_shifted_source(spark, tmp_path):
     rows = []
     word = "the of and data row table scan "
     for s in ("a", "b"):
-        for i in range(120):
+        for i in range(600):
             rows.append(
                 (len(rows), word * (2 + i % 9), "en", s, len(word) * (2 + i % 9))
             )
-    for i in range(60):
+    # junk stays a small corpus share (~4%): a global decile then absorbs
+    # the junk mass together with the cleanest sources' lowest docs, so the
+    # clean sources do not themselves vacate a bin (at 20% junk they
+    # legitimately would — PSI measures distance from the CORPUS mix)
+    for i in range(50):
         rows.append((len(rows), "zz", "en", "junk", 2))
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -128,3 +132,33 @@ def test_psi_flags_a_shifted_source(spark, tmp_path):
     assert res["b"]["drift"] == "stable"
     # PSI is symmetric-ish in its inputs here: a and b mirror each other
     assert abs(res["a"]["psi"] - res["b"]["psi"]) < 0.05
+
+
+def test_psi_counts_vacated_bins(spark, tmp_path):
+    """The review scenario the densified source × bin grid exists for:
+    when a source has ZERO documents in a bin where the baseline has
+    mass, the smoothed vacated-bin term (ε − q)·ln(ε/q) must enter the
+    sum — dropping it (the occupied-cells-only groupBy) understates the
+    drift by an order of magnitude.
+
+    Hand-computable construction: two sources, each concentrated on one
+    of two quality levels. Each source's PSI = its occupied-bin term
+    (0.5·ln 2 ≈ 0.347 — all the old code counted) + its vacated-bin term
+    ((ε − 0.5)·ln(ε/0.5) ≈ 4.26). Asserting PSI > 4 fails without the
+    grid (old value ≈ 0.35) and the two sources must be symmetric."""
+    from wallaby2caom2_spark.queries.textstats import quality_psi_by_source
+
+    word = "the of and data row table scan "
+    rows = [(i, word * 2, "en", "x", len(word) * 2) for i in range(100)] + [
+        (100 + i, word * 8, "en", "y", len(word) * 8) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(f"{d}/documents.parquet")
+    res = {r["source"]: r for r in quality_psi_by_source(spark, d).collect()}
+    assert res["x"]["psi"] > 4.0  # vacated-bin term present
+    assert res["y"]["psi"] > 4.0
+    assert res["x"]["psi"] == res["y"]["psi"]  # symmetric by construction
+    assert res["x"]["drift"] == res["y"]["drift"] == "shifted"

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from wallaby2caom2_spark.queries.shards import (
     _KEY_HEX,
     _SHUFFLE_SHARDS,
+    _SHUFFLE_SHIFT,
     _shuffle_key,
 )
 
@@ -49,7 +50,7 @@ def test_keys_are_48_bit_and_collision_free_here(spark):
 
 def test_shard_cut_partitions_key_space_in_order(spark):
     df = _keyed(spark, "epoch0").select(
-        F.shiftright(F.col("k"), 48 - 6).alias("shard_id"), "k"
+        F.shiftright(F.col("k"), _SHUFFLE_SHIFT).alias("shard_id"), "k"
     )
     stats = (
         df.groupBy("shard_id")

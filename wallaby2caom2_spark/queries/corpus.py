@@ -184,6 +184,21 @@ FROM (
 # temperature-scaled source mixture weights — the "data mixing" knob
 # ---------------------------------------------------------------------------
 
+def _tempered(per_src_ndocs: str = "n_docs"):
+    """The temperature-mixture expressions over a per-source aggregate —
+    (p_share, tempered weight, corpus total) as window columns. SINGLE
+    definition shared by ``source_temperature_weights`` (publishing the
+    knob) and ``sample_epoch_upsampling`` (executing it) so the two can
+    never desynchronize (review finding). The SQL oracles remain
+    independent replicas by design."""
+    w_all = Window.partitionBy()
+    total = F.sum(per_src_ndocs).over(w_all)
+    p = F.col(per_src_ndocs) / total
+    raw = F.pow(p, MIX_ALPHA)
+    weight = raw / F.sum(raw).over(w_all)
+    return p, weight, total
+
+
 def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sampling weights under temperature ``MIX_ALPHA``:
     ``w_s ∝ p_s^alpha`` renormalized (alpha<1 upweights small sources — the
@@ -197,10 +212,7 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    w_all = Window.partitionBy()
-    p = F.col("n_docs") / F.sum("n_docs").over(w_all)
-    raw = F.pow(p, MIX_ALPHA)
-    weight = raw / F.sum(raw).over(w_all)
+    p, weight, _ = _tempered()
     return per_src.select(
         "source",
         "n_docs",
@@ -683,12 +695,8 @@ def sample_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    w_all = Window.partitionBy()
-    p = F.col("n_docs") / F.sum("n_docs").over(w_all)
-    raw = F.pow(p, MIX_ALPHA)
-    weight = raw / F.sum(raw).over(w_all)
     # expected draws for a budget of one full corpus pass, as epochs of s
-    total = F.sum("n_docs").over(w_all)
+    _, weight, total = _tempered()
     factors = per_src.select(
         "source",
         "n_docs",
@@ -714,23 +722,28 @@ def sample_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") >= 1)
         .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
     )
+    materialized = replicated.groupBy("source").agg(
+        F.count("*").alias("n_materialized"),
+        F.max("copy").alias("max_copies"),
+    )
+    # aggregate FROM the factor table, not the exploded frame: a fully
+    # downsampled source (every doc gated to zero copies) vanishes from
+    # `replicated` entirely, and the oracle still reports it with
+    # n_materialized = 0 — joining back keeps the row sets identical
+    # (review finding)
     return (
-        replicated.groupBy("source")
-        .agg(
-            F.count("*").alias("n_materialized"),
-            F.first("n_docs").alias("n_docs"),
-            F.max("copy").alias("max_copies"),
-            F.round(F.first("epochs") + 1e-9, 4).alias("target_epochs"),
-        )
+        factors.join(materialized, "source", "left")
         .select(
             "source",
             "n_docs",
-            "n_materialized",
-            F.round(F.col("n_materialized") / F.col("n_docs") + 1e-9, 4).alias(
-                "realized_epochs"
-            ),
-            "max_copies",
-            "target_epochs",
+            F.coalesce("n_materialized", F.lit(0)).alias("n_materialized"),
+            F.round(
+                F.coalesce("n_materialized", F.lit(0)) / F.col("n_docs")
+                + 1e-9,
+                4,
+            ).alias("realized_epochs"),
+            F.coalesce("max_copies", F.lit(0)).alias("max_copies"),
+            F.round(F.col("epochs") + 1e-9, 4).alias("target_epochs"),
         )
         .orderBy("source")
     )

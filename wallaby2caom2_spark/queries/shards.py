@@ -441,6 +441,11 @@ FROM binned GROUP BY 1, 2 ORDER BY 1, 2
 _SHUFFLE_SEED = "epoch0"
 _SHUFFLE_SHARDS = 64
 _KEY_HEX = 12  # 48-bit key: exact in int64 AND in DuckDB's double arithmetic
+# the shard cut is the top log2(N_SHARDS) key bits — derived ONCE here and
+# consumed by the Spark plan, the oracle SQL, and the tests (review
+# finding: three hand-maintained copies of "42" could desynchronize)
+_SHARD_BITS = _SHUFFLE_SHARDS.bit_length() - 1
+_SHUFFLE_SHIFT = 4 * _KEY_HEX - _SHARD_BITS
 
 
 def _shuffle_key(seed: str, col: str = "clip_id") -> F.Column:
@@ -494,7 +499,7 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key-space cut in EXACT integer arithmetic: 64 shards = top 6 key bits
     # (k·N/2^48 via double division would go inexact past 2^53)
     shards = kept.groupBy(
-        F.shiftright(F.col("k"), 48 - 6).alias("shard_id")
+        F.shiftright(F.col("k"), _SHUFFLE_SHIFT).alias("shard_id")
     ).agg(
         F.count("*").alias("n_clips"),
         F.min("k").alias("min_key"),
@@ -527,7 +532,7 @@ WITH kept AS (
   FROM read_parquet('{path}/*.parquet') WHERE keep
 ),
 s AS (
-  SELECT k // {2**42} AS shard_id,
+  SELECT k // {2**_SHUFFLE_SHIFT} AS shard_id,
          count(*)::BIGINT AS n_clips,
          min(k)::BIGINT AS min_key, max(k)::BIGINT AS max_key,
          round(avg(ppl) + 1e-9, 4) AS avg_ppl

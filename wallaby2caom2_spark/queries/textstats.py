@@ -988,6 +988,13 @@ _PSI_BINS = 10  # decile bins over the corpus baseline
 _PSI_EPS = 1e-4  # share smoothing so empty bins stay finite (standard)
 # conventional PSI reading: < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted
 _PSI_MODERATE, _PSI_SHIFTED = 0.1, 0.25
+# small-sample gate: with B bins, a source needs ~B·5 docs before PSI is
+# readable at all — under the densified grid, CHANCE vacancies (25 docs
+# can't fill 10 bins) each contribute ≈ q·ln(q/ε) and read as drift. The
+# standard practitioner rule is a minimum sample per bin; below it the
+# verdict is 'insufficient_data', never a false 'shifted'.
+_PSI_MIN_PER_BIN = 5
+_PSI_MIN_DOCS = _PSI_BINS * _PSI_MIN_PER_BIN
 
 
 def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,7 +1033,23 @@ def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.filter("bounds", lambda b: b < F.col("q"))).alias("bin"),
     )
-    cells = binned.groupBy("source", "bin").agg(F.count("*").alias("n"))
+    occupied = binned.groupBy("source", "bin").agg(F.count("*").alias("n"))
+    # DENSIFY to the full source × bin grid before the PSI sum: a VACATED
+    # bin (n=0 where the baseline has mass) is the loudest drift signature
+    # — its smoothed term is (ε − q)·ln(ε/q) ≈ +0.69 per vacated decile —
+    # and a groupBy over occupied cells only would silently drop exactly
+    # those terms (review finding; pinned by the vacated-bin test). The
+    # grid is |sources| × 10 rows — broadcast-sized at any corpus scale.
+    grid = (
+        occupied.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    cells = grid.join(occupied, ["source", "bin"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
     w_src = Window.partitionBy("source")
     w_bin = Window.partitionBy("bin")
     w_all = Window.partitionBy()
@@ -1042,7 +1065,8 @@ def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     verdict = (
-        F.when(F.col("psi") > _PSI_SHIFTED, "shifted")
+        F.when(F.col("n_docs") < _PSI_MIN_DOCS, "insufficient_data")
+        .when(F.col("psi") > _PSI_SHIFTED, "shifted")
         .when(F.col("psi") > _PSI_MODERATE, "moderate")
         .otherwise("stable")
     )
@@ -1073,8 +1097,16 @@ WITH w AS (
   SELECT source,
          len(list_filter(b.bounds, x -> x < s.q)) AS bin
   FROM scored s CROSS JOIN b
-), cells AS (
+), occupied AS (
   SELECT source, bin, count(*)::BIGINT AS n FROM binned GROUP BY 1, 2
+), grid AS (
+  -- densify to the full source x bin grid: vacated bins must contribute
+  SELECT s0.source, r.bin
+  FROM (SELECT DISTINCT source FROM occupied) s0
+  CROSS JOIN (SELECT range::INT AS bin FROM range({_PSI_BINS})) r
+), cells AS (
+  SELECT g.source, g.bin, coalesce(o.n, 0) AS n
+  FROM grid g LEFT JOIN occupied o ON o.source = g.source AND o.bin = g.bin
 ), shares AS (
   SELECT source, n,
          n / sum(n) OVER (PARTITION BY source) + {_PSI_EPS} AS p,
@@ -1086,7 +1118,8 @@ WITH w AS (
   FROM shares GROUP BY source
 )
 SELECT source, n_docs, psi,
-       CASE WHEN psi > {_PSI_SHIFTED} THEN 'shifted'
+       CASE WHEN n_docs < {_PSI_MIN_DOCS} THEN 'insufficient_data'
+            WHEN psi > {_PSI_SHIFTED} THEN 'shifted'
             WHEN psi > {_PSI_MODERATE} THEN 'moderate'
             ELSE 'stable' END AS drift
 FROM psi ORDER BY source

@@ -1316,6 +1316,104 @@ FROM h GROUP BY 1 ORDER BY 1
 """
 
 
+_GAIN_TARGET_LUFS = -18.0  # program-loudness normalization target
+_GAIN_CLIP_CEIL = -0.1  # post-gain sample peak above this risks clipping
+
+
+def audio_gain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level loudness-normalization PLAN — the step between the
+    loudness gate and a destructive re-level pass (the same
+    observe-before-patch pattern as ``plans/maintenance.py``): per codec,
+    the median integrated loudness of the measurable clips sets ONE
+    recommended gain (target −18 LUFS − median), and the plan reports how
+    many clips that gain would push past the clipping ceiling (their
+    sample peak + gain > −0.1 dBFS) — the clips a limiter or per-clip
+    gain would have to handle instead. A per-codec (not per-clip) gain is
+    the standard first pass: it preserves relative dynamics within a
+    codec family while removing the systematic level offset between
+    ingestion paths.
+
+    Scale shape: the loudness stats are the one Arrow crossing; codec
+    attaches by a slim clip_id join; the median is one per-codec
+    aggregation (exact here, approx_percentile at 10^12 rows); the
+    clipping-risk count joins the |codecs|-row plan back by broadcast.
+    Replay: all inputs are fixture columns (loud_*) joined to the cached
+    clips parquet's codec by clip_id — DuckDB recomputes the whole plan.
+    """
+    clips = load_clips(spark, sf_dir).select("clip_id", "codec")
+    stats = loudness.loudness_stats(load_clips(spark, sf_dir)).join(
+        clips, "clip_id"
+    )
+    measurable = stats.filter(F.col("loud_ok"))
+    plan = measurable.groupBy("codec").agg(
+        F.count("*").alias("n_measurable"),
+        F.round(
+            F.expr("percentile(lufs, 0.5D)") + 1e-9, 4
+        ).alias("median_lufs"),
+    ).withColumn(
+        "gain_db",
+        F.round(_GAIN_TARGET_LUFS - F.col("median_lufs") + 1e-9, 4),
+    )
+    risk = (
+        measurable.join(F.broadcast(plan.select("codec", "gain_db")), "codec")
+        .withColumn(
+            "clips_after_gain",
+            (F.col("peak_dbfs") + F.col("gain_db")) > _GAIN_CLIP_CEIL,
+        )
+        .groupBy("codec")
+        .agg(
+            F.sum(F.col("clips_after_gain").cast("long")).alias(
+                "n_clip_risk"
+            )
+        )
+    )
+    return (
+        plan.join(risk, "codec")
+        .select(
+            "codec",
+            "n_measurable",
+            "median_lufs",
+            "gain_db",
+            "n_clip_risk",
+            F.round(
+                F.col("n_clip_risk") / F.col("n_measurable") + 1e-9, 4
+            ).alias("clip_risk_frac"),
+        )
+        .orderBy("codec")
+    )
+
+
+def gain_plan_oracle(sf_dir: str) -> str:
+    fx = features_path_for(sf_dir)
+    clips = clips_path_for(sf_dir)
+    return f"""
+WITH m AS (
+  SELECT c.codec, f.lufs, f.peak_dbfs
+  FROM (SELECT clip_id, loud_lufs AS lufs, loud_peak_dbfs AS peak_dbfs,
+               loud_ok
+        FROM read_parquet('{fx}/*.parquet')) f
+  JOIN (SELECT clip_id, codec FROM read_parquet('{clips}/*.parquet')) c
+    USING (clip_id)
+  WHERE f.loud_ok
+), plan AS (
+  SELECT codec, count(*)::BIGINT AS n_measurable,
+         round(median(lufs) + 1e-9, 4) AS median_lufs,
+         round({_GAIN_TARGET_LUFS} - round(median(lufs) + 1e-9, 4) + 1e-9, 4)
+           AS gain_db
+  FROM m GROUP BY codec
+), risk AS (
+  SELECT m.codec,
+         sum(CASE WHEN m.peak_dbfs + p.gain_db > {_GAIN_CLIP_CEIL}
+                  THEN 1 ELSE 0 END)::BIGINT AS n_clip_risk
+  FROM m JOIN plan p USING (codec) GROUP BY m.codec
+)
+SELECT p.codec, p.n_measurable, p.median_lufs, p.gain_db, r.n_clip_risk,
+       round(r.n_clip_risk::DOUBLE / p.n_measurable + 1e-9, 4)
+         AS clip_risk_frac
+FROM plan p JOIN risk r USING (codec) ORDER BY p.codec
+"""
+
+
 def audio_loudness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gated program-loudness profile (operators/loudness.py) over ALL
     clips — BS.1770-style K-weighted, two-stage-gated integrated loudness,
@@ -1861,6 +1959,7 @@ QUERIES = {
     "audio_reverb_gate": audio_reverb_gate,
     "audio_hum_gate": audio_hum_gate,
     "audio_loudness_gate": audio_loudness_gate,
+    "audio_gain_plan": audio_gain_plan,
     "audio_ols_speech_model": audio_ols_speech_model,
     "audio_mfcc_stats": audio_mfcc_stats,
     "audio_pitch_stats": audio_pitch_stats,
@@ -1905,6 +2004,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_reverb_gate": reverb_gate_oracle,
     "audio_hum_gate": hum_gate_oracle,
     "audio_loudness_gate": loudness_gate_oracle,
+    "audio_gain_plan": gain_plan_oracle,
     "audio_ols_speech_model": ols_speech_model_oracle,
     "audio_mfcc_stats": mfcc_stats_oracle,
     "audio_pitch_stats": pitch_stats_oracle,

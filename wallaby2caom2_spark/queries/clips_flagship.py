@@ -1667,7 +1667,8 @@ def audio_speaking_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     silence with a full transcript).  Zero-shuffle composition: n_chars is
     computed JVM-side before the VAD stage and passed through the UDF, so
     no self-join of the scan is needed; the cascade below is pure codegen.
-    Rows-only; VAD internals pinned in tests/test_vad.py."""
+    Oracle-checked via the fixture replay (speaking_rate_oracle); VAD
+    internals pinned in tests/test_vad.py."""
     clips = load_clips(spark, sf_dir).withColumn(
         "n_chars", F.length(F.coalesce("transcript", F.lit("")))
     )

@@ -1,4 +1,4 @@
-"""Flagship clips quality-filter queries (non-SQL-expressible → rows-only).
+"""Flagship clips quality-filter queries (UDF stages → fixture-replay oracles).
 
 The clips table does not exist in /root/testdata, so per the north rule it is
 synthesised deterministically (datagen.py, seed 42) into a per-sf cache under
@@ -11,10 +11,10 @@ deterministic — so they are persisted once per sf by the pure-Python
 oracle-replay fixture (fixtures.py, same shared helpers as the golden
 labeler) and DuckDB replays every downstream classification/aggregation
 under the full rows+schema+value-hash check (the ``*_oracle`` functions
-below, wired in __spark_entry__.oracle_sql). The queries whose payload math
-has no compact per-clip summary (segmentation, normalization, tensors,
-augmentation, the funnel) stay rows-only, each pinned by a dedicated golden
-pytest (docs/QUERIES.json maps query → backing test).
+below, wired in __spark_entry__.oracle_sql). Since round 3 EVERY query in
+this module carries such an oracle — none is rows-only — and each keeps a
+dedicated golden pytest besides (docs/QUERIES.json maps query → backing
+test + oracle kind).
 """
 
 from __future__ import annotations
@@ -997,7 +997,7 @@ GROUP BY 1 ORDER BY 1
 def clips_waveform_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 real preview generation: decoded PCM → waveform-thumbnail PNG
     binary column (operators/preview.py), summarized so the driver's
-    rows-only check sees stable values. Per-artifact verification (PNG
+    value-hash check sees stable values. Per-artifact verification (PNG
     round-trip, determinism, oracle pcm_ok agreement) lives in
     tests/test_preview.py."""
     prev = preview.with_previews(load_clips(spark, sf_dir))
@@ -1053,7 +1053,7 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the upstream-redelivery case the stateful stream dedup also handles),
     then fingerprint → banded LSH join → JVM hamming verify finds the pairs
     without ever comparing ``clip_id``. Summarized by hamming distance so
-    the driver's rows-only check sees a small stable relation; pair-level
+    the driver's value-hash check sees a small stable relation; pair-level
     assertions live in tests/test_audio_fp.py."""
     clips = load_clips(spark, sf_dir)
     # deterministic 1-in-20 redelivery sample keyed on an md5 prefix (not
@@ -1078,7 +1078,7 @@ def audio_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The post-filter fan-out stage: kept clips → fixed 250 ms training
     segments at a normalized 16 kHz (operators/segment.py, one→many
     mapInPandas). Summarized per segment-duration class so the driver's
-    rows-only check sees a small stable relation; sample-exact
+    value-hash check sees a small stable relation; sample-exact
     reconstruction is pinned in tests/test_segment.py."""
     clips = _kept_clips(spark, sf_dir)
     segs = segment.segment_clips(clips, window_ms=250, sr_out=16000)
@@ -1095,7 +1095,7 @@ def audio_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def audio_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loudness normalization (operators/normalize.py) over the clips table,
-    summarized by (norm_ok, peak_limited) so the driver's rows-only check
+    summarized by (norm_ok, peak_limited) so the driver's value-hash check
     sees a small stable relation; per-sample gain/limiter/decode-back
     assertions live in tests/test_normalize.py."""
     norm = normalize.normalize_clips(load_clips(spark, sf_dir))
@@ -1116,7 +1116,7 @@ def audio_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filterbank feature extraction (operators/features.py) over kept
     clips — the ASR-training tensor step after filter/normalize/segment.
-    Summarized so the driver's rows-only check sees a small stable
+    Summarized so the driver's value-hash check sees a small stable
     relation; frame math / band localization / tensor round-trip are
     pinned in tests/test_features.py."""
     clips = _kept_clips(spark, sf_dir)
@@ -1643,7 +1643,7 @@ GROUP BY 1 ORDER BY 1
 def audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-VAD speech stats (operators/vad.py) over all clips — the
     speech-content gate an ASR corpus applies before token-budget math.
-    Summarized to a small stable relation for the driver's rows-only
+    Summarized to a small stable relation for the driver's value-hash
     check; threshold/run/SNR behavior is pinned in tests/test_vad.py."""
     stats = vad.vad_stats(load_clips(spark, sf_dir))
     return (
@@ -1701,7 +1701,7 @@ def audio_tonality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid / peak-share per clip, classified into no_signal /
     tonal_artifact / narrowband / broadband — the tonal-noise failure mode
     (hum, test tones, feedback) that energy VAD cannot see. Summarized per
-    class for the driver's rows-only check; the class boundaries and
+    class for the driver's value-hash check; the class boundaries and
     gain-invariance are pinned in tests/test_spectral.py."""
     stats = spectral.classify_tonality(
         spectral.spectral_stats(load_clips(spark, sf_dir))
@@ -1855,7 +1855,7 @@ def clips_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_speed_perturb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way speed perturbation (operators/augment.py) over kept clips —
     the corpus-tripling augmentation step after quality filtering.
-    Summarized per factor for the driver's rows-only check; per-payload
+    Summarized per factor for the driver's value-hash check; per-payload
     duration/identity/resample invariants are pinned in
     tests/test_augment.py."""
     clips = _kept_clips(spark, sf_dir)
@@ -1874,7 +1874,7 @@ def audio_speed_perturb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def audio_noise_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Noise-mix augmentation (operators/augment.py::noise_mix) over kept
-    clips at 20 dB SNR, summarized for the driver's rows-only check;
+    clips at 20 dB SNR, summarized for the driver's value-hash check;
     achieved-SNR and content-seeded determinism are pinned in
     tests/test_augment.py."""
     mixed = augment.noise_mix(_kept_clips(spark, sf_dir), snr_db=20.0)

@@ -219,6 +219,29 @@ def test_fixture_matches_loudness(spark, fixture_rows):
             assert _norm(live) == _norm(f[col]), (r["clip_id"], col)
 
 
+def test_fixture_matches_syllable_and_compression(spark, fixture_rows):
+    """v13 replay columns: the persisted syllable-rate and transcript-
+    compressibility profiles equal the live operators per clip, raw
+    doubles included."""
+    from wallaby2caom2_spark.operators.syllable import syllable_stats
+    from wallaby2caom2_spark.operators.textcomp import compression_stats
+
+    clips_path, fix = fixture_rows
+    for r in syllable_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["syl_ok"] == f["syl_ok"], r["clip_id"]
+        assert r["dur_ms"] == (f["syl_dur_ms"] if f["syl_ok"] else 0)
+        assert r["n_chars"] == f["n_chars"], r["clip_id"]
+        assert _norm(r["syl_rate_hz"]) == _norm(f["syl_rate"]), r["clip_id"]
+        assert _norm(r["mod_share"]) == _norm(f["syl_share"]), r["clip_id"]
+    for r in compression_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["z_ok"] == f["z_ok"], r["clip_id"]
+        assert r["raw_len"] == f["z_raw_len"], r["clip_id"]
+        assert r["z_len"] == f["z_len"], r["clip_id"]
+        assert _norm(r["z_ratio"]) == _norm(f["z_ratio"]), r["clip_id"]
+
+
 def test_fixture_matches_resample_and_specaugment(spark, fixture_rows):
     """v6 replay columns: per-clip equality against the live operators,
     raw (unrounded) doubles included."""

@@ -205,6 +205,8 @@ CLIPS_QUERIES = [
     "audio_normalize_stats",
     "audio_feature_stats",
     "audio_bandwidth_gate",
+    "audio_syllable_rate_gate",
+    "transcript_compression_gate",
     "audio_reverb_gate",
     "audio_hum_gate",
     "audio_ols_speech_model",

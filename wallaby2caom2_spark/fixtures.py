@@ -160,6 +160,17 @@ FIXTURE_SCHEMA = pa.schema(
         ("loud_blocks", pa.int32()),
         ("loud_gated", pa.int32()),
         ("loud_range_db", pa.float64()),
+        # syllable-rate gate (operators/syllable.py — shared clip_syllable)
+        ("syl_ok", pa.bool_()),
+        ("syl_rate", pa.float64()),
+        ("syl_share", pa.float64()),
+        ("syl_dur_ms", pa.int32()),
+        # transcript compressibility (operators/textcomp.py — shared
+        # transcript_compression)
+        ("z_ok", pa.bool_()),
+        ("z_raw_len", pa.int32()),
+        ("z_len", pa.int32()),
+        ("z_ratio", pa.float64()),
     ]
 )
 
@@ -261,6 +272,8 @@ _SEG_COLS = (
     "hum_ok", "hum_hz", "hum_ratio", "hum_harmonics",
     "loud_ok", "loud_lufs", "loud_peak_dbfs", "loud_blocks", "loud_gated",
     "loud_range_db",
+    "syl_ok", "syl_rate", "syl_share", "syl_dur_ms",
+    "z_ok", "z_raw_len", "z_len", "z_ratio",
 )
 
 
@@ -298,7 +311,15 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         hum_ok=False, hum_ratio=0.0,
         loud_ok=False, loud_lufs=-120.0, loud_peak_dbfs=-120.0,
         loud_range_db=0.0,
+        syl_ok=False, syl_rate=0.0, syl_share=0.0,
+        z_ok=False, z_ratio=0.0,
     )
+    # --- transcript compressibility (shared function, textcomp.py) ---
+    from .operators.textcomp import transcript_compression
+
+    zres = transcript_compression(row["transcript"])
+    if zres is not None:
+        out.update(z_ok=True, z_raw_len=zres[0], z_len=zres[1], z_ratio=zres[2])
     decodable = samples is not None and len(samples) > 0 and sr_f > 0
     if decodable:
         # --- segmentation (window_ms=250, sr_out=16000, keep_partial) ---
@@ -456,6 +477,18 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
                 loud_blocks=lres[2],
                 loud_gated=lres[3],
                 loud_range_db=lres[4],
+            )
+
+        # --- syllable-rate gate (shared per-clip function, syllable.py) ---
+        from .operators.syllable import clip_syllable
+
+        sres = clip_syllable(samples, sr_f)
+        if sres is not None:
+            out.update(
+                syl_ok=True,
+                syl_rate=sres[0],
+                syl_share=sres[1],
+                syl_dur_ms=sres[2],
             )
 
         # --- spectral shape (per-clip UDF rounding of spectral_stats) ---

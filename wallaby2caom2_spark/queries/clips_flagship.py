@@ -40,6 +40,8 @@ from ..operators import (
     reverb,
     segment,
     spectral,
+    syllable,
+    textcomp,
     vad,
     video,
 )
@@ -145,7 +147,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v12"  # v12: + gated-loudness replay columns (loud_*, shared clip_loudness); v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v13"  # v13: + syllable-rate (syl_*, shared clip_syllable) and transcript-compressibility (z_*, shared transcript_compression) replay columns; v12: + gated-loudness replay columns (loud_*, shared clip_loudness); v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -1221,6 +1223,128 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def audio_syllable_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic syllable rate vs transcript character rate
+    (operators/syllable.py) over ALL clips — the cross-modal wrong-transcript
+    detector: the envelope-modulation peak estimates the ACOUSTIC speaking
+    rate with no ASR, the transcript implies an EXPECTED rate
+    (chars/sec ÷ 6 chars-per-syllable prior), and pairs whose ratio falls
+    outside [0.5, 2.0] are flagged as plausibility mismatches. Classified
+    in codegen into rate bands × agreement; the modulation math replays
+    through the fixture's shared ``clip_syllable`` columns. Estimator
+    accuracy (planted modulation rate recovered within bin width) is
+    pinned in tests/test_syllable.py."""
+    stats = syllable.syllable_stats(load_clips(spark, sf_dir))
+    rate_band = (
+        F.when(~F.col("syl_ok"), "unmeasurable")
+        .when(F.col("syl_rate_hz") < 3.5, "slow")
+        .when(F.col("syl_rate_hz") < 5.5, "normal")
+        .otherwise("fast")
+    )
+    # expression order matters: the oracle replays this EXACT float chain
+    expected_ratio = (
+        F.col("n_chars") * F.lit(1000.0) / F.col("dur_ms") / F.lit(6.0)
+    ) / F.col("syl_rate_hz")
+    agreement = (
+        F.when(
+            ~F.col("syl_ok")
+            | (F.col("dur_ms") <= 0)
+            | (F.col("n_chars") <= 0),
+            "n/a",
+        )
+        .when(
+            (expected_ratio >= 0.5) & (expected_ratio <= 2.0), "match"
+        )
+        .otherwise("mismatch")
+    )
+    return (
+        stats.withColumn("rate_band", rate_band)
+        .withColumn("transcript_agree", agreement)
+        .groupBy("rate_band", "transcript_agree")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("syl_rate_hz") + 1e-9, 3).alias("avg_rate_hz"),
+            F.round(F.avg("mod_share") + 1e-9, 4).alias("avg_mod_share"),
+        )
+        .orderBy("rate_band", "transcript_agree")
+    )
+
+
+def syllable_rate_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN NOT syl_ok THEN 'unmeasurable'
+              WHEN syl_rate < 3.5 THEN 'slow'
+              WHEN syl_rate < 5.5 THEN 'normal'
+              ELSE 'fast' END AS rate_band,
+         CASE WHEN NOT syl_ok OR syl_dur_ms <= 0 OR n_chars <= 0 THEN 'n/a'
+              WHEN (n_chars * 1000.0 / syl_dur_ms / 6.0) / syl_rate >= 0.5
+               AND (n_chars * 1000.0 / syl_dur_ms / 6.0) / syl_rate <= 2.0
+              THEN 'match' ELSE 'mismatch' END AS transcript_agree,
+         syl_rate, syl_share
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT rate_band, transcript_agree, count(*)::BIGINT AS n_clips,
+       round(avg(syl_rate) + 1e-9, 3) AS avg_rate_hz,
+       round(avg(syl_share) + 1e-9, 4) AS avg_mod_share
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def transcript_compression_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transcript zlib-compressibility profile (operators/textcomp.py) over
+    ALL clips — the cheap boilerplate / noise pre-filter: deflate ratio
+    separates looped-template transcripts (repetitive band) from natural
+    language from incompressible junk, ahead of the expensive perplexity
+    pass. Band classification is codegen; the deflate math replays through
+    the fixture's shared ``transcript_compression`` columns (DuckDB cannot
+    deflate — only a genuine zlib pass hash-matches). Band behavior
+    (planted repetition / gibberish land in their bands) is pinned in
+    tests/test_syllable.py."""
+    stats = textcomp.compression_stats(load_clips(spark, sf_dir))
+    band = (
+        F.when(~F.col("z_ok"), "empty")
+        .when(F.col("z_ratio") < 0.45, "repetitive")
+        .when(F.col("z_ratio") < 0.75, "natural")
+        .when(F.col("z_ratio") < 1.0, "dense")
+        .otherwise("header_bound")
+    )
+    return (
+        stats.withColumn("z_band", band)
+        .groupBy("z_band")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("z_ratio") + 1e-9, 4).alias("avg_z_ratio"),
+            F.round(F.avg("raw_len") + 1e-9, 1).alias("avg_raw_len"),
+            F.sum("z_len").alias("total_z_bytes"),
+        )
+        .orderBy("z_band")
+    )
+
+
+def transcript_compression_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH z AS (
+  SELECT CASE WHEN NOT z_ok THEN 'empty'
+              WHEN z_ratio < 0.45 THEN 'repetitive'
+              WHEN z_ratio < 0.75 THEN 'natural'
+              WHEN z_ratio < 1.0 THEN 'dense'
+              ELSE 'header_bound' END AS z_band,
+         z_ratio, z_raw_len, z_len
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT z_band, count(*)::BIGINT AS n_clips,
+       round(avg(z_ratio) + 1e-9, 4) AS avg_z_ratio,
+       round(avg(z_raw_len) + 1e-9, 1) AS avg_raw_len,
+       sum(z_len)::BIGINT AS total_z_bytes
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
 def audio_reverb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverberation profile (operators/reverb.py) over ALL clips — the
     energy-decay slope after the loudest frame, the room-acoustics gate a
@@ -1957,6 +2081,8 @@ QUERIES = {
     "audio_normalize_stats": audio_normalize_stats,
     "audio_feature_stats": audio_feature_stats,
     "audio_bandwidth_gate": audio_bandwidth_gate,
+    "audio_syllable_rate_gate": audio_syllable_rate_gate,
+    "transcript_compression_gate": transcript_compression_gate,
     "audio_reverb_gate": audio_reverb_gate,
     "audio_hum_gate": audio_hum_gate,
     "audio_loudness_gate": audio_loudness_gate,
@@ -2002,6 +2128,8 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_normalize_stats": normalize_stats_oracle,
     "audio_feature_stats": feature_stats_oracle,
     "audio_bandwidth_gate": bandwidth_gate_oracle,
+    "audio_syllable_rate_gate": syllable_rate_oracle,
+    "transcript_compression_gate": transcript_compression_oracle,
     "audio_reverb_gate": reverb_gate_oracle,
     "audio_hum_gate": hum_gate_oracle,
     "audio_loudness_gate": loudness_gate_oracle,

@@ -207,6 +207,7 @@ CLIPS_QUERIES = [
     "audio_bandwidth_gate",
     "audio_syllable_rate_gate",
     "transcript_compression_gate",
+    "clips_token_budget_report",
     "audio_reverb_gate",
     "audio_hum_gate",
     "audio_ols_speech_model",

@@ -1345,6 +1345,64 @@ FROM z GROUP BY 1 ORDER BY 1
 """
 
 
+def clips_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-filter training-capacity report — the first table a training
+    team asks of a curated corpus: per (language × perplexity band), how
+    many clips survived and how many TOKENS of scrubbed transcript they
+    carry. Runs on the flagship pipeline output (one fused UDF pass, keep
+    decided in place) with a pure-codegen token count — tokens are counted
+    by the engine-portable space-count formula (single-spaced transcripts:
+    ``len(s) − len(replace(s,' ','')) + 1``) so DuckDB replays it exactly
+    from the fixture's scrubbed transcripts. The groupBy shuffles only
+    (lang, band, int) rows — payload and text die before the exchange."""
+    filtered = quality_filter(load_clips(spark, sf_dir)).filter(F.col("keep"))
+    s = F.col("scrubbed_transcript")
+    n_tokens = F.when(F.length(s) == 0, F.lit(0)).otherwise(
+        F.length(s) - F.length(F.regexp_replace(s, " ", "")) + F.lit(1)
+    )
+    band = (
+        F.when(F.col("ppl") < 4000.0, "fluent")
+        .when(F.col("ppl") < 5500.0, "typical")
+        .when(F.col("ppl") < 7000.0, "marginal")
+        .otherwise("suspect")
+    )
+    return (
+        filtered.withColumn("ppl_band", band)
+        .withColumn("n_tokens", n_tokens)
+        .groupBy("lang", "ppl_band")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.length(s)).alias("total_chars"),
+            F.round(F.avg("ppl") + 1e-9, 2).alias("avg_ppl"),
+        )
+        .orderBy("lang", "ppl_band")
+    )
+
+
+def token_budget_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH t AS (
+  SELECT lang, ppl, scrubbed_transcript AS s,
+         CASE WHEN ppl < 4000.0 THEN 'fluent'
+              WHEN ppl < 5500.0 THEN 'typical'
+              WHEN ppl < 7000.0 THEN 'marginal'
+              ELSE 'suspect' END AS ppl_band,
+         CASE WHEN length(scrubbed_transcript) = 0 THEN 0
+              ELSE length(scrubbed_transcript)
+                   - length(replace(scrubbed_transcript, ' ', '')) + 1
+         END AS n_tokens
+  FROM read_parquet('{path}/*.parquet') WHERE keep
+)
+SELECT lang, ppl_band, count(*)::BIGINT AS n_clips,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(length(s))::BIGINT AS total_chars,
+       round(avg(ppl) + 1e-9, 2) AS avg_ppl
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def audio_reverb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverberation profile (operators/reverb.py) over ALL clips — the
     energy-decay slope after the loudest frame, the room-acoustics gate a
@@ -2083,6 +2141,7 @@ QUERIES = {
     "audio_bandwidth_gate": audio_bandwidth_gate,
     "audio_syllable_rate_gate": audio_syllable_rate_gate,
     "transcript_compression_gate": transcript_compression_gate,
+    "clips_token_budget_report": clips_token_budget_report,
     "audio_reverb_gate": audio_reverb_gate,
     "audio_hum_gate": audio_hum_gate,
     "audio_loudness_gate": audio_loudness_gate,
@@ -2130,6 +2189,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_bandwidth_gate": bandwidth_gate_oracle,
     "audio_syllable_rate_gate": syllable_rate_oracle,
     "transcript_compression_gate": transcript_compression_oracle,
+    "clips_token_budget_report": token_budget_oracle,
     "audio_reverb_gate": reverb_gate_oracle,
     "audio_hum_gate": hum_gate_oracle,
     "audio_loudness_gate": loudness_gate_oracle,

@@ -242,6 +242,29 @@ def test_fixture_matches_syllable_and_compression(spark, fixture_rows):
         assert _norm(r["z_ratio"]) == _norm(f["z_ratio"]), r["clip_id"]
 
 
+def test_fixture_matches_health_and_transcode(spark, fixture_rows):
+    """v14 replay columns: the persisted waveform-health and canonical-
+    transcode profiles equal the live operators per clip, raw doubles and
+    checksums included."""
+    from wallaby2caom2_spark.operators.health import health_stats
+    from wallaby2caom2_spark.operators.transcode import transcode_stats
+
+    clips_path, fix = fixture_rows
+    for r in health_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["wh_ok"] == f["wh_ok"], r["clip_id"]
+        assert _norm(r["dc_offset"]) == _norm(f["wh_dc"]), r["clip_id"]
+        assert _norm(r["crest_db"]) == _norm(f["wh_crest_db"]), r["clip_id"]
+        assert _norm(r["peak"]) == _norm(f["wh_peak"]), r["clip_id"]
+    for r in transcode_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["tc_ok"] == f["tc_ok"], r["clip_id"]
+        assert r["tc_exact"] == f["tc_exact"], r["clip_id"]
+        assert r["canon_len"] == f["tc_canon_len"], r["clip_id"]
+        assert r["canon_crc32"] == f["tc_crc32"], r["clip_id"]
+        assert _norm(r["size_ratio"]) == _norm(f["tc_size_ratio"])
+
+
 def test_fixture_matches_resample_and_specaugment(spark, fixture_rows):
     """v6 replay columns: per-clip equality against the live operators,
     raw (unrounded) doubles included."""

@@ -208,6 +208,8 @@ CLIPS_QUERIES = [
     "audio_syllable_rate_gate",
     "transcript_compression_gate",
     "clips_token_budget_report",
+    "audio_health_gate",
+    "audio_transcode_migration",
     "audio_reverb_gate",
     "audio_hum_gate",
     "audio_ols_speech_model",

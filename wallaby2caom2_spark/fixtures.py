@@ -171,6 +171,17 @@ FIXTURE_SCHEMA = pa.schema(
         ("z_raw_len", pa.int32()),
         ("z_len", pa.int32()),
         ("z_ratio", pa.float64()),
+        # waveform health (operators/health.py — shared clip_health)
+        ("wh_ok", pa.bool_()),
+        ("wh_dc", pa.float64()),
+        ("wh_crest_db", pa.float64()),
+        ("wh_peak", pa.float64()),
+        # canonical transcode (operators/transcode.py — shared clip_transcode)
+        ("tc_ok", pa.bool_()),
+        ("tc_exact", pa.bool_()),
+        ("tc_canon_len", pa.int32()),
+        ("tc_size_ratio", pa.float64()),
+        ("tc_crc32", pa.int64()),
     ]
 )
 
@@ -274,6 +285,8 @@ _SEG_COLS = (
     "loud_range_db",
     "syl_ok", "syl_rate", "syl_share", "syl_dur_ms",
     "z_ok", "z_raw_len", "z_len", "z_ratio",
+    "wh_ok", "wh_dc", "wh_crest_db", "wh_peak",
+    "tc_ok", "tc_exact", "tc_canon_len", "tc_size_ratio", "tc_crc32",
 )
 
 
@@ -313,6 +326,8 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         loud_range_db=0.0,
         syl_ok=False, syl_rate=0.0, syl_share=0.0,
         z_ok=False, z_ratio=0.0,
+        wh_ok=False, wh_dc=0.0, wh_crest_db=0.0, wh_peak=0.0,
+        tc_ok=False, tc_exact=False, tc_size_ratio=0.0,
     )
     # --- transcript compressibility (shared function, textcomp.py) ---
     from .operators.textcomp import transcript_compression
@@ -320,6 +335,30 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
     zres = transcript_compression(row["transcript"])
     if zres is not None:
         out.update(z_ok=True, z_raw_len=zres[0], z_len=zres[1], z_ratio=zres[2])
+
+    # --- waveform health (shared function, health.py) — rate-independent:
+    # replayed OUTSIDE the decodable gate exactly like the operator, which
+    # computes on whatever samples decode_clip returns even when the rate
+    # is unknown (rateless raw PCM) ---
+    from .operators.health import clip_health
+
+    hlt = clip_health(samples)
+    if hlt is not None:
+        out.update(wh_ok=True, wh_dc=hlt[0], wh_crest_db=hlt[1], wh_peak=hlt[2])
+
+    # --- canonical transcode (shared function, transcode.py — owns its own
+    # decode, straight from the source payload) ---
+    from .operators.transcode import clip_transcode
+
+    tres = clip_transcode(row["bytes"], row["codec"], row["sr_hz"])
+    if tres is not None:
+        out.update(
+            tc_ok=True,
+            tc_exact=tres[0],
+            tc_canon_len=tres[1],
+            tc_size_ratio=tres[2],
+            tc_crc32=tres[3],
+        )
     decodable = samples is not None and len(samples) > 0 and sr_f > 0
     if decodable:
         # --- segmentation (window_ms=250, sr_out=16000, keep_partial) ---

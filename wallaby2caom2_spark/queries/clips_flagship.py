@@ -38,10 +38,12 @@ from ..operators import (
     pitch,
     preview,
     reverb,
+    health,
     segment,
     spectral,
     syllable,
     textcomp,
+    transcode,
     vad,
     video,
 )
@@ -147,7 +149,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v13"  # v13: + syllable-rate (syl_*, shared clip_syllable) and transcript-compressibility (z_*, shared transcript_compression) replay columns; v12: + gated-loudness replay columns (loud_*, shared clip_loudness); v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v14"  # v14: + waveform-health (wh_*, shared clip_health) and canonical-transcode (tc_*, shared clip_transcode) replay columns; v13: + syllable-rate (syl_*, shared clip_syllable) and transcript-compressibility (z_*, shared transcript_compression) replay columns; v12: + gated-loudness replay columns (loud_*, shared clip_loudness); v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -1345,6 +1347,112 @@ FROM z GROUP BY 1 ORDER BY 1
 """
 
 
+def audio_health_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-health profile (operators/health.py) over ALL clips — DC
+    offset and crest factor, the two time-domain acquisition-chain checks:
+    a crushed crest flags limiting/over-compression even when peaks were
+    re-normalized below the clip-ratio rule's radar; a biased DC wastes
+    headroom and marks a broken front-end. Classified in codegen into
+    dynamics bands × dc flag; the math replays through the fixture's shared
+    ``clip_health`` columns. Band behavior (clipped material lands in
+    over_compressed, silence contained) is pinned in tests/test_health.py."""
+    stats = health.health_stats(load_clips(spark, sf_dir))
+    dyn = (
+        F.when(~F.col("wh_ok"), "unmeasurable")
+        .when(F.col("crest_db") < 6.0, "over_compressed")
+        .when(F.col("crest_db") < 9.0, "natural")
+        .otherwise("dynamic")
+    )
+    dc_biased = F.col("wh_ok") & (F.abs(F.col("dc_offset")) > 0.002)
+    return (
+        stats.withColumn("dynamics", dyn)
+        .withColumn("dc_biased", dc_biased)
+        .groupBy("dynamics", "dc_biased")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("crest_db") + 1e-9, 3).alias("avg_crest_db"),
+            F.round(F.avg(F.abs(F.col("dc_offset"))) + 1e-9, 6).alias(
+                "avg_abs_dc"
+            ),
+            F.round(F.max("peak") + 1e-9, 4).alias("max_peak"),
+        )
+        .orderBy("dynamics", "dc_biased")
+    )
+
+
+def health_gate_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH h AS (
+  SELECT CASE WHEN NOT wh_ok THEN 'unmeasurable'
+              WHEN wh_crest_db < 6.0 THEN 'over_compressed'
+              WHEN wh_crest_db < 9.0 THEN 'natural'
+              ELSE 'dynamic' END AS dynamics,
+         (wh_ok AND abs(wh_dc) > 0.002) AS dc_biased,
+         wh_crest_db, wh_dc, wh_peak
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT dynamics, dc_biased, count(*)::BIGINT AS n_clips,
+       round(avg(wh_crest_db) + 1e-9, 3) AS avg_crest_db,
+       round(avg(abs(wh_dc)) + 1e-9, 6) AS avg_abs_dc,
+       round(max(wh_peak) + 1e-9, 4) AS max_peak
+FROM h GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def audio_transcode_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-container migration report (operators/transcode.py) over
+    ALL clips — per source codec: how many clips canonicalize to WAV, how
+    many round-trip SAMPLE-EXACT (the lossless proof a migration needs
+    before retiring source bytes), the canonical byte bill, the container
+    size ratio, and the distinct content-checksum count (clips that differ
+    only by container collide on ``canon_crc32``). The transcode math
+    replays through the fixture's shared ``clip_transcode`` columns —
+    DuckDB cannot decode-reencode, so only a genuine round trip
+    hash-matches. Exactness and checksum behavior are pinned in
+    tests/test_health.py."""
+    stats = transcode.transcode_stats(load_clips(spark, sf_dir))
+    return (
+        stats.groupBy("codec")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.col("tc_ok").cast("long")).alias("n_canonical"),
+            F.sum(F.col("tc_exact").cast("long")).alias("n_exact"),
+            F.sum("canon_len").alias("canon_bytes"),
+            F.round(
+                F.avg(F.when(F.col("tc_ok"), F.col("size_ratio"))) + 1e-9, 4
+            ).alias("avg_size_ratio"),
+            F.countDistinct(
+                F.when(F.col("tc_ok"), F.col("canon_crc32"))
+            ).alias("n_distinct_content"),
+        )
+        .orderBy("codec")
+    )
+
+
+def transcode_migration_oracle(sf_dir: str) -> str:
+    fx = features_path_for(sf_dir)
+    clips = clips_path_for(sf_dir)
+    return f"""
+WITH t AS (
+  SELECT c.codec, f.tc_ok, f.tc_exact, f.tc_canon_len, f.tc_size_ratio,
+         f.tc_crc32
+  FROM read_parquet('{fx}/*.parquet') f
+  JOIN (SELECT clip_id, codec FROM read_parquet('{clips}/*.parquet')) c
+    USING (clip_id)
+)
+SELECT codec, count(*)::BIGINT AS n_clips,
+       sum(CASE WHEN tc_ok THEN 1 ELSE 0 END)::BIGINT AS n_canonical,
+       sum(CASE WHEN tc_exact THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       sum(tc_canon_len)::BIGINT AS canon_bytes,
+       round(avg(CASE WHEN tc_ok THEN tc_size_ratio END) + 1e-9, 4)
+         AS avg_size_ratio,
+       count(DISTINCT CASE WHEN tc_ok THEN tc_crc32 END)::BIGINT
+         AS n_distinct_content
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
 def clips_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The post-filter training-capacity report — the first table a training
     team asks of a curated corpus: per (language × perplexity band), how
@@ -2142,6 +2250,8 @@ QUERIES = {
     "audio_syllable_rate_gate": audio_syllable_rate_gate,
     "transcript_compression_gate": transcript_compression_gate,
     "clips_token_budget_report": clips_token_budget_report,
+    "audio_health_gate": audio_health_gate,
+    "audio_transcode_migration": audio_transcode_migration,
     "audio_reverb_gate": audio_reverb_gate,
     "audio_hum_gate": audio_hum_gate,
     "audio_loudness_gate": audio_loudness_gate,
@@ -2190,6 +2300,8 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_syllable_rate_gate": syllable_rate_oracle,
     "transcript_compression_gate": transcript_compression_oracle,
     "clips_token_budget_report": token_budget_oracle,
+    "audio_health_gate": health_gate_oracle,
+    "audio_transcode_migration": transcode_migration_oracle,
     "audio_reverb_gate": reverb_gate_oracle,
     "audio_hum_gate": hum_gate_oracle,
     "audio_loudness_gate": loudness_gate_oracle,

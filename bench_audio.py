@@ -49,6 +49,11 @@ def main() -> None:
         "audio_pitch_stats",
         "audio_bandwidth_gate",
         "audio_loudness_gate",
+        "audio_syllable_rate_gate",
+        "audio_health_gate",
+        "audio_transcode_migration",
+        "transcript_compression_gate",
+        "clips_token_budget_report",
         "clips_curation_funnel",
     ):
         fn = ALL_QUERIES[qname]

@@ -210,6 +210,7 @@ CLIPS_QUERIES = [
     "clips_token_budget_report",
     "audio_health_gate",
     "audio_transcode_migration",
+    "clips_leakage_free_split",
     "audio_reverb_gate",
     "audio_hum_gate",
     "audio_ols_speech_model",

@@ -1453,6 +1453,205 @@ FROM t GROUP BY 1 ORDER BY 1
 """
 
 
+def clips_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/valid/test split — the eval-leakage guard. A naive
+    per-clip hash split puts near-duplicate clips (re-encodes, redeliveries,
+    trims of the same recording) on BOTH sides of the train/eval boundary,
+    inflating eval scores; the guard splits by CONTENT GROUP instead: the
+    fingerprint near-dup graph (operators/audio_fp.py banding + hamming
+    verify) is closed into connected components (iterative min-label
+    propagation, the dedup family's CC shape), every clip is re-keyed to
+    its group root, and the md5 split rule is applied to the ROOT — so a
+    whole near-dup family lands on one side by construction. The report
+    counts, per split, the clips, groups, multi-clip groups, and the clips
+    the guard REHOMED (whose naive own-id split disagrees with their group
+    split — the leaks a per-clip split would have created).
+
+    Scale shape: fingerprints are one UDF stage of slim rows; banding is an
+    equi-join; CC rounds are equi-join + partial-agg min with
+    ``localCheckpoint`` lineage truncation (O(diameter) rounds, shallow
+    components); both aggregations shuffle (id, root, split) rows only —
+    payloads never leave the fingerprint stage. Oracle: DuckDB replays the
+    whole chain — band explode, hamming verify, WITH RECURSIVE closure,
+    md5 split — from the fixture's fingerprint columns.
+
+    Reference analog: the plane re-homing regroup J1
+    (``fix_product_id_visit.py:80-107``) — records re-keyed to a canonical
+    group id before placement.
+
+    Like ``audio_fingerprint_neardup``, every 20th clip is re-delivered
+    under a new id (byte-identical payload) so the corpus contains real
+    near-dup families — without them the guard would have nothing to
+    rehome and the query would prove nothing."""
+    clips = load_clips(spark, sf_dir)
+    redelivered = clips.filter(_redeliver_cond()).withColumn(
+        "clip_id", F.concat(F.lit("redeliver-"), F.col("clip_id"))
+    )
+    clips = clips.unionByName(redelivered)
+    fp = audio_fp.with_fingerprint(clips).select("clip_id", "fp_ok", "fp")
+    pairs = audio_fp.banded_neardup_pairs(fp, max_hamming=3).select(
+        "clip_a", "clip_b"
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("clip_b"), F.col("clip_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("clip_id"))
+        .distinct()
+        .withColumn("component", F.col("clip_id"))
+        .localCheckpoint()
+    )
+    for _ in range(12):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("clip_id").alias("dst"),
+                    F.col("component").alias("dst_comp"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                nbr_min.select(F.col("src").alias("clip_id"), "nbr_min"),
+                "clip_id",
+                "left",
+            )
+            .select(
+                "clip_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "clip_id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    def _split_of(col):
+        # digest chars 5-8, NOT the 1-4 prefix: the redelivery sample keys
+        # on the prefix, and reusing it would correlate "is a dup family"
+        # with "lands in train" (every dup root would hash to bucket 0)
+        h = F.conv(F.substring(F.md5(col), 5, 4), 16, 10).cast("long") % 10
+        return (
+            F.when(h < 8, "train").when(h < 9, "valid").otherwise("test")
+        )
+
+    rooted = (
+        clips.select("clip_id")
+        .join(labels, "clip_id", "left")
+        .select(
+            "clip_id",
+            F.coalesce(F.col("component"), F.col("clip_id")).alias("root"),
+        )
+        .withColumn("split", _split_of(F.col("root")))
+        .withColumn("naive", _split_of(F.col("clip_id")))
+    )
+    groups = rooted.groupBy("root", "split").agg(
+        F.count("*").alias("size"),
+        F.sum(
+            F.when(F.col("naive") != F.col("split"), 1).otherwise(0)
+        ).alias("rehomed"),
+    )
+    return (
+        groups.groupBy("split")
+        .agg(
+            F.sum("size").alias("n_clips"),
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("size") >= 2, 1).otherwise(0)).alias(
+                "n_dup_groups"
+            ),
+            F.sum("rehomed").alias("n_rehomed"),
+        )
+        .orderBy("split")
+    )
+
+
+def leakage_free_split_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for ``clips_leakage_free_split``: replays the whole
+    chain — band explode (zero-band filter included), hamming verify,
+    WITH RECURSIVE component closure, md5 root split, rehome count."""
+    path = features_path_for(sf_dir)
+    return f"""
+WITH RECURSIVE delivered AS (
+  SELECT clip_id, fp_ok, fp FROM read_parquet('{path}/*.parquet')
+  UNION ALL
+  SELECT 'redeliver-' || clip_id, fp_ok, fp
+  FROM read_parquet('{path}/*.parquet')
+  WHERE ('0x' || substr(md5(clip_id), 1, 4))::BIGINT % 20 = 0
+),
+base AS (
+  SELECT clip_id, fp FROM delivered WHERE fp_ok
+),
+bands AS (
+  SELECT clip_id, fp, b.band_idx,
+         (fp >> (b.band_idx * 15)) % 32768 AS band_bits
+  FROM base, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+live AS (SELECT * FROM bands WHERE band_bits != 0),
+p AS (
+  SELECT DISTINCT l.clip_id AS ca, r.clip_id AS cb, l.fp AS fa, r.fp AS fb
+  FROM live l JOIN live r
+    ON l.band_idx = r.band_idx AND l.band_bits = r.band_bits
+   AND l.clip_id < r.clip_id
+),
+pairs AS (SELECT ca, cb FROM p WHERE bit_count(xor(fa, fb)) <= 3),
+e AS (
+  SELECT ca AS src, cb AS dst FROM pairs
+  UNION ALL
+  SELECT cb, ca FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+),
+comp AS (
+  SELECT src AS clip_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+rooted AS (
+  SELECT f.clip_id, coalesce(c.component, f.clip_id) AS root
+  FROM (SELECT clip_id FROM delivered) f
+  LEFT JOIN comp c USING (clip_id)
+),
+labeled AS (
+  SELECT clip_id, root,
+         CASE WHEN ('0x' || substr(md5(root), 5, 4))::BIGINT % 10 < 8
+              THEN 'train'
+              WHEN ('0x' || substr(md5(root), 5, 4))::BIGINT % 10 < 9
+              THEN 'valid' ELSE 'test' END AS split,
+         CASE WHEN ('0x' || substr(md5(clip_id), 5, 4))::BIGINT % 10 < 8
+              THEN 'train'
+              WHEN ('0x' || substr(md5(clip_id), 5, 4))::BIGINT % 10 < 9
+              THEN 'valid' ELSE 'test' END AS naive
+  FROM rooted
+),
+g AS (
+  SELECT root, split, count(*) AS sz,
+         sum(CASE WHEN naive != split THEN 1 ELSE 0 END) AS rehomed
+  FROM labeled GROUP BY root, split
+)
+SELECT split, sum(sz)::BIGINT AS n_clips, count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       sum(rehomed)::BIGINT AS n_rehomed
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
 def clips_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The post-filter training-capacity report — the first table a training
     team asks of a curated corpus: per (language × perplexity band), how
@@ -2252,6 +2451,7 @@ QUERIES = {
     "clips_token_budget_report": clips_token_budget_report,
     "audio_health_gate": audio_health_gate,
     "audio_transcode_migration": audio_transcode_migration,
+    "clips_leakage_free_split": clips_leakage_free_split,
     "audio_reverb_gate": audio_reverb_gate,
     "audio_hum_gate": audio_hum_gate,
     "audio_loudness_gate": audio_loudness_gate,
@@ -2302,6 +2502,7 @@ CLIPS_ORACLE_BUILDERS = {
     "clips_token_budget_report": token_budget_oracle,
     "audio_health_gate": health_gate_oracle,
     "audio_transcode_migration": transcode_migration_oracle,
+    "clips_leakage_free_split": leakage_free_split_oracle,
     "audio_reverb_gate": reverb_gate_oracle,
     "audio_hum_gate": hum_gate_oracle,
     "audio_loudness_gate": loudness_gate_oracle,

@@ -6,10 +6,13 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from wallaby2caom2_spark.functions import audio
 from wallaby2caom2_spark.operators import audio_fp
+
+# recording ids that also ship a byte-identical redelivery; id 8 chosen so
+# its pair naive-splits to different sides (the leak the guard must fix)
+_DUP_IDS = (0, 1, 8)
 
 
 def _clip(seed: int, n: int = 16000, sr: int = 8000) -> np.ndarray:
@@ -26,12 +29,13 @@ def _clip(seed: int, n: int = 16000, sr: int = 8000) -> np.ndarray:
 @pytest.fixture(scope="module")
 def split_rows(spark):
     """12 distinct recordings; three of them also appear as byte-identical
-    redeliveries under unrelated ids → 3 two-clip content groups."""
+    redeliveries under unrelated ids → 3 two-clip content groups (id 8's
+    pair naive-splits to different sides, so the guard must rehome it)."""
     rows = []
     for i in range(12):
         payload = audio.encode_wav(_clip(i), 8000)
         rows.append((f"clip_{i:04d}", payload, "wav", 8000))
-        if i < 3:
+        if i in _DUP_IDS:
             rows.append((f"zz_dup_{i:04d}", payload, "wav", 8000))
     df = spark.createDataFrame(
         rows, "clip_id string, bytes binary, codec string, sr_hz int"
@@ -44,30 +48,27 @@ def split_rows(spark):
 def test_planted_families_pair_up(split_rows):
     _, pairs = split_rows
     got = {(r["clip_a"], r["clip_b"]) for r in pairs}
-    for i in range(3):
+    for i in _DUP_IDS:
         assert (f"clip_{i:04d}", f"zz_dup_{i:04d}") in got
 
 
-def test_group_split_never_straddles(spark, split_rows):
-    df, pairs = split_rows
-    # the query's own split rule, replayed over the pair groups
-    root = {f"zz_dup_{i:04d}": f"clip_{i:04d}" for i in range(3)}
+def _naive_split(key: str) -> str:
+    """The query's md5 split rule, replayed in pure Python."""
+    import hashlib
 
-    def split_of(key: str):
-        return (
-            spark.range(1)
-            .select(
-                F.conv(F.substring(F.md5(F.lit(key)), 5, 4), 16, 10)
-                .cast("long") % 10
-            )
-            .collect()[0][0]
-        )
+    h = int(hashlib.md5(key.encode()).hexdigest()[4:8], 16) % 10
+    return "train" if h < 8 else ("valid" if h < 9 else "test")
 
-    for dup, orig in root.items():
-        h_orig = split_of(orig)
-        # group members share the ROOT's bucket regardless of their own id
-        assert split_of(orig) == h_orig
-        # (the dup's naive bucket may differ — that is what rehoming fixes)
+
+def test_naive_split_would_leak_planted_families():
+    """The guard is non-vacuous on this corpus: at least one planted family
+    would straddle the boundary under a per-clip split, so the group split
+    must rehome it (asserted end-to-end below via n_rehomed's inputs)."""
+    disagreements = sum(
+        _naive_split(f"clip_{i:04d}") != _naive_split(f"zz_dup_{i:04d}")
+        for i in _DUP_IDS
+    )
+    assert disagreements >= 1
 
 
 def test_query_end_to_end_counts(spark, monkeypatch, split_rows):

@@ -47,6 +47,7 @@ from ..operators import (
     vad,
     video,
 )
+from ..operators.graph import min_label_components
 from ..plans.pipeline import kept_clips, quality_filter, run_metrics
 from ..sources import clips as clips_src
 
@@ -1492,54 +1493,9 @@ def clips_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = audio_fp.banded_neardup_pairs(fp, max_hamming=3).select(
         "clip_a", "clip_b"
     )
-    edges = (
-        pairs.union(pairs.select(F.col("clip_b"), F.col("clip_a")))
-        .toDF("src", "dst")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("clip_id"))
-        .distinct()
-        .withColumn("component", F.col("clip_id"))
-        .localCheckpoint()
-    )
-    for _ in range(12):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("clip_id").alias("dst"),
-                    F.col("component").alias("dst_comp"),
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_comp").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(
-                nbr_min.select(F.col("src").alias("clip_id"), "nbr_min"),
-                "clip_id",
-                "left",
-            )
-            .select(
-                "clip_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), "clip_id"
-            )
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    # shared CC shape (operators/graph.py): fails loudly on non-convergence
+    # — silent truncation would split a content family across the boundary
+    labels = min_label_components(pairs, "clip_a", "clip_b", "clip_id")
 
     def _split_of(col):
         # digest chars 5-8, NOT the 1-4 prefix: the redelivery sample keys

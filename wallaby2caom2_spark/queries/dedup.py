@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.graph import min_label_components
 from ._tables import load
 
 N_MINHASH = 8  # 4 bands x 2 rows
@@ -398,63 +399,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane re-homing regroup J1 (``fix_product_id_visit.py:80-107``) —
     records re-keyed to a canonical group id."""
     pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .persist()
+    return min_label_components(
+        pairs, "doc_a", "doc_b", "doc_id", max_iters=_CC_MAX_ITERS
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(_CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("component").alias("dst_comp"),
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_comp").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(
-                nbr_min.select(F.col("src").alias("doc_id"), "nbr_min"),
-                "doc_id",
-                "left",
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # silent truncation would return SPLIT components (labels one hop
-        # short on any chain deeper than the cap) while the oracle computes
-        # the exact closure — fail loudly instead
-        raise RuntimeError(
-            f"connected components did not converge in {_CC_MAX_ITERS} "
-            "rounds — component diameter exceeds the cap; raise _CC_MAX_ITERS"
-        )
-    edges.unpersist()
-    return labels.select("doc_id", "component")
 
 
 def _cc_sql() -> str:

@@ -114,3 +114,26 @@ def test_operators_match_serial_functions(spark):
     ) == tref
     assert tgot["b"]["canon_crc32"] == tgot["a"]["canon_crc32"]
     assert not tgot["broken"]["tc_ok"]
+
+
+def test_crest_is_gain_invariant_and_dc_scales():
+    """Power-of-two gain is exact in float: crest (a ratio) must be
+    bit-identical, DC must scale with the gain."""
+    x = _speechish()
+    dc, crest, peak = health.clip_health(x)
+    dc2, crest2, peak2 = health.clip_health((x * 2.0).astype(np.float32))
+    assert crest2 == crest
+    assert dc2 == 2.0 * dc
+    assert peak2 == 2.0 * peak
+
+
+def test_transcode_exact_on_arbitrary_int16():
+    """Any int16 sample vector round-trips sample-exact through the
+    canonical container (hypothesis-style sweep over deterministic RNG
+    draws incl. full-scale extremes)."""
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        n = int(rng.integers(100, 5000))
+        x = rng.integers(-32768, 32768, size=n).astype("<i2")
+        res = transcode.clip_transcode(x.tobytes(), "pcm_s16le", 16000)
+        assert res is not None and res[0], trial

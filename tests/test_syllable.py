@@ -100,3 +100,25 @@ def test_operators_match_serial_functions(spark):
         zgot["mod4"]["z_ratio"],
     ) == zres
     assert not zgot["broken"]["z_ok"]
+
+
+def test_syllable_rate_is_gain_invariant():
+    """Amplitude scaling by powers of two is exact in float — the rate and
+    band share must come out bit-identical (the estimator reads rhythm,
+    not level)."""
+    x = _modulated(4.5)
+    base = syllable.clip_syllable(x, 8000)
+    for g in (0.5, 2.0):
+        scaled = (x * g).astype(np.float32)
+        res = syllable.clip_syllable(scaled, 8000)
+        assert res[0] == base[0]
+        assert res[1] == base[1]
+
+
+def test_compression_ratio_improves_with_repetition():
+    """Deflate must compress s+s strictly better than s once past header
+    overhead — the monotonicity the repetitive band relies on."""
+    s = "the quick brown fox jumps over the lazy dog. " * 4
+    _, _, r1 = textcomp.transcript_compression(s)
+    _, _, r2 = textcomp.transcript_compression(s + s)
+    assert r2 < r1

@@ -217,6 +217,7 @@ CLIPS_QUERIES = [
     "audio_mfcc_stats",
     "audio_pitch_stats",
     "audio_vad_stats",
+    "audio_snr_profile",
     "audio_tonality_gate",
     "audio_trim_stats",
     "audio_speed_perturb_stats",

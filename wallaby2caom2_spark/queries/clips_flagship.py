@@ -2105,6 +2105,61 @@ def audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_snr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SNR distribution (operators/vad.py's speech/noise-floor
+    estimate) in the bands acquisition QC reads: studio (≥30 dB — the
+    north-rule PCM-fidelity bar), clean, fair, noisy. The per-clip SNR is
+    the VAD stage's speech-frame vs noise-frame energy ratio, so this is
+    one mapInPandas projection + a codegen band classify; clips with no
+    detected speech are ``unmeasurable`` (an SNR needs both signal and
+    floor). Replayed through the fixture's snr_db/vad columns; threshold
+    behavior pinned in tests/test_vad.py."""
+    stats = vad.vad_stats(load_clips(spark, sf_dir))
+    band = (
+        F.when(
+            ~F.col("vad_ok") | (F.col("n_speech_frames") == 0),
+            "unmeasurable",
+        )
+        .when(F.col("snr_db") >= 30.0, "studio")
+        .when(F.col("snr_db") >= 20.0, "clean")
+        .when(F.col("snr_db") >= 10.0, "fair")
+        .otherwise("noisy")
+    )
+    return (
+        stats.withColumn("snr_band", band)
+        .groupBy("snr_band")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.avg("snr_db") + 1e-9, 2).alias("avg_snr_db"),
+            F.round(F.avg("speech_ratio") + 1e-9, 4).alias(
+                "avg_speech_ratio"
+            ),
+            F.sum("n_speech_runs").alias("total_runs"),
+        )
+        .orderBy("snr_band")
+    )
+
+
+def snr_profile_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN NOT vad_ok OR n_speech_frames = 0 THEN 'unmeasurable'
+              WHEN snr_db >= 30.0 THEN 'studio'
+              WHEN snr_db >= 20.0 THEN 'clean'
+              WHEN snr_db >= 10.0 THEN 'fair'
+              ELSE 'noisy' END AS snr_band,
+         snr_db, speech_ratio, n_speech_runs
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT snr_band, count(*)::BIGINT AS n_clips,
+       round(avg(snr_db) + 1e-9, 2) AS avg_snr_db,
+       round(avg(speech_ratio) + 1e-9, 4) AS avg_speech_ratio,
+       sum(n_speech_runs)::BIGINT AS total_runs
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 def audio_speaking_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript-vs-audio consistency gate: chars of transcript per second
     of DETECTED SPEECH (not clip duration) — the rate check ASR corpora use
@@ -2416,6 +2471,7 @@ QUERIES = {
     "audio_mfcc_stats": audio_mfcc_stats,
     "audio_pitch_stats": audio_pitch_stats,
     "audio_vad_stats": audio_vad_stats,
+    "audio_snr_profile": audio_snr_profile,
     "audio_tonality_gate": audio_tonality_gate,
     "clips_curation_funnel": clips_curation_funnel,
     "audio_trim_stats": audio_trim_stats,
@@ -2443,6 +2499,7 @@ CLIPS_ORACLE_BUILDERS = {
     "clips_duration_histogram": duration_histogram_oracle,
     "audio_dropout_stats": dropout_stats_oracle,
     "audio_vad_stats": vad_stats_oracle,
+    "audio_snr_profile": snr_profile_oracle,
     "clips_quality_filter": quality_filter_oracle,
     "clips_metrics": metrics_oracle,
     "audio_speaking_rate_gate": speaking_rate_oracle,

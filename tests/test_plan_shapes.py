@@ -211,6 +211,7 @@ CLIPS_QUERIES = [
     "audio_health_gate",
     "audio_transcode_migration",
     "clips_leakage_free_split",
+    "audio_decontaminate_eval",
     "audio_reverb_gate",
     "audio_hum_gate",
     "audio_ols_speech_model",

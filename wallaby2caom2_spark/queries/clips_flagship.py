@@ -1608,6 +1608,124 @@ FROM g GROUP BY 1 ORDER BY 1
 """
 
 
+def audio_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination in the AUDIO modality — the fingerprint
+    analog of the text family's ``decontaminate_*``: training clips whose
+    content near-dups a held-out eval clip must be REMOVED from the
+    training side (an eval recording that leaked into the crawl under a
+    different id inflates every benchmark it touches). The held-out set is
+    an md5-keyed ~8% sample; contamination is PLANTED (a third of the eval
+    clips re-enter the training side byte-identical under ``leak-`` ids —
+    the crawl-leak case; on the synthetic corpus, tone-alike clips also
+    collide at hamming 0 and are flagged — the fingerprint's documented
+    content-identity semantics, not an artifact of this query), and the
+    probe is the persisted-signature-store
+    shape (``audio_fp.incremental_matches``): banded equi-join of training
+    fingerprints against eval fingerprints, codegen hamming verify — at
+    10^12 clips this is O(train) work against a bucketed store, never a
+    corpus self-pair. Output is the one-row decontamination report:
+    training size, eval size, flagged (to remove), retained.
+
+    Eval/leak keys use digest chars 9-12 — independent of both the
+    redelivery sampler (chars 1-4) and the split rule (chars 5-8).
+
+    Oracle: DuckDB replays the sampling rules, band explode, equi-join and
+    hamming verify from the fixture's fingerprint columns."""
+    clips = load_clips(spark, sf_dir)
+    key = F.conv(F.substring(F.md5(F.col("clip_id")), 9, 4), 16, 10).cast(
+        "long"
+    )
+    is_eval = (key % 12) == 0
+    is_leak = is_eval & ((key % 3) == 0)
+    eval_clips = clips.filter(is_eval)
+    leaks = eval_clips.filter(is_leak).withColumn(
+        "clip_id", F.concat(F.lit("leak-"), F.col("clip_id"))
+    )
+    train = clips.filter(~is_eval).unionByName(leaks)
+
+    train_fp = audio_fp.with_fingerprint(train).select(
+        "clip_id", "fp_ok", "fp"
+    )
+    eval_fp = audio_fp.with_fingerprint(eval_clips).select(
+        "clip_id", "fp_ok", "fp"
+    )
+    flagged = audio_fp.incremental_matches(train_fp, eval_fp, max_hamming=3)
+
+    sizes = clips.agg(
+        F.sum((~is_eval).cast("long")).alias("n_base_train"),
+        F.sum(is_eval.cast("long")).alias("n_eval"),
+        F.sum(is_leak.cast("long")).alias("n_leaks"),
+    )
+    hits = flagged.agg(
+        F.count("*").alias("n_flagged"),
+        F.max("hamming").alias("max_hamming"),
+    )
+    return sizes.crossJoin(hits).select(
+        (F.col("n_base_train") + F.col("n_leaks")).alias("n_train"),
+        "n_eval",
+        "n_flagged",
+        (
+            F.col("n_base_train") + F.col("n_leaks") - F.col("n_flagged")
+        ).alias("n_retained"),
+        "max_hamming",
+    )
+
+
+def decontaminate_eval_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH keyed AS (
+  SELECT clip_id, fp_ok, fp,
+         ('0x' || substr(md5(clip_id), 9, 4))::BIGINT AS k
+  FROM read_parquet('{path}/*.parquet')
+),
+eval_side AS (SELECT * FROM keyed WHERE k % 12 = 0),
+train_side AS (
+  SELECT clip_id, fp_ok, fp FROM keyed WHERE k % 12 != 0
+  UNION ALL
+  SELECT 'leak-' || clip_id, fp_ok, fp FROM eval_side WHERE k % 3 = 0
+),
+tb AS (
+  SELECT t.clip_id, t.fp, b.band_idx,
+         (t.fp >> (b.band_idx * 15)) % 32768 AS band_bits
+  FROM train_side t, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+  WHERE t.fp_ok
+),
+eb AS (
+  SELECT e.clip_id, e.fp, b.band_idx,
+         (e.fp >> (b.band_idx * 15)) % 32768 AS band_bits
+  FROM eval_side e, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+  WHERE e.fp_ok
+),
+cand AS (
+  SELECT DISTINCT t.clip_id, t.fp AS fp_n, e.fp AS fp_s
+  FROM (SELECT * FROM tb WHERE band_bits != 0) t
+  JOIN (SELECT * FROM eb WHERE band_bits != 0) e
+    ON t.band_idx = e.band_idx AND t.band_bits = e.band_bits
+),
+matched AS (
+  SELECT clip_id, min(bit_count(xor(fp_n, fp_s))) AS best_ham
+  FROM cand WHERE bit_count(xor(fp_n, fp_s)) <= 3
+  GROUP BY clip_id
+),
+sizes AS (
+  SELECT sum(CASE WHEN k % 12 != 0 THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         sum(CASE WHEN k % 12 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_eval,
+         sum(CASE WHEN k % 12 = 0 AND k % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_leaks
+  FROM keyed
+),
+hits AS (
+  SELECT count(*)::BIGINT AS n_flagged, max(best_ham)::INT AS max_hamming
+  FROM matched
+)
+SELECT (s.n_base + s.n_leaks)::BIGINT AS n_train, s.n_eval,
+       h.n_flagged, (s.n_base + s.n_leaks - h.n_flagged)::BIGINT
+         AS n_retained, h.max_hamming
+FROM sizes s, hits h
+"""
+
+
 def clips_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The post-filter training-capacity report — the first table a training
     team asks of a curated corpus: per (language × perplexity band), how
@@ -2463,6 +2581,7 @@ QUERIES = {
     "audio_health_gate": audio_health_gate,
     "audio_transcode_migration": audio_transcode_migration,
     "clips_leakage_free_split": clips_leakage_free_split,
+    "audio_decontaminate_eval": audio_decontaminate_eval,
     "audio_reverb_gate": audio_reverb_gate,
     "audio_hum_gate": audio_hum_gate,
     "audio_loudness_gate": audio_loudness_gate,
@@ -2516,6 +2635,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_health_gate": health_gate_oracle,
     "audio_transcode_migration": transcode_migration_oracle,
     "clips_leakage_free_split": leakage_free_split_oracle,
+    "audio_decontaminate_eval": decontaminate_eval_oracle,
     "audio_reverb_gate": reverb_gate_oracle,
     "audio_hum_gate": hum_gate_oracle,
     "audio_loudness_gate": loudness_gate_oracle,

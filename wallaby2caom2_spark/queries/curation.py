@@ -415,11 +415,196 @@ FROM v GROUP BY verdict ORDER BY verdict
 """
 
 
+# --------------------------------------------------------------------------
+# full Gopher repetition-metrics suite (A1.2)
+# --------------------------------------------------------------------------
+
+# published thresholds (Rae et al. 2021, table A1): a document is filtered
+# when the most-frequent n-gram covers too many characters (n = 2..4) or when
+# DUPLICATED n-grams' excess occurrences cover too many characters (n = 5..8)
+_REP_TOP = {2: 0.20, 3: 0.18, 4: 0.16}
+_REP_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12}
+
+
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition suite (Rae et al. 2021, A1.2), extending
+    ``text_gopher_rules``'s single dominant-bigram signal to all seven
+    published n-gram metrics: for n = 2..4 the character fraction covered by
+    the MOST FREQUENT n-gram (``count × gram_chars / n_chars``), for
+    n = 5..8 the character fraction covered by EXCESS occurrences of every
+    duplicated n-gram (``Σ_{count>1} (count-1) × gram_chars / n_chars``).
+    First-match-wins verdict in ascending-n order; docs failing nothing are
+    ``ok``. Line-based metrics (duplicate-line fraction) are omitted — the
+    synthetic corpus is single-line, so they would be identically zero.
+
+    Overlapping occurrences double-count shared characters, identically in
+    both engines (fractions may exceed 1 on chant-like docs — a feature:
+    the signal saturates exactly where the rule fires hardest).
+
+    Scale shape: ONE explode produces all (n, gram) windows for the seven
+    n's in a single pass (no per-n rescan), the count + per-(doc, n) fold
+    are two map-side-combined partial aggs on slim rows, and the per-doc
+    pivot is a 7-cell conditional agg. The text column never leaves the
+    scan. At 10^12 docs the production form pre-hashes grams to int64
+    before the shuffle and carries gram length alongside (same plan,
+    narrower exchange); grams stay strings here so the oracle can replay
+    lengths directly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "n_chars", words.alias("words"))
+    per_n_windows = [
+        F.when(
+            F.size("words") >= n,
+            F.expr(
+                f"transform(sequence(0, size(words)-{n}), i ->"
+                f" named_struct('n', {n}, 'gram',"
+                f" concat_ws(' ', slice(words, i+1, {n}))))"
+            ),
+        ).otherwise(F.expr("array()"))
+        for n in sorted(_REP_TOP | _REP_DUP)
+    ]
+    grams = base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.flatten(F.array(*per_n_windows))).alias("g"),
+    ).select("doc_id", "n_chars", "g.n", "g.gram")
+    per_n = (
+        grams.groupBy("doc_id", "n_chars", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "n_chars", "n")
+        .agg(
+            F.max(
+                F.col("cnt") * F.length("gram") / F.col("n_chars")
+            ).alias("top_frac"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("cnt") > 1,
+                        (F.col("cnt") - 1) * F.length("gram"),
+                    ).otherwise(F.lit(0))
+                )
+                / F.col("n_chars")
+            ).alias("dup_frac"),
+        )
+    )
+    pivoted = per_n.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_frac"))), F.lit(0.0)
+            ).alias(f"top{n}")
+            for n in _REP_TOP
+        ],
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_frac"))), F.lit(0.0)
+            ).alias(f"dup{n}")
+            for n in _REP_DUP
+        ],
+    )
+    # short docs produce no windows at all — keep them (all-zero metrics)
+    scored = docs.select("doc_id").join(pivoted, "doc_id", "left")
+    for n in _REP_TOP:
+        scored = scored.withColumn(
+            f"top{n}", F.coalesce(F.col(f"top{n}"), F.lit(0.0))
+        )
+    for n in _REP_DUP:
+        scored = scored.withColumn(
+            f"dup{n}", F.coalesce(F.col(f"dup{n}"), F.lit(0.0))
+        )
+    arms = [
+        (f"top{n}_gram", F.col(f"top{n}") > t) for n, t in _REP_TOP.items()
+    ] + [(f"dup{n}_gram", F.col(f"dup{n}") > t) for n, t in _REP_DUP.items()]
+    expr = F.when(arms[0][1], arms[0][0])
+    for name, cond in arms[1:]:
+        expr = expr.when(cond, name)
+    expr = expr.otherwise("ok")
+    return (
+        scored.withColumn("verdict", expr)
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("top2") + 1e-9, 4).alias("avg_top2"),
+            F.round(F.avg("dup5") + 1e-9, 4).alias("avg_dup5"),
+        )
+        .orderBy("verdict")
+    )
+
+
+def _repetition_sql() -> str:
+    ns = sorted(_REP_TOP | _REP_DUP)
+    gram_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, n_chars, {n} AS n,
+         unnest(list_transform(range(1, len(words) - {n} + 2),
+                i -> array_to_string(words[i:i+{n - 1}], ' '))) AS gram
+  FROM base WHERE len(words) >= {n}"""
+        for n in ns
+    )
+    tops = ",\n         ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN top_frac END), 0.0) AS top{n}"
+        for n in _REP_TOP
+    )
+    dups = ",\n         ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN dup_frac END), 0.0) AS dup{n}"
+        for n in _REP_DUP
+    )
+    arms = "\n              ".join(
+        [
+            f"WHEN top{n} > {t} THEN 'top{n}_gram'"
+            for n, t in _REP_TOP.items()
+        ]
+        + [
+            f"WHEN dup{n} > {t} THEN 'dup{n}_gram'"
+            for n, t in _REP_DUP.items()
+        ]
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), grams AS (
+{gram_selects}
+), per_n AS (
+  SELECT doc_id, n_chars, n,
+         max(cnt * length(gram) / n_chars::DOUBLE) AS top_frac,
+         sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(gram)
+                  ELSE 0 END) / n_chars::DOUBLE AS dup_frac
+  FROM (
+    SELECT doc_id, n_chars, n, gram, count(*)::BIGINT AS cnt
+    FROM grams GROUP BY ALL
+  ) GROUP BY doc_id, n_chars, n
+), pivoted AS (
+  SELECT doc_id,
+         {tops},
+         {dups}
+  FROM per_n GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id,
+         coalesce(top2, 0.0) AS top2, coalesce(top3, 0.0) AS top3,
+         coalesce(top4, 0.0) AS top4, coalesce(dup5, 0.0) AS dup5,
+         coalesce(dup6, 0.0) AS dup6, coalesce(dup7, 0.0) AS dup7,
+         coalesce(dup8, 0.0) AS dup8
+  FROM documents d LEFT JOIN pivoted USING (doc_id)
+), v AS (
+  SELECT top2, dup5,
+         CASE {arms}
+              ELSE 'ok' END AS verdict
+  FROM scored
+)
+SELECT verdict, count(*)::BIGINT AS n_docs,
+       round(avg(top2) + 1e-9, 4) AS avg_top2,
+       round(avg(dup5) + 1e-9, 4) AS avg_dup5
+FROM v GROUP BY verdict ORDER BY verdict
+"""
+
+
 QUERIES = {
     "split_train_valid_test": split_train_valid_test,
     "text_normalize_stats": text_normalize_stats,
     "quality_rule_ablation": quality_rule_ablation,
     "text_gopher_rules": text_gopher_rules,
+    "text_repetition_metrics": text_repetition_metrics,
 }
 
 ORACLE = {
@@ -427,4 +612,5 @@ ORACLE = {
     "text_normalize_stats": _NORMALIZE_SQL,
     "quality_rule_ablation": _ABLATION_SQL,
     "text_gopher_rules": _GOPHER_SQL,
+    "text_repetition_metrics": _repetition_sql(),
 }

@@ -1226,6 +1226,160 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance resampling — hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): estimate bag-of-hashed-ngram unigram models for a
+# TARGET domain and the RAW corpus, weight every raw doc by its
+# log-likelihood ratio, and resample the top of the weight distribution —
+# cheap domain-targeted selection without training a classifier.
+_DSIR_BUCKETS = 512
+_DSIR_TARGET_SOURCE = "src0"  # stands in for the curated target domain
+_DSIR_KEEP = 200  # resample size at the gate's sf (documented, not tuned)
+
+
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shape importance resampling: hashed unigram+bigram features
+    (md5 → ``_DSIR_BUCKETS`` buckets), add-half-smoothed feature
+    distributions for the target domain vs the full corpus, per-doc
+    importance weight ``Σ_f c_f·(ln p_target[f] − ln p_raw[f])``, and a
+    deterministic top-``_DSIR_KEEP`` resample on the ROUNDED weight with
+    doc_id tiebreak (the bm25_retrieval rank-stability rule — raw doubles
+    may differ by 1 ulp across engines; ranked doubles are rounded first).
+    Output: per-source selection funnel — the planted property is that the
+    target-like sources are over-represented among selected docs.
+
+    Scale shape: ONE explode of slim (doc_id, bucket) rows feeds BOTH
+    model estimation (a ``_DSIR_BUCKETS``-row map-side-combined agg; the
+    two totals ride along via a 1-row cross join broadcast) and the
+    per-doc weight (equi-join of per-doc bucket counts against the
+    broadcast 512-row ratio table, then one partial-agg sum). The global
+    top-K window here ranks slim (weight, doc_id) rows only; at 10^12
+    docs the production form replaces it with the two-pass distributed
+    quantile threshold proven in ``sample_token_budget``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "source", words.alias("words"))
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(
+                F.col("words"),
+                F.when(
+                    F.size("words") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(words)-2),"
+                        " i -> concat(words[i], ' ', words[i+1]))"
+                    ),
+                ).otherwise(F.expr("array()")),
+            )
+        ).alias("gram"),
+    )
+    feats = grams.select(
+        "doc_id",
+        "source",
+        (
+            F.expr("conv(substring(md5(gram), 1, 8), 16, 10)").cast("bigint")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    is_target = F.col("source") == _DSIR_TARGET_SOURCE
+    model = feats.groupBy("bucket").agg(
+        F.sum(is_target.cast("long")).alias("t_f"),
+        F.count("*").alias("r_f"),
+    )
+    totals = model.agg(
+        F.sum("t_f").alias("t_tot"), F.sum("r_f").alias("r_tot")
+    )
+    ratio = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_f") + 0.5) / (F.col("t_tot") + _DSIR_BUCKETS / 2))
+            - F.log((F.col("r_f") + 0.5) / (F.col("r_tot") + _DSIR_BUCKETS / 2))
+        ).alias("log_ratio"),
+    )
+    doc_w = (
+        feats.groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum(F.col("c") * F.col("log_ratio")) + 1e-9, 4).alias("w"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("w").desc(), F.col("doc_id"))
+    )
+    selected = doc_w.withColumn("rk", rk).withColumn(
+        "selected", F.col("rk") <= _DSIR_KEEP
+    )
+    return (
+        selected.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("selected").cast("long")).alias("n_selected"),
+            F.round(F.avg("w") + 1e-9, 4).alias("avg_weight"),
+            F.round(F.avg(F.when(F.col("selected"), F.col("w"))) + 1e-9, 4)
+            .alias("avg_selected_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_DSIR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest(
+           list_concat(words,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])
+                  ELSE [] END)) AS gram
+  FROM base
+), feats AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM grams
+), model AS (
+  SELECT bucket,
+         sum(CASE WHEN source = '{_DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+           ::BIGINT AS t_f,
+         count(*)::BIGINT AS r_f
+  FROM feats GROUP BY bucket
+), totals AS (
+  SELECT sum(t_f) AS t_tot, sum(r_f) AS r_tot FROM model
+), ratio AS (
+  SELECT bucket,
+         ln((t_f + 0.5) / (t_tot + {_DSIR_BUCKETS} / 2))
+         - ln((r_f + 0.5) / (r_tot + {_DSIR_BUCKETS} / 2)) AS log_ratio
+  FROM model CROSS JOIN totals
+), doc_w AS (
+  SELECT doc_id, source, round(sum(c * log_ratio) + 1e-9, 4) AS w
+  FROM (
+    SELECT doc_id, source, bucket, count(*)::BIGINT AS c
+    FROM feats GROUP BY ALL
+  ) JOIN ratio USING (bucket)
+  GROUP BY doc_id, source
+), ranked AS (
+  SELECT source, w,
+         row_number() OVER (ORDER BY w DESC, doc_id) <= {_DSIR_KEEP}
+           AS selected
+  FROM doc_w
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN selected THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+       round(avg(w) + 1e-9, 4) AS avg_weight,
+       round(avg(CASE WHEN selected THEN w END) + 1e-9, 4)
+         AS avg_selected_weight
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "classifier_train_logreg": classifier_train_logreg,
@@ -1243,6 +1397,7 @@ QUERIES = {
     "doc_crossdoc_dedup": doc_crossdoc_dedup,
     "quality_outlier_mad": quality_outlier_mad,
     "quality_psi_by_source": quality_psi_by_source,
+    "sample_importance_dsir": sample_importance_dsir,
 }
 
 ORACLE = {
@@ -1262,4 +1417,5 @@ ORACLE = {
     "doc_intradoc_dedup": _INTRADOC_SQL,
     "text_linear_classifier": _CLF_SQL,
     "doc_crossdoc_dedup": _CROSSDOC_SQL,
+    "sample_importance_dsir": _DSIR_SQL,
 }

@@ -717,10 +717,165 @@ FROM (SELECT doc_id FROM documents) d2 LEFT JOIN per_doc USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — O(1)-memory probe instead of a shingle join
+# ---------------------------------------------------------------------------
+
+# m = 2^15 bits in 1024 32-bit lanes (BIGINT-valued so Spark and DuckDB
+# agree on 1<<31 without int32 wraparound), k = 3 independent hashes from
+# disjoint md5 slices. At the gate's eval-shingle count (~2k distinct) the
+# fill ratio stays ~15%, putting the per-shingle false-positive rate near
+# (1-e^{-kn/m})^k ≈ 0.4% — the doc-level flag needs a large HIT FRACTION,
+# which planted-clean docs cannot reach through scattered FPs.
+_BLOOM_BITS = 1 << 15
+_BLOOM_LANE = 32
+_BLOOM_K = 3
+_BLOOM_FLAG_FRAC = 0.5
+
+
+def _bloom_positions(j: int) -> F.Column:
+    """Bit position for hash j: disjoint 8-hex-char md5 slices → % m."""
+    return (
+        F.expr(f"conv(substring(md5(gram), {1 + 8 * j}, 8), 16, 10)")
+        .cast("bigint")
+        % _BLOOM_BITS
+    )
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter eval-set decontamination: the eval split's 3-word
+    shingles are folded into a 2^15-bit Bloom filter (k = 3 md5-slice
+    hashes), and every TRAIN doc's shingles probe it; docs whose hit
+    fraction clears ``_BLOOM_FLAG_FRAC`` are flagged as likely leaks.
+
+    Why a Bloom filter when ``decontaminate_ngram`` already does the exact
+    join: at 10^12 train docs the exact form shuffles the train-side
+    shingle stream against the eval shingles, while the Bloom form reduces
+    the ENTIRE eval side to a ≤1024-row bitset that broadcasts to every
+    executor — the train side is probed at scan speed with no
+    decontamination-induced exchange of train data at all (the two
+    doc-level aggs partial-combine map-side). The price is a quantified
+    false-positive rate (header note) and no eval-doc attribution; the
+    production recipe runs THIS as the cheap first pass and the exact
+    containment join only on the flagged survivors.
+
+    The whole filter lives in the plan: build is a 1024-row ``bit_or``
+    aggregation, probe is a broadcast equi-join on lane index — no driver
+    round-trip, no UDF. DuckDB replays the identical lane/mask arithmetic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _DECON_MOD == 0
+    sh = docs.select(
+        "doc_id",
+        is_eval.alias("is_eval"),
+        F.explode(F.array_distinct(_shingles(_words()))).alias("gram"),
+    )
+    triple = F.explode(
+        F.array(*[_bloom_positions(j).alias(f"h{j}") for j in range(_BLOOM_K)])
+    ).alias("pos")
+    bitset = (
+        sh.filter("is_eval")
+        .select(triple)
+        .select(
+            (F.col("pos") / _BLOOM_LANE).cast("bigint").alias("lane"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_LANE} as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("lane")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probes = (
+        sh.filter(~F.col("is_eval"))
+        .select("doc_id", "gram", triple)
+        .select(
+            "doc_id",
+            "gram",
+            (F.col("pos") / _BLOOM_LANE).cast("bigint").alias("lane"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_LANE} as int))").alias(
+                "mask"
+            ),
+        )
+        .join(F.broadcast(bitset), "lane", "left")
+        .withColumn(
+            "set",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).cast("long"),
+        )
+    )
+    per_doc = (
+        probes.groupBy("doc_id", "gram")
+        .agg(F.sum("set").alias("nset"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("nset") == _BLOOM_K).cast("long")).alias("bloom_hits"),
+        )
+    )
+    frac = F.round(F.col("bloom_hits") / F.col("n_shingles") + 1e-9, 4)
+    return (
+        per_doc.withColumn("hit_frac", frac)
+        .withColumn("flagged", F.col("hit_frac") >= _BLOOM_FLAG_FRAC)
+        .filter(F.col("bloom_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_sql() -> str:
+    pos = ", ".join(
+        f"('0x' || substr(md5(gram), {1 + 8 * j}, 8))::BIGINT % {_BLOOM_BITS}"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, doc_id % {_DECON_MOD} = 0 AS is_eval,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_eval,
+         unnest(CASE WHEN len(words) >= {_SHINGLE}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(words)-{_SHINGLE - 1}),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [] END) AS gram
+  FROM w
+), positions AS (
+  SELECT doc_id, is_eval, gram, unnest([{pos}]) AS pos
+  FROM sh
+), bitset AS (
+  SELECT pos // {_BLOOM_LANE} AS lane,
+         bit_or(1::BIGINT << (pos % {_BLOOM_LANE})::INT) AS bits
+  FROM positions WHERE is_eval GROUP BY 1
+), probes AS (
+  SELECT doc_id, gram,
+         CASE WHEN coalesce(bits, 0) & (1::BIGINT << (pos % {_BLOOM_LANE})::INT)
+                   = (1::BIGINT << (pos % {_BLOOM_LANE})::INT)
+              THEN 1 ELSE 0 END AS hit
+  FROM positions LEFT JOIN bitset ON pos // {_BLOOM_LANE} = lane
+  WHERE NOT is_eval
+), per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN nset = {_BLOOM_K} THEN 1 ELSE 0 END)::BIGINT
+           AS bloom_hits
+  FROM (
+    SELECT doc_id, gram, sum(hit) AS nset FROM probes GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, bloom_hits,
+       round(bloom_hits / n_shingles::DOUBLE + 1e-9, 4) AS hit_frac,
+       round(bloom_hits / n_shingles::DOUBLE + 1e-9, 4)
+         >= {_BLOOM_FLAG_FRAC} AS flagged
+FROM per_doc WHERE bloom_hits > 0 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_substring": dedup_exact_substring,
     "decontaminate_containment": decontaminate_containment,
+    "decontaminate_bloom": decontaminate_bloom,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_lsh_bands": dedup_lsh_bands,
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
@@ -734,6 +889,7 @@ ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_exact_substring": _EXACT_SUBSTR_SQL,
     "decontaminate_containment": _containment_sql(),
+    "decontaminate_bloom": _bloom_sql(),
     "dedup_minhash_signature": _minhash_sig_sql(),
     "dedup_lsh_bands": _lsh_bands_sql(),
     "dedup_lsh_verified_pairs": _lsh_verified_sql(),

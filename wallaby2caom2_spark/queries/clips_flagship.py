@@ -2558,6 +2558,138 @@ def audio_specaugment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dims of the per-clip acoustic embedding used for the Fréchet distance —
+# the first three MFCC means (the fixture's mfcc_c0..c2 replay columns)
+_FAD_DIMS = ("c0_mean", "c1_mean", "c2_mean")
+
+
+def audio_fad_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Fréchet Audio Distance per codec family — the
+    corpus-drift metric FAD (Kilgour et al. 2019) computes between feature
+    Gaussians, restricted to independent dims so it stays in closed form:
+    ``Σ_d (μ_g,d − μ_r,d)² + (σ_g,d − σ_r,d)²`` between each codec group's
+    per-clip MFCC-mean embedding and the corpus-wide reference Gaussian.
+    An ingestion path whose clips drift acoustically (different spectral
+    tilt, energy, band shape) shows up as a large FAD against the corpus
+    even when every per-clip gate passes — the distribution-level QC the
+    per-clip gates cannot see.
+
+    Scale shape: the MFCC pass is the one Arrow crossing (tensor bytes
+    dropped before any join); codec attaches by a slim clip_id equi-join;
+    then TWO tiny aggregations (per-codec moments, corpus moments as a
+    1-row broadcast cross join) and pure-codegen closed-form arithmetic.
+    Moments use the identical avg(x)/avg(x²) expression trees in both
+    engines so the doubles agree to rounding; σ = sqrt(max(var, 0)) guards
+    the degenerate one-clip group.
+
+    Replay: the fixture's mfcc_c0..c2 columns joined to the cached clips
+    parquet's codec (the audio_gain_plan pattern).
+    """
+    codecs = load_clips(spark, sf_dir).select("clip_id", "codec")
+    m = (
+        mfcc.mfcc_frames(load_clips(spark, sf_dir))
+        .filter(F.col("mfcc_ok"))
+        .select("clip_id", *_FAD_DIMS)
+        .join(codecs, "clip_id")
+    )
+    return _fad_relation(m)
+
+
+def _fad_relation(m: DataFrame) -> DataFrame:
+    """Closed-form diagonal Fréchet distance per codec group vs the whole
+    frame as reference — factored out so the arithmetic is pinned on
+    planted distributions in tests/test_fad.py."""
+    moment_aggs = []
+    for i, d in enumerate(_FAD_DIMS):
+        moment_aggs += [
+            F.avg(F.col(d)).alias(f"mu{i}"),
+            F.avg(F.col(d) * F.col(d)).alias(f"m2{i}"),
+        ]
+    per_codec = m.groupBy("codec").agg(
+        F.count("*").alias("n_clips"), *moment_aggs
+    )
+    ref = m.agg(
+        *[
+            F.avg(F.col(d)).alias(f"rmu{i}")
+            for i, d in enumerate(_FAD_DIMS)
+        ],
+        *[
+            F.avg(F.col(d) * F.col(d)).alias(f"rm2{i}")
+            for i, d in enumerate(_FAD_DIMS)
+        ],
+    )
+    joined = per_codec.crossJoin(F.broadcast(ref))
+
+    def _sigma(mu: str, m2: str) -> F.Column:
+        return F.sqrt(
+            F.greatest(F.col(m2) - F.col(mu) * F.col(mu), F.lit(0.0))
+        )
+
+    fad = sum(
+        (
+            (F.col(f"mu{i}") - F.col(f"rmu{i}"))
+            * (F.col(f"mu{i}") - F.col(f"rmu{i}"))
+            + (_sigma(f"mu{i}", f"m2{i}") - _sigma(f"rmu{i}", f"rm2{i}"))
+            * (_sigma(f"mu{i}", f"m2{i}") - _sigma(f"rmu{i}", f"rm2{i}"))
+        )
+        for i in range(len(_FAD_DIMS))
+    )
+    mean_shift = F.sqrt(
+        sum(
+            (F.col(f"mu{i}") - F.col(f"rmu{i}"))
+            * (F.col(f"mu{i}") - F.col(f"rmu{i}"))
+            for i in range(len(_FAD_DIMS))
+        )
+    )
+    return joined.select(
+        "codec",
+        "n_clips",
+        F.round(fad + 1e-9, 4).alias("fad_diag"),
+        F.round(mean_shift + 1e-9, 4).alias("mean_shift"),
+    ).orderBy("codec")
+
+
+def fad_diag_oracle(sf_dir: str) -> str:
+    fx = features_path_for(sf_dir)
+    clips = clips_path_for(sf_dir)
+    dims = ["mfcc_c0", "mfcc_c1", "mfcc_c2"]
+    mus = ", ".join(
+        f"avg({d}) AS mu{i}, avg({d}*{d}) AS m2{i}"
+        for i, d in enumerate(dims)
+    )
+    rmus = ", ".join(
+        f"avg({d}) AS rmu{i}, avg({d}*{d}) AS rm2{i}"
+        for i, d in enumerate(dims)
+    )
+    sig = lambda mu, m2: f"sqrt(greatest({m2} - {mu}*{mu}, 0.0))"  # noqa: E731
+    fad_terms = " + ".join(
+        f"(mu{i} - rmu{i})*(mu{i} - rmu{i})"
+        f" + ({sig(f'mu{i}', f'm2{i}')} - {sig(f'rmu{i}', f'rm2{i}')})"
+        f"*({sig(f'mu{i}', f'm2{i}')} - {sig(f'rmu{i}', f'rm2{i}')})"
+        for i in range(len(dims))
+    )
+    shift_terms = " + ".join(
+        f"(mu{i} - rmu{i})*(mu{i} - rmu{i})" for i in range(len(dims))
+    )
+    return f"""
+WITH m AS (
+  SELECT c.codec, f.mfcc_c0, f.mfcc_c1, f.mfcc_c2
+  FROM read_parquet('{fx}/*.parquet') f
+  JOIN (SELECT clip_id, codec FROM read_parquet('{clips}/*.parquet')) c
+    USING (clip_id)
+  WHERE f.mfcc_ok
+), g AS (
+  SELECT codec, count(*)::BIGINT AS n_clips, {mus} FROM m GROUP BY codec
+), r AS (
+  SELECT {rmus} FROM m
+)
+SELECT codec, n_clips,
+       round({fad_terms} + 1e-9, 4) AS fad_diag,
+       round(sqrt({shift_terms}) + 1e-9, 4) AS mean_shift
+FROM g CROSS JOIN r ORDER BY codec
+"""
+
+
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
     "clips_metrics": clips_metrics,
@@ -2588,6 +2720,7 @@ QUERIES = {
     "audio_gain_plan": audio_gain_plan,
     "audio_ols_speech_model": audio_ols_speech_model,
     "audio_mfcc_stats": audio_mfcc_stats,
+    "audio_fad_diag": audio_fad_diag,
     "audio_pitch_stats": audio_pitch_stats,
     "audio_vad_stats": audio_vad_stats,
     "audio_snr_profile": audio_snr_profile,
@@ -2642,6 +2775,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_gain_plan": gain_plan_oracle,
     "audio_ols_speech_model": ols_speech_model_oracle,
     "audio_mfcc_stats": mfcc_stats_oracle,
+    "audio_fad_diag": fad_diag_oracle,
     "audio_pitch_stats": pitch_stats_oracle,
     "audio_trim_stats": trim_stats_oracle,
     "audio_tonality_gate": tonality_gate_oracle,

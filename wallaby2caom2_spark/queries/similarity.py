@@ -747,6 +747,198 @@ FROM a{final} GROUP BY 1, 2 ORDER BY 1, 2""")
 
 
 # ---------------------------------------------------------------------------
+# top principal component — distributed power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 4
+
+
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the centered embedding cloud by
+    distributed power iteration — the whitening/decorrelation precursor
+    (a corpus whose embeddings collapse onto one axis ANN-indexes and
+    clusters badly; the top PC's variance share is the cheap detector).
+
+    Spark-first iterative shape, same contract as ``kmeans_train``: per
+    step, the matvec ``w = Σ_i (x_i − μ)((x_i − μ)·v)`` is ONE map-side-
+    combined 64-cell aggregation with the current direction embedded as
+    broadcast literals; only the 64 rounded cells return to the driver.
+    Between steps the direction renormalizes by MAX-NORM, not L2 — the
+    max is order-free and the per-component division is a single IEEE op,
+    so the literal chain is bit-reproducible across engines (an L2 norm
+    would inject a summation-order ulp into every literal). Cells round
+    at 6 dp IN THE PLAN (F.round) before becoming literals; the DuckDB
+    oracle replays the identical ``PCA_ITERS``-step CTE chain. The L2
+    normalization and the Rayleigh-quotient variance share appear only in
+    the FINAL projection, under plan-side rounding.
+
+    Output: (dim, loading, lam, var_share) — loading the unit top PC,
+    ``lam`` its Rayleigh eigenvalue estimate, ``var_share`` = lam / trace.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        _to_double(F.col("embedding")).alias("e")
+    )
+    mu_row = emb.agg(
+        *[
+            F.round(F.avg(F.col("e").getItem(d)) + 1e-9, 6).alias(f"m{d}")
+            for d in range(DIM)
+        ]
+    ).collect()[0]
+    mu = [mu_row[f"m{d}"] for d in range(DIM)]
+
+    v = [1.0] * DIM  # deterministic seed, max-norm 1
+    for _ in range(PCA_ITERS):
+        dot = sum(
+            (F.col("e").getItem(d) - mu[d]) * v[d] for d in range(DIM)
+        )
+        w_row = (
+            emb.select("e", dot.alias("dot"))
+            .agg(
+                *[
+                    F.round(
+                        F.sum((F.col("e").getItem(d) - mu[d]) * F.col("dot"))
+                        + 1e-9,
+                        6,
+                    ).alias(f"w{d}")
+                    for d in range(DIM)
+                ]
+            )
+            .collect()[0]
+        )
+        w = [w_row[f"w{d}"] for d in range(DIM)]
+        m = max(abs(x) for x in w)
+        # exact: each component is one IEEE division of rounded decimals
+        v = [x / m for x in w]
+
+    fin_dot = sum((F.col("e").getItem(k) - mu[k]) * v[k] for k in range(DIM))
+    n_row = (
+        emb.select("e", fin_dot.alias("dot"))
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.round(
+                    F.avg(
+                        (F.col("e").getItem(d) - mu[d])
+                        * (F.col("e").getItem(d) - mu[d])
+                    )
+                    + 1e-9,
+                    6,
+                ).alias(f"t{d}")
+                for d in range(DIM)
+            ],
+            *[
+                F.round(
+                    F.sum((F.col("e").getItem(d) - mu[d]) * F.col("dot"))
+                    + 1e-9,
+                    6,
+                ).alias(f"w{d}")
+                for d in range(DIM)
+            ],
+        )
+        .collect()[0]
+    )
+    n = n_row["n"]
+    trace = sum(n_row[f"t{d}"] for d in range(DIM))
+    w_fin = [n_row[f"w{d}"] for d in range(DIM)]
+    vv = sum(x * x for x in v)
+    vw = sum(a * b for a, b in zip(v, w_fin))
+    lam = vw / (n * vv)
+    l2 = vv ** 0.5
+    rows = [
+        (
+            d,
+            round(v[d] / l2 + 1e-9, 6),
+            round(lam + 1e-9, 4),
+            round(lam / trace + 1e-9, 4),
+        )
+        for d in range(DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, lam double, var_share double"
+    ).orderBy("dim")
+
+
+def _top_pc_sql() -> str:
+    """Oracle: replay the identical literal chain — same plan-side
+    roundings, same max-norm renormalization, same final Rayleigh
+    projection. Driver-side Python rounds with round() (banker's) while
+    SQL rounds half-away-from-zero, so the FINAL scalars are computed on
+    values already rounded in-plan where halves cannot occur (+1e-9
+    epsilon convention)."""
+    def dot_expr(vcols: str) -> str:
+        return " + ".join(
+            f"(e[{d + 1}] - m{d}) * {vcols}{d}" for d in range(DIM)
+        )
+
+    parts = [
+        "WITH e AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),",
+        "mu AS (SELECT "
+        + ", ".join(
+            f"round(avg(e[{d + 1}]) + 1e-9, 6) AS m{d}" for d in range(DIM)
+        )
+        + " FROM e),",
+        "v0 AS (SELECT "
+        + ", ".join(f"1.0::DOUBLE AS v{d}" for d in range(DIM))
+        + "),",
+    ]
+    for t in range(PCA_ITERS):
+        parts.append(
+            f"w{t} AS (SELECT "
+            + ", ".join(
+                f"round(sum((e[{d + 1}] - m{d}) * dot) + 1e-9, 6) AS w{d}"
+                for d in range(DIM)
+            )
+            + f" FROM (SELECT e.e, mu.*, {dot_expr('v')} AS dot"
+            f" FROM e CROSS JOIN mu CROSS JOIN v{t}) ),"
+        )
+        gm = "greatest(" + ", ".join(f"abs(w{d})" for d in range(DIM)) + ")"
+        parts.append(
+            f"v{t + 1} AS (SELECT "
+            + ", ".join(f"w{d} / {gm} AS v{d}" for d in range(DIM))
+            + f" FROM w{t}),"
+        )
+    vfin = f"v{PCA_ITERS}"
+    parts.append(
+        "fin AS (SELECT count(*)::BIGINT AS n, "
+        + ", ".join(
+            f"round(avg((e[{d + 1}] - m{d}) * (e[{d + 1}] - m{d})) + 1e-9, 6)"
+            f" AS t{d}"
+            for d in range(DIM)
+        )
+        + ", "
+        + ", ".join(
+            f"round(sum((e[{d + 1}] - m{d}) * dot) + 1e-9, 6) AS w{d}"
+            for d in range(DIM)
+        )
+        + f" FROM (SELECT e.e, mu.*, {dot_expr('v')} AS dot"
+        f" FROM e CROSS JOIN mu CROSS JOIN {vfin}) ),"
+    )
+    trace = " + ".join(f"t{d}" for d in range(DIM))
+    vv = " + ".join(f"v{d} * v{d}" for d in range(DIM))
+    vw = " + ".join(f"v{d} * w{d}" for d in range(DIM))
+    parts.append(
+        f"""scal AS (
+  SELECT ({vw}) / (n * ({vv})) AS lam, {trace} AS tr, sqrt({vv}) AS l2
+  FROM fin CROSS JOIN {vfin}
+), dims AS (
+  SELECT unnest(range(0, {DIM})) AS dim
+), vrow AS (
+  SELECT unnest([{", ".join(f"v{d}" for d in range(DIM))}]) AS vc,
+         generate_subscripts([{", ".join(f"v{d}" for d in range(DIM))}], 1) - 1
+           AS dim
+  FROM {vfin}
+)
+SELECT d.dim::INT AS dim,
+       round(vr.vc / s.l2 + 1e-9, 6) AS loading,
+       round(s.lam + 1e-9, 4) AS lam,
+       round(s.lam / s.tr + 1e-9, 4) AS var_share
+FROM dims d JOIN vrow vr USING (dim) CROSS JOIN scal s
+ORDER BY dim"""
+    )
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup — cluster-blocked cosine pruning
 # ---------------------------------------------------------------------------
 
@@ -1056,11 +1248,13 @@ QUERIES = {
     "embedding_pq_code": embedding_pq_code,
     "ann_pq_topk": ann_pq_topk,
     "kmeans_train": kmeans_train,
+    "embedding_top_pc": embedding_top_pc,
     "semantic_cluster_dedup": semantic_cluster_dedup,
 }
 
 ORACLE = {
     "kmeans_train": _kmeans_sql(),
+    "embedding_top_pc": _top_pc_sql(),
     "contrastive_pair_mining": _contrastive_sql(),
     "semantic_cluster_dedup": _SEMDEDUP_SQL,
     "embedding_diversity": _DIVERSITY_SQL,

@@ -175,3 +175,28 @@ def test_wave_write_is_one_file_per_bucket(spark, clips_path, tmp_path):
     for d in dirs:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_run_id_survives_partition_type_inference(spark, clips_path, tmp_path):
+    """run_id is a partition DIRECTORY value, and Spark type-infers those
+    on read: a bare 12-char hex id shaped like ``6e0612805002`` read back
+    as the double 6e+612 → Infinity (observed live). Minted ids carry an
+    ``r`` prefix and the sinks refuse number-parseable ids loudly."""
+    out = str(tmp_path / "out")
+    info = run_resumable(spark, clips_path, out, n_buckets=2, n_waves=1)
+    assert info["run_id"].startswith("r")
+    for tbl in ("lineage", "metrics"):
+        df = spark.read.parquet(os.path.join(out, tbl))
+        assert dict(df.dtypes)["run_id"] == "string", tbl
+        got = {r["run_id"] for r in df.select("run_id").distinct().collect()}
+        assert got == {info["run_id"]}, tbl
+
+
+def test_number_parseable_run_id_refused():
+    from wallaby2caom2_spark.sources.lineage import check_run_id
+
+    assert check_run_id("r6e0612805002") == "r6e0612805002"
+    assert check_run_id("fixed") == "fixed"
+    for bad in ("6e0612805002", "123", "1.5", "inf", "nan"):
+        with pytest.raises(ValueError):
+            check_run_id(bad)

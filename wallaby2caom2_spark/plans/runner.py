@@ -60,7 +60,10 @@ def run_resumable(
     # the checkpoint OWNS the run_id: a resume must reuse the crashed
     # attempt's id or its (run_id, bucket)-keyed lineage/metrics overwrites
     # land under a new key and the crashed wave's rows double-count
-    run_id = ckpt.ensure_run_id(run_id or uuid.uuid4().hex[:12])
+    # "r" prefix: the id is a partition directory name and must never
+    # parse as a number (lineage.check_run_id) — a bare 12-char hex like
+    # 6e0612805002 type-infers as a double on read-back
+    run_id = ckpt.ensure_run_id(run_id or "r" + uuid.uuid4().hex[:12])
     remaining = ckpt.remaining()
     if not remaining:
         return {"run_id": run_id, "waves": 0, "buckets": []}

@@ -785,6 +785,101 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Zipf-law fit per source — token-distribution naturalness monitor
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100        # head ranks fitted per source
+_ZIPF_MIN_RANKS = 20   # below this the fit is meaningless
+_ZIPF_SLOPE_LO = -1.4  # natural-language slope band (Zipf exponent ~ -1)
+_ZIPF_SLOPE_HI = -0.6
+_ZIPF_R2_MIN = 0.8
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OLS fit of ln(frequency) on ln(rank) over the head of the
+    token distribution — the Zipf-law monitor. Natural text follows a
+    power law with exponent near -1; templated/boilerplate sources flatten
+    the head (slope → 0), token-stuffed or model-looped sources steepen it,
+    and both break the linear fit (low R²). A corpus-health screen that
+    catches distribution-level spam the per-document gates cannot see —
+    the token-distribution sibling of ``quality_psi_by_source``.
+
+    Scale shape: one explode to (source, term) counts with map-side partial
+    aggregation — the only corpus-sized shuffle; the rank window runs over
+    the VOCABULARY-sized count table partitioned by source, and the
+    regression aggregates source × ``_ZIPF_TOP`` rows (tiny). Verdict
+    thresholds compare ROUNDED values so the cross-engine boundary is
+    exact.
+
+    Reference analog: the metrics/outcome counters of SURVEY.md §2.4 (A5)
+    lifted from counts to a distribution-shape statistic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(_words_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _ZIPF_TOP
+    )
+    fit = ranked.groupBy("source").agg(
+        F.count("*").alias("n_ranks"),
+        F.round(
+            F.expr("regr_slope(ln(cnt), ln(rnk))") + 1e-9, 4
+        ).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(cnt), ln(rnk))") + 1e-9, 4).alias(
+            "zipf_r2"
+        ),
+    )
+    verdict = (
+        F.when(F.col("n_ranks") < _ZIPF_MIN_RANKS, "insufficient_data")
+        .when(
+            F.col("zipf_slope").between(_ZIPF_SLOPE_LO, _ZIPF_SLOPE_HI)
+            & (F.col("zipf_r2") >= _ZIPF_R2_MIN),
+            "zipf_like",
+        )
+        .otherwise("anomalous")
+    )
+    return fit.select(
+        "source", "n_ranks", "zipf_slope", "zipf_r2",
+        verdict.alias("verdict"),
+    ).orderBy("source")
+
+
+_ZIPF_SQL = f"""
+WITH w AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, count(*)::BIGINT AS cnt FROM w GROUP BY source, term
+),
+ranked AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, term ASC) AS rnk
+  FROM counts QUALIFY rnk <= {_ZIPF_TOP}
+),
+fit AS (
+  SELECT source, count(*)::BIGINT AS n_ranks,
+         round(regr_slope(ln(cnt), ln(rnk)) + 1e-9, 4) AS zipf_slope,
+         round(regr_r2(ln(cnt), ln(rnk)) + 1e-9, 4) AS zipf_r2
+  FROM ranked GROUP BY source
+)
+SELECT source, n_ranks, zipf_slope, zipf_r2,
+       CASE WHEN n_ranks < {_ZIPF_MIN_RANKS} THEN 'insufficient_data'
+            WHEN zipf_slope BETWEEN {_ZIPF_SLOPE_LO} AND {_ZIPF_SLOPE_HI}
+                 AND zipf_r2 >= {_ZIPF_R2_MIN} THEN 'zipf_like'
+            ELSE 'anomalous' END AS verdict
+FROM fit ORDER BY source
+"""
+
+
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "ngram_lm_train_score": ngram_lm_train_score,
@@ -794,6 +889,7 @@ QUERIES = {
     "source_temperature_weights": source_temperature_weights,
     "sample_epoch_upsampling": sample_epoch_upsampling,
     "vocab_jaccard_sources": vocab_jaccard_sources,
+    "corpus_zipf_fit": corpus_zipf_fit,
 }
 
 ORACLE = {
@@ -805,4 +901,5 @@ ORACLE = {
     "tfidf_top_terms": _TFIDF_SQL,
     "source_temperature_weights": _MIX_TEMP_SQL,
     "vocab_jaccard_sources": _VOCAB_JACCARD_SQL,
+    "corpus_zipf_fit": _ZIPF_SQL,
 }

@@ -871,6 +871,89 @@ FROM per_doc WHERE bloom_hits > 0 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH candidates → character-level edit-distance verify
+# ---------------------------------------------------------------------------
+
+_LEV_CAP = 1000  # chars compared per side — bounds the O(len²) DP per pair
+_LEV_SIM_MIN = 0.6
+
+
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs verified by CHARACTER-level edit distance —
+    the complement of ``dedup_lsh_verified_pairs``'s word-set Jaccard:
+    Jaccard is blind to word order and within-word edits (OCR noise,
+    diacritics stripping, token-boundary corruption), edit similarity
+    catches exactly those, so the two verifiers disagree on real corpora
+    and curation stacks run both.
+
+    Scale shape: candidates come from the shared MinHash/LSH banding
+    equi-join (never all-pairs); the O(len²) Levenshtein DP runs entirely
+    in the JVM (``F.levenshtein`` — no Python crossing) and is bounded per
+    pair by capping both sides at ``_LEV_CAP`` chars, so per-candidate cost
+    is a constant at any corpus size. Similarity is rounded BEFORE the
+    threshold in both engines (the family's rounding convention).
+
+    Reference analog: the exact-equality membership checks of J3/J4
+    (``config/config.yml:56-60``) relaxed to bounded edit distance.
+    """
+    sig = dedup_minhash_signature(spark, sf_dir)
+    b = _band_buckets(sig)
+    cand = (
+        b.select(F.col("doc_id").alias("doc_a"), "band_idx", "bucket")
+        .join(
+            b.select(F.col("doc_id").alias("doc_b"), "band_idx", "bucket"),
+            ["band_idx", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, _LEV_CAP).alias("t")
+    )
+    joined = cand.join(
+        t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
+        "doc_a",
+    ).join(
+        t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
+        "doc_b",
+    )
+    dist = F.levenshtein("ta", "tb")
+    sim = 1.0 - dist / F.greatest(F.length("ta"), F.length("tb"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("bigint").alias("edit_dist"),
+        F.round(sim + 1e-9, 4).alias("edit_sim"),
+    ).filter(F.col("edit_sim") >= _LEV_SIM_MIN)
+
+
+def _lev_verify_sql() -> str:
+    return _bands_chain_sql() + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+),
+t AS (
+  SELECT doc_id, substr(trim(text), 1, {_LEV_CAP}) AS t FROM documents
+),
+j AS (
+  SELECT doc_a, doc_b,
+         levenshtein(ta.t, tb.t)::BIGINT AS edit_dist,
+         greatest(len(ta.t), len(tb.t)) AS ml
+  FROM cand
+  JOIN t ta ON ta.doc_id = doc_a
+  JOIN t tb ON tb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, edit_dist,
+       round(1.0 - edit_dist / ml::DOUBLE + 1e-9, 4) AS edit_sim
+FROM j WHERE round(1.0 - edit_dist / ml::DOUBLE + 1e-9, 4) >= {_LEV_SIM_MIN}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_substring": dedup_exact_substring,
@@ -879,6 +962,7 @@ QUERIES = {
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_lsh_bands": dedup_lsh_bands,
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
+    "dedup_levenshtein_verify": dedup_levenshtein_verify,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_connected_components": dedup_connected_components,
@@ -893,6 +977,7 @@ ORACLE = {
     "dedup_minhash_signature": _minhash_sig_sql(),
     "dedup_lsh_bands": _lsh_bands_sql(),
     "dedup_lsh_verified_pairs": _lsh_verified_sql(),
+    "dedup_levenshtein_verify": _lev_verify_sql(),
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_connected_components": _cc_sql(),

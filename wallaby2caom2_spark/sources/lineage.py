@@ -24,6 +24,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def check_run_id(run_id: str) -> str:
+    """``run_id`` becomes a PARTITION DIRECTORY name, and Spark's partition
+    reader type-infers directory values: an id that parses as a number —
+    a 12-char hex like ``6e0612805002`` reads back as the DOUBLE 6e+612 →
+    Infinity — silently corrupts every read of the lineage/metrics tables.
+    Caught live (run_id column showed ``Infinity`` on read-back). Writers
+    refuse ambiguous ids loudly instead; ``run_resumable`` mints ids with
+    an ``r`` prefix so generated ids can never collide with the rule."""
+    try:
+        float(run_id)
+    except ValueError:
+        return run_id
+    raise ValueError(
+        f"run_id {run_id!r} parses as a number and would be type-inferred "
+        "as a partition value on read — prefix it with a letter"
+    )
+
+
 def append_lineage(
     spark: SparkSession,
     path: str,
@@ -31,6 +49,7 @@ def append_lineage(
     wave: int,
     bucket_counts: list[tuple[int, int]],
 ) -> None:
+    run_id = check_run_id(run_id)
     df = spark.createDataFrame(
         [(run_id, wave, b, "ok", int(n), float(time.time())) for b, n in bucket_counts],
         "run_id string, wave int, bucket int, status string, clips long, ts double",
@@ -50,6 +69,7 @@ def append_metrics(
     """``metrics`` must carry a ``bucket`` column (run_metrics with
     ``extra_keys=("bucket",)``) — the overwrite key that keeps re-runs of a
     crashed-but-sunk wave from double-counting."""
+    run_id = check_run_id(run_id)
     (
         metrics.withColumn("run_id", F.lit(run_id))
         .withColumn("wave", F.lit(wave))

@@ -2336,6 +2336,150 @@ def audio_tonality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agreement_gates() -> dict[str, tuple[str, str]]:
+    """The five independently-evaluated gate predicates, as (Spark-column
+    source expression, DuckDB fixture expression) pairs sharing the SAME
+    threshold constants as the production gates — defined once so the live
+    plan and the oracle can never drift."""
+    from ..config import DEFAULT_CONFIG
+    from ..operators import spectral as sp
+    from ..plans import curate as cu
+
+    t = DEFAULT_CONFIG.thresholds
+    return {
+        "clipping": (f"clip_rate > {t.max_clip_rate}",) * 2,
+        "dropout": (f"dropout_ms > {t.max_dropout_ms}",) * 2,
+        "no_speech": (f"speech_ratio < {cu.MIN_SPEECH_RATIO}",) * 2,
+        "silence": (f"rms < {t.min_rms}",) * 2,
+        "tonal": (
+            f"peak_share > {sp.TONAL_PEAK_SHARE} "
+            f"AND flatness < {sp.TONAL_FLATNESS}",
+        )
+        * 2,
+    }
+
+
+def _kappa_select(count_src: str) -> str:
+    """Shared SQL tail: per-pair Cohen's kappa + verdict from the four
+    agreement counts (identical text runs in Spark selectExpr and DuckDB)."""
+    return f"""
+SELECT gate_a, gate_b, n11, n10, n01, n00,
+       round((n11 + n00) / nn + 1e-9, 4) AS po,
+       CASE WHEN abs(1.0 - pe) > 1e-12
+            THEN round(((n11 + n00) / nn - pe) / (1.0 - pe) + 1e-9, 4)
+            END AS kappa,
+       CASE WHEN abs(1.0 - pe) <= 1e-12 THEN 'degenerate'
+            WHEN round(((n11 + n00) / nn - pe) / (1.0 - pe) + 1e-9, 4)
+                 >= 0.8 THEN 'redundant'
+            WHEN round(((n11 + n00) / nn - pe) / (1.0 - pe) + 1e-9, 4)
+                 <= 0.2 THEN 'independent'
+            ELSE 'correlated' END AS verdict
+FROM (
+  SELECT gate_a, gate_b, n11, n10, n01, n00,
+         (n11 + n10 + n01 + n00) * 1.0 AS nn,
+         ((n11 + n10) * 1.0 / (n11 + n10 + n01 + n00))
+           * ((n11 + n01) * 1.0 / (n11 + n10 + n01 + n00))
+         + (1.0 - (n11 + n10) * 1.0 / (n11 + n10 + n01 + n00))
+           * (1.0 - (n11 + n01) * 1.0 / (n11 + n10 + n01 + n00)) AS pe
+  FROM {count_src}
+) ORDER BY gate_a, gate_b
+"""
+
+
+def audio_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's-kappa agreement matrix between the five
+    independently-evaluated audio gates (clipping / dropout / no_speech /
+    silence / tonal) over the decodable corpus — the gate-portfolio audit:
+    a near-1 kappa says two gates are redundant (retire one, save its
+    compute), a near-0 kappa says they catch different failure modes, and
+    the raw disagreement cells (n10/n01) are the clips to inspect when two
+    gates that should agree don't.
+
+    Scale shape: ONE decode of ONE scan (``quality_and_signals`` with
+    ``signals_for_dropped=True`` — every gate must be evaluated on every
+    decodable clip, not first-match-wins, or the counts measure cascade
+    order instead of agreement); the 10 × 4 contingency counts collapse in
+    a single map-side-combined aggregate to ONE row, reshaped by a 10-row
+    ``stack`` — no join, no corpus-sized shuffle, kappa in codegen over 10
+    rows. Gate predicates and thresholds are shared with the production
+    gates via ``_agreement_gates``.
+
+    Reference analog: the outcome counters of ``config/config.yml:32-36``
+    lifted from per-rule counts to between-rule association.
+    """
+    return gate_agreement(spark, load_clips(spark, sf_dir))
+
+
+def gate_agreement(spark: SparkSession, clips: DataFrame) -> DataFrame:
+    """Core of ``audio_gate_agreement`` over an explicit clips frame
+    (behavior-tested on planted clips in tests/test_gate_agreement.py)."""
+    import itertools
+
+    from ..operators.audio_signals import quality_and_signals
+
+    gates = _agreement_gates()
+    names = sorted(gates)
+    pairs = list(itertools.combinations(names, 2))
+    s = quality_and_signals(clips, signals_for_dropped=True)
+    flags = s.filter(
+        F.col("pcm_ok") & F.col("sig_ok") & F.col("spec_ok")
+    ).selectExpr(*[f"({gates[g][0]}) AS {g}" for g in names])
+    aggs = []
+    for a, b in pairs:
+        for suf, expr in (
+            ("n11", f"{a} AND {b}"),
+            ("n10", f"{a} AND NOT {b}"),
+            ("n01", f"NOT {a} AND {b}"),
+            ("n00", f"NOT {a} AND NOT {b}"),
+        ):
+            aggs.append(
+                F.sum(F.expr(expr).cast("long")).alias(f"{a}__{b}__{suf}")
+            )
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', {a}__{b}__n11, {a}__{b}__n10, "
+        f"{a}__{b}__n01, {a}__{b}__n00"
+        for a, b in pairs
+    )
+    counts = one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS "
+        "(gate_a, gate_b, n11, n10, n01, n00)"
+    )
+    counts.createOrReplaceTempView("gate_agreement_counts")
+    return spark.sql(_kappa_select("gate_agreement_counts"))
+
+
+def gate_agreement_oracle(sf_dir: str) -> str:
+    import itertools
+
+    gates = _agreement_gates()
+    names = sorted(gates)
+    path = features_path_for(sf_dir)
+    pair_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT '{a}' AS gate_a, '{b}' AS gate_b,
+    sum(CASE WHEN {a} AND {b} THEN 1 ELSE 0 END)::BIGINT AS n11,
+    sum(CASE WHEN {a} AND NOT {b} THEN 1 ELSE 0 END)::BIGINT AS n10,
+    sum(CASE WHEN NOT {a} AND {b} THEN 1 ELSE 0 END)::BIGINT AS n01,
+    sum(CASE WHEN NOT {a} AND NOT {b} THEN 1 ELSE 0 END)::BIGINT AS n00
+  FROM f"""
+        for a, b in itertools.combinations(names, 2)
+    )
+    gate_cols = ",\n         ".join(
+        f"({gates[g][1]}) AS {g}" for g in names
+    )
+    return f"""
+WITH f AS (
+  SELECT {gate_cols}
+  FROM read_parquet('{path}/*.parquet')
+  WHERE pcm_ok AND vad_ok AND spec_ok
+),
+counts AS (
+{pair_selects}
+)
+{_kappa_select("counts")}
+"""
+
+
 def audio_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VAD-endpoint silence trimming (operators/trim.py) over kept clips —
     the corpus-shrinking preprocessing step before segmentation. Summarized
@@ -2725,6 +2869,7 @@ QUERIES = {
     "audio_vad_stats": audio_vad_stats,
     "audio_snr_profile": audio_snr_profile,
     "audio_tonality_gate": audio_tonality_gate,
+    "audio_gate_agreement": audio_gate_agreement,
     "clips_curation_funnel": clips_curation_funnel,
     "audio_trim_stats": audio_trim_stats,
     "audio_speed_perturb_stats": audio_speed_perturb_stats,
@@ -2779,6 +2924,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_pitch_stats": pitch_stats_oracle,
     "audio_trim_stats": trim_stats_oracle,
     "audio_tonality_gate": tonality_gate_oracle,
+    "audio_gate_agreement": gate_agreement_oracle,
     "audio_speed_perturb_stats": speed_perturb_oracle,
     "audio_noise_mix_stats": noise_mix_oracle,
     "clips_curation_funnel": curation_funnel_oracle,

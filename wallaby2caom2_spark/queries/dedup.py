@@ -427,6 +427,113 @@ FROM reach GROUP BY src
 
 
 # ---------------------------------------------------------------------------
+# dedup savings report — the ROI statement of the near-dup pipeline
+# ---------------------------------------------------------------------------
+
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What deduplication actually buys: near-dup groups (the connected
+    components over LSH-verified pairs) bucketed by cluster size, with the
+    documents and characters the min-id survivor election removes and the
+    share of the corpus that is. The report a curation run publishes
+    alongside its output — "dedup dropped X% of chars, mostly from pairs /
+    mostly from one giant boilerplate family" are different stories and
+    drive different next actions (tighten thresholds vs chase the source).
+
+    Plan shape at 10^12 docs: the component labels live on the pair-graph
+    subset (tiny next to the corpus) and join the documents scan by
+    equi-join for their sizes; the per-component rollup and the band rollup
+    are two slim aggregations, and the corpus-chars denominator is a 1-row
+    aggregate crossed in — no corpus-sized shuffle beyond the CC chain
+    itself.
+
+    Reference analog: A5's outcome counters (``config/config.yml:32-36``)
+    applied to the dedup stage's effect rather than per-item outcomes.
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = (
+        labels.join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("sz"),
+            F.sum("n_chars").alias("chars_all"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("component"), F.col("n_chars"))
+            ).alias("chars_kept"),
+        )
+    )
+    total = docs.agg(F.sum("n_chars").alias("total_chars"))
+    band = (
+        F.when(F.col("sz") == 2, "2")
+        .when(F.col("sz") <= 4, "3-4")
+        .when(F.col("sz") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    return (
+        comp.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("docs_removed"),
+            F.sum(F.col("chars_all") - F.col("chars_kept"))
+            .cast("bigint")
+            .alias("chars_removed"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "band",
+            "n_clusters",
+            "docs_removed",
+            "chars_removed",
+            F.round(
+                F.col("chars_removed") / F.col("total_chars") + 1e-9, 6
+            ).alias("pct_corpus_chars"),
+        )
+        .orderBy("band")
+    )
+
+
+def _savings_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS (
+{_lsh_verified_sql()}
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+),
+comp_labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+comp AS (
+  SELECT component, count(*)::BIGINT AS sz,
+         sum(n_chars)::BIGINT AS chars_all,
+         sum(CASE WHEN doc_id = component THEN n_chars END)::BIGINT
+           AS chars_kept
+  FROM comp_labels JOIN documents USING (doc_id)
+  GROUP BY component
+),
+total AS (SELECT sum(n_chars)::BIGINT AS total_chars FROM documents)
+SELECT CASE WHEN sz = 2 THEN '2' WHEN sz <= 4 THEN '3-4'
+            WHEN sz <= 8 THEN '5-8' ELSE '9+' END AS band,
+       count(*)::BIGINT AS n_clusters,
+       sum(sz - 1)::BIGINT AS docs_removed,
+       sum(chars_all - chars_kept)::BIGINT AS chars_removed,
+       round(sum(chars_all - chars_kept) / total_chars::DOUBLE + 1e-9, 6)
+         AS pct_corpus_chars
+FROM comp, total
+GROUP BY 1, total_chars ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality-keeper election — CC groups keep the BEST doc, not the lowest id
 # ---------------------------------------------------------------------------
 
@@ -967,6 +1074,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_connected_components": dedup_connected_components,
     "dedup_quality_keeper": dedup_quality_keeper,
+    "dedup_savings_report": dedup_savings_report,
 }
 
 ORACLE = {
@@ -982,4 +1090,5 @@ ORACLE = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_connected_components": _cc_sql(),
     "dedup_quality_keeper": _quality_keeper_sql(),
+    "dedup_savings_report": _savings_sql(),
 }

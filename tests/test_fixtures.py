@@ -322,3 +322,16 @@ def test_fixture_lang_conf_is_float32(fixture_rows):
     # widened float32 round-trips exactly through np.float32
     for f in list(fix.values())[:50]:
         assert f["lang_conf"] == float(np.float32(f["lang_conf"]))
+
+
+def test_fixture_matches_onset(spark, fixture_rows):
+    from wallaby2caom2_spark.operators.onset import onset_stats
+
+    clips_path, fix = fixture_rows
+    for r in onset_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        assert r["on_ok"] == f["on_ok"], r["clip_id"]
+        assert r["on_frames"] == f["on_frames"], r["clip_id"]
+        assert r["n_onsets"] == f["on_onsets"], r["clip_id"]
+        assert _norm(r["onset_rate"]) == _norm(f["on_rate"]), r["clip_id"]
+        assert _norm(r["flux_mean"]) == _norm(f["on_flux_mean"]), r["clip_id"]

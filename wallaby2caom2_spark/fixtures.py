@@ -182,6 +182,12 @@ FIXTURE_SCHEMA = pa.schema(
         ("tc_canon_len", pa.int32()),
         ("tc_size_ratio", pa.float64()),
         ("tc_crc32", pa.int64()),
+        # spectral-flux onsets (operators/onset.py — shared clip_onset)
+        ("on_ok", pa.bool_()),
+        ("on_frames", pa.int32()),
+        ("on_onsets", pa.int32()),
+        ("on_rate", pa.float64()),
+        ("on_flux_mean", pa.float64()),
     ]
 )
 
@@ -287,6 +293,7 @@ _SEG_COLS = (
     "z_ok", "z_raw_len", "z_len", "z_ratio",
     "wh_ok", "wh_dc", "wh_crest_db", "wh_peak",
     "tc_ok", "tc_exact", "tc_canon_len", "tc_size_ratio", "tc_crc32",
+    "on_ok", "on_frames", "on_onsets", "on_rate", "on_flux_mean",
 )
 
 
@@ -328,6 +335,7 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         z_ok=False, z_ratio=0.0,
         wh_ok=False, wh_dc=0.0, wh_crest_db=0.0, wh_peak=0.0,
         tc_ok=False, tc_exact=False, tc_size_ratio=0.0,
+        on_ok=False, on_rate=0.0, on_flux_mean=0.0,
     )
     # --- transcript compressibility (shared function, textcomp.py) ---
     from .operators.textcomp import transcript_compression
@@ -465,6 +473,19 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
                 pitch_n_voiced=pres[1],
                 pitch_voiced_ratio=pres[2],
                 pitch_mean_f0=pres[3],
+            )
+
+        # --- spectral-flux onsets (shared function verbatim, onset.py) ---
+        from .operators.onset import clip_onset
+
+        ores = clip_onset(samples, sr_f)
+        if ores is not None:
+            out.update(
+                on_ok=True,
+                on_frames=ores[0],
+                on_onsets=ores[1],
+                on_rate=ores[2],
+                on_flux_mean=ores[3],
             )
 
         # --- bandwidth gate (shared per-clip function, bandwidth.py) ---

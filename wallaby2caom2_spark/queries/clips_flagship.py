@@ -150,7 +150,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v14"  # v14: + waveform-health (wh_*, shared clip_health) and canonical-transcode (tc_*, shared clip_transcode) replay columns; v13: + syllable-rate (syl_*, shared clip_syllable) and transcript-compressibility (z_*, shared transcript_compression) replay columns; v12: + gated-loudness replay columns (loud_*, shared clip_loudness); v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v15"  # v15: + spectral-flux onset replay columns (on_*, shared clip_onset); v14: + waveform-health (wh_*, shared clip_health) and canonical-transcode (tc_*, shared clip_transcode) replay columns; v13: + syllable-rate (syl_*, shared clip_syllable) and transcript-compressibility (z_*, shared transcript_compression) replay columns; v12: + gated-loudness replay columns (loud_*, shared clip_loudness); v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -2203,6 +2203,62 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_ONSET_BAND_SQL = """CASE WHEN NOT on_ok THEN 'undecodable'
+            WHEN on_onsets = 0 THEN 'static'
+            WHEN on_rate < 1.0 THEN 'sparse'
+            WHEN on_rate <= 9.0 THEN 'speechlike'
+            ELSE 'impulsive' END"""
+
+
+def audio_onset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-flux onset profile (operators/onset.py) over all clips —
+    the event-structure gate: steady hum/hiss is ``static``/``sparse``,
+    natural speech onsets arrive at the syllable rate (``speechlike``,
+    1-9/s), and clicky/impulsive content (keyboard clatter, corrupted
+    frames decoding as pops) lands in ``impulsive``. Complements the
+    envelope-FFT syllable gate: the flux sees WHERE in the spectrum energy
+    appears, so pitch glides and noise bursts register even when the
+    energy envelope stays flat. One mapInPandas crossing, band classify in
+    codegen; detector behavior pinned in tests/test_onset.py."""
+    from ..operators import onset
+
+    s = onset.onset_stats(load_clips(spark, sf_dir))
+    band = (
+        F.when(~F.col("on_ok"), "undecodable")
+        .when(F.col("n_onsets") == 0, "static")
+        .when(F.col("onset_rate") < 1.0, "sparse")
+        .when(F.col("onset_rate") <= 9.0, "speechlike")
+        .otherwise("impulsive")
+    )
+    return (
+        s.withColumn("onset_band", band)
+        .groupBy("onset_band")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_onsets").alias("total_onsets"),
+            F.round(F.avg("onset_rate") + 1e-9, 4).alias("avg_rate"),
+            F.round(F.avg("flux_mean") + 1e-9, 4).alias("avg_flux"),
+        )
+        .orderBy("onset_band")
+    )
+
+
+def onset_stats_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH s AS (
+  SELECT {_ONSET_BAND_SQL} AS onset_band,
+         on_onsets, on_rate, on_flux_mean
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT onset_band, count(*)::BIGINT AS n_clips,
+       sum(on_onsets)::BIGINT AS total_onsets,
+       round(avg(on_rate) + 1e-9, 4) AS avg_rate,
+       round(avg(on_flux_mean) + 1e-9, 4) AS avg_flux
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 def audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-VAD speech stats (operators/vad.py) over all clips — the
     speech-content gate an ASR corpus applies before token-budget math.
@@ -2870,6 +2926,7 @@ QUERIES = {
     "audio_snr_profile": audio_snr_profile,
     "audio_tonality_gate": audio_tonality_gate,
     "audio_gate_agreement": audio_gate_agreement,
+    "audio_onset_stats": audio_onset_stats,
     "clips_curation_funnel": clips_curation_funnel,
     "audio_trim_stats": audio_trim_stats,
     "audio_speed_perturb_stats": audio_speed_perturb_stats,
@@ -2925,6 +2982,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_trim_stats": trim_stats_oracle,
     "audio_tonality_gate": tonality_gate_oracle,
     "audio_gate_agreement": gate_agreement_oracle,
+    "audio_onset_stats": onset_stats_oracle,
     "audio_speed_perturb_stats": speed_perturb_oracle,
     "audio_noise_mix_stats": noise_mix_oracle,
     "clips_curation_funnel": curation_funnel_oracle,

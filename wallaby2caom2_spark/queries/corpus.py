@@ -880,6 +880,151 @@ FROM fit ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Heaps-law fit per source — vocabulary-growth monitor
+# ---------------------------------------------------------------------------
+
+_HEAPS_LEVELS = (25, 50, 100)  # nested md5-gated subcorpus percents
+_HEAPS_MIN_V = 10              # below this the smallest point is noise
+_HEAPS_BETA_SAT = 0.2          # vocab saturates → templated/boilerplate
+_HEAPS_BETA_UNB = 0.9          # near-linear growth → id-like/random tokens
+
+
+def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Heaps-law exponent: vocabulary size V grows as K·N^β with
+    the token count N (β ≈ 0.4-0.8 for natural language). Three NESTED
+    subcorpora (25% / 50% / 100% of docs by md5 hash gate — deterministic,
+    layout-independent, same docs on any engine) give three (ln N, ln V)
+    points whose OLS slope is β. Templated sources saturate (β → 0:
+    more tokens, no new types); sources full of ids/hashes/random strings
+    grow near-linearly (β → 1). The vocabulary-GROWTH sibling of
+    ``corpus_zipf_fit``'s frequency-shape screen — a source can pass one
+    and fail the other.
+
+    Scale shape: one explode to (source, term) with map-side partial
+    aggregation — the only corpus-sized shuffle; per-term subset counts and
+    first-appearance level collapse in that same agg, so the three nested
+    subcorpora cost ONE pass (not three scans); everything after is
+    vocabulary-sized, then 3 rows per source.
+
+    Reference analog: A5/A6's distinct-key counters
+    (``fix_product_id_visit.py:97``) lifted to a growth-curve statistic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    gate = (
+        F.expr(
+            "conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)"
+        ).cast("bigint")
+        % 100
+    )
+    toks = docs.select(
+        "source", gate.alias("g"), F.explode(_words_col()).alias("term")
+    )
+    per_term = toks.groupBy("source", "term").agg(
+        F.min("g").alias("min_g"),
+        *[
+            F.sum((F.col("g") < p).cast("long")).alias(f"n{p}")
+            for p in _HEAPS_LEVELS
+        ],
+    )
+    per_src = per_term.groupBy("source").agg(
+        *[F.sum(f"n{p}").alias(f"N{p}") for p in _HEAPS_LEVELS],
+        *[
+            F.sum((F.col("min_g") < p).cast("long")).alias(f"V{p}")
+            for p in _HEAPS_LEVELS
+        ],
+    )
+    stack = ", ".join(f"{p}, N{p}, V{p}" for p in _HEAPS_LEVELS)
+    pts = per_src.selectExpr(
+        "source",
+        f"stack({len(_HEAPS_LEVELS)}, {stack}) AS (lvl, n_toks, v_types)",
+    ).filter((F.col("n_toks") > 0) & (F.col("v_types") > 0))
+    fit = pts.groupBy("source").agg(
+        F.count("*").alias("n_pts"),
+        F.min("v_types").alias("v_min"),
+        F.max(F.when(F.col("lvl") == 100, F.col("n_toks"))).alias("n_tokens"),
+        F.max(F.when(F.col("lvl") == 100, F.col("v_types"))).alias("v_types"),
+        F.round(
+            F.expr("regr_slope(ln(v_types), ln(n_toks))") + 1e-9, 4
+        ).alias("heaps_beta"),
+    )
+    verdict = (
+        F.when(
+            (F.col("n_pts") < len(_HEAPS_LEVELS))
+            | (F.col("v_min") < _HEAPS_MIN_V),
+            "insufficient_data",
+        )
+        .when(F.col("heaps_beta") <= _HEAPS_BETA_SAT, "saturated")
+        .when(F.col("heaps_beta") >= _HEAPS_BETA_UNB, "unbounded")
+        .otherwise("heaps_like")
+    )
+    return fit.select(
+        "source",
+        "n_tokens",
+        "v_types",
+        F.round(F.col("v_types") / F.col("n_tokens") + 1e-9, 6).alias("ttr"),
+        "heaps_beta",
+        verdict.alias("verdict"),
+    ).orderBy("source")
+
+
+def _heaps_sql() -> str:
+    n_aggs = ",\n         ".join(
+        f"sum(CASE WHEN g < {p} THEN 1 ELSE 0 END)::BIGINT AS n{p}"
+        for p in _HEAPS_LEVELS
+    )
+    src_aggs = ",\n         ".join(
+        [f"sum(n{p})::BIGINT AS N{p}" for p in _HEAPS_LEVELS]
+        + [
+            f"sum(CASE WHEN min_g < {p} THEN 1 ELSE 0 END)::BIGINT AS V{p}"
+            for p in _HEAPS_LEVELS
+        ]
+    )
+    pts = "\n  UNION ALL\n".join(
+        f"  SELECT source, {p} AS lvl, N{p} AS n_toks, V{p} AS v_types"
+        " FROM per_src"
+        for p in _HEAPS_LEVELS
+    )
+    return f"""
+WITH w AS (
+  SELECT source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS g,
+         unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+  FROM documents
+),
+per_term AS (
+  SELECT source, term, min(g) AS min_g,
+         {n_aggs}
+  FROM w GROUP BY source, term
+),
+per_src AS (
+  SELECT source,
+         {src_aggs}
+  FROM per_term GROUP BY source
+),
+pts AS (
+{pts}
+),
+good AS (SELECT * FROM pts WHERE n_toks > 0 AND v_types > 0),
+fit AS (
+  SELECT source, count(*)::BIGINT AS n_pts, min(v_types) AS v_min,
+         max(CASE WHEN lvl = 100 THEN n_toks END) AS n_tokens,
+         max(CASE WHEN lvl = 100 THEN v_types END) AS v_types,
+         round(regr_slope(ln(v_types), ln(n_toks)) + 1e-9, 4) AS heaps_beta
+  FROM good GROUP BY source
+)
+SELECT source, n_tokens, v_types,
+       round(v_types / n_tokens::DOUBLE + 1e-9, 6) AS ttr,
+       heaps_beta,
+       CASE WHEN n_pts < {len(_HEAPS_LEVELS)} OR v_min < {_HEAPS_MIN_V}
+                 THEN 'insufficient_data'
+            WHEN heaps_beta <= {_HEAPS_BETA_SAT} THEN 'saturated'
+            WHEN heaps_beta >= {_HEAPS_BETA_UNB} THEN 'unbounded'
+            ELSE 'heaps_like' END AS verdict
+FROM fit ORDER BY source
+"""
+
+
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "ngram_lm_train_score": ngram_lm_train_score,
@@ -890,6 +1035,7 @@ QUERIES = {
     "sample_epoch_upsampling": sample_epoch_upsampling,
     "vocab_jaccard_sources": vocab_jaccard_sources,
     "corpus_zipf_fit": corpus_zipf_fit,
+    "corpus_heaps_fit": corpus_heaps_fit,
 }
 
 ORACLE = {
@@ -902,4 +1048,5 @@ ORACLE = {
     "source_temperature_weights": _MIX_TEMP_SQL,
     "vocab_jaccard_sources": _VOCAB_JACCARD_SQL,
     "corpus_zipf_fit": _ZIPF_SQL,
+    "corpus_heaps_fit": _heaps_sql(),
 }

@@ -335,3 +335,16 @@ def test_fixture_matches_onset(spark, fixture_rows):
         assert r["n_onsets"] == f["on_onsets"], r["clip_id"]
         assert _norm(r["onset_rate"]) == _norm(f["on_rate"]), r["clip_id"]
         assert _norm(r["flux_mean"]) == _norm(f["on_flux_mean"]), r["clip_id"]
+
+
+def test_fixture_matches_declip(spark, fixture_rows):
+    from wallaby2caom2_spark.operators.declip import declip_stats
+
+    clips_path, fix = fixture_rows
+    for r in declip_stats(_clips_df(spark, clips_path)).collect():
+        f = fix[r["clip_id"]]
+        for col in (
+            "dcl_ok", "dcl_runs", "dcl_samples", "dcl_frac",
+            "dcl_energy_db", "dcl_peak",
+        ):
+            assert _norm(r[col]) == _norm(f[col]), (r["clip_id"], col)

@@ -188,6 +188,13 @@ FIXTURE_SCHEMA = pa.schema(
         ("on_onsets", pa.int32()),
         ("on_rate", pa.float64()),
         ("on_flux_mean", pa.float64()),
+        # declip repair (operators/declip.py — shared clip_declip)
+        ("dcl_ok", pa.bool_()),
+        ("dcl_runs", pa.int32()),
+        ("dcl_samples", pa.int32()),
+        ("dcl_frac", pa.float64()),
+        ("dcl_energy_db", pa.float64()),
+        ("dcl_peak", pa.float64()),
     ]
 )
 
@@ -294,6 +301,8 @@ _SEG_COLS = (
     "wh_ok", "wh_dc", "wh_crest_db", "wh_peak",
     "tc_ok", "tc_exact", "tc_canon_len", "tc_size_ratio", "tc_crc32",
     "on_ok", "on_frames", "on_onsets", "on_rate", "on_flux_mean",
+    "dcl_ok", "dcl_runs", "dcl_samples", "dcl_frac", "dcl_energy_db",
+    "dcl_peak",
 )
 
 
@@ -336,6 +345,7 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
         wh_ok=False, wh_dc=0.0, wh_crest_db=0.0, wh_peak=0.0,
         tc_ok=False, tc_exact=False, tc_size_ratio=0.0,
         on_ok=False, on_rate=0.0, on_flux_mean=0.0,
+        dcl_ok=False, dcl_frac=0.0, dcl_energy_db=0.0, dcl_peak=0.0,
     )
     # --- transcript compressibility (shared function, textcomp.py) ---
     from .operators.textcomp import transcript_compression
@@ -486,6 +496,20 @@ def _per_clip_operator_outputs(cols, samples, sr_f, x16, sr_i, row) -> None:
                 on_onsets=ores[1],
                 on_rate=ores[2],
                 on_flux_mean=ores[3],
+            )
+
+        # --- declip repair (shared function verbatim, declip.py) ---
+        from .operators.declip import clip_declip
+
+        dres = clip_declip(x16, sr_i)
+        if dres is not None:
+            out.update(
+                dcl_ok=True,
+                dcl_runs=dres[0],
+                dcl_samples=dres[1],
+                dcl_frac=dres[2],
+                dcl_energy_db=dres[3],
+                dcl_peak=dres[4],
             )
 
         # --- bandwidth gate (shared per-clip function, bandwidth.py) ---

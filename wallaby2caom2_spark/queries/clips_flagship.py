@@ -150,7 +150,7 @@ def video_path_for(sf_dir: str) -> str:
     return path
 
 
-_FEATURES_VERSION = "v15"  # v15: + spectral-flux onset replay columns (on_*, shared clip_onset); v14: + waveform-health (wh_*, shared clip_health) and canonical-transcode (tc_*, shared clip_transcode) replay columns; v13: + syllable-rate (syl_*, shared clip_syllable) and transcript-compressibility (z_*, shared transcript_compression) replay columns; v12: + gated-loudness replay columns (loud_*, shared clip_loudness); v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
+_FEATURES_VERSION = "v16"  # v16: + declip-repair replay columns (dcl_*, shared clip_declip); v15: + spectral-flux onset replay columns (on_*, shared clip_onset); v14: + waveform-health (wh_*, shared clip_health) and canonical-transcode (tc_*, shared clip_transcode) replay columns; v13: + syllable-rate (syl_*, shared clip_syllable) and transcript-compressibility (z_*, shared transcript_compression) replay columns; v12: + gated-loudness replay columns (loud_*, shared clip_loudness); v11: + reverb-gate (rev_*, shared clip_reverb) and mains-hum (hum_*, shared clip_hum) replay columns; v10: + bandwidth-gate replay columns (bw_ok/rolloff95/rolloff99/ratio/suspect, shared clip_bandwidth); v9: + F0-tracker replay columns (pitch_ok/n_frames/n_voiced/voiced_ratio/mean_f0, shared clip_pitch); v8: + MFCC replay columns (mfcc_ok/n_frames/len/c0-c2, shared clip_mfcc); v7b: semantic-embedding replay columns (emb_ok, emb; zero-vector containment); v6: + resample/specaugment replay columns; v5: + spectrogram-preview columns; v4: + segment/normalize/features/trim/spectral/augment replay columns; v3: pow2-padded fingerprint FFT; v2: + labeler columns, n_chars, fingerprint, preview
 
 
 def features_path_for(sf_dir: str) -> str:
@@ -2259,6 +2259,58 @@ FROM s GROUP BY 1 ORDER BY 1
 """
 
 
+def audio_declip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declip-repair report (operators/declip.py): saturated runs re-drawn
+    with cubic Hermite segments — the payload analog of the reference's
+    VALUE REPAIR (P15, ``main_app.py:84-96``) — summarized per severity
+    band with how much the repair changed (runs/samples repaired, energy
+    added, post-repair peak). ``heavy`` clips stay candidates for the
+    ``audio_clipping`` drop rule: interpolation reports, it does not
+    launder. One mapInPandas crossing, band classify in codegen; the
+    reconstruction itself is pinned in tests/test_declip.py."""
+    from ..operators import declip
+
+    s = declip.declip_stats(load_clips(spark, sf_dir))
+    band = (
+        F.when(~F.col("dcl_ok"), "undecodable")
+        .when(F.col("dcl_runs") == 0, "clean")
+        .when(F.col("dcl_frac") <= 0.01, "light")
+        .otherwise("heavy")
+    )
+    return (
+        s.withColumn("repair_band", band)
+        .groupBy("repair_band")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("dcl_runs").alias("total_runs"),
+            F.sum("dcl_samples").alias("total_samples"),
+            F.round(F.avg("dcl_energy_db") + 1e-9, 4).alias("avg_energy_db"),
+            F.round(F.avg("dcl_peak") + 1e-9, 4).alias("avg_peak"),
+        )
+        .orderBy("repair_band")
+    )
+
+
+def declip_report_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN NOT dcl_ok THEN 'undecodable'
+              WHEN dcl_runs = 0 THEN 'clean'
+              WHEN dcl_frac <= 0.01 THEN 'light'
+              ELSE 'heavy' END AS repair_band,
+         dcl_runs, dcl_samples, dcl_energy_db, dcl_peak
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT repair_band, count(*)::BIGINT AS n_clips,
+       sum(dcl_runs)::BIGINT AS total_runs,
+       sum(dcl_samples)::BIGINT AS total_samples,
+       round(avg(dcl_energy_db) + 1e-9, 4) AS avg_energy_db,
+       round(avg(dcl_peak) + 1e-9, 4) AS avg_peak
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 def audio_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-VAD speech stats (operators/vad.py) over all clips — the
     speech-content gate an ASR corpus applies before token-budget math.
@@ -2927,6 +2979,7 @@ QUERIES = {
     "audio_tonality_gate": audio_tonality_gate,
     "audio_gate_agreement": audio_gate_agreement,
     "audio_onset_stats": audio_onset_stats,
+    "audio_declip_report": audio_declip_report,
     "clips_curation_funnel": clips_curation_funnel,
     "audio_trim_stats": audio_trim_stats,
     "audio_speed_perturb_stats": audio_speed_perturb_stats,
@@ -2983,6 +3036,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_tonality_gate": tonality_gate_oracle,
     "audio_gate_agreement": gate_agreement_oracle,
     "audio_onset_stats": onset_stats_oracle,
+    "audio_declip_report": declip_report_oracle,
     "audio_speed_perturb_stats": speed_perturb_oracle,
     "audio_noise_mix_stats": noise_mix_oracle,
     "clips_curation_funnel": curation_funnel_oracle,

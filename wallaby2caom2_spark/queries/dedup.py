@@ -427,6 +427,199 @@ FROM reach GROUP BY src
 
 
 # ---------------------------------------------------------------------------
+# LSH recall/precision evaluation — measure the banding config, don't guess
+# ---------------------------------------------------------------------------
+
+_RECALL_MOD = 17  # hash-gated eval subset; at 10^12 docs tighten the gate
+                  # so the subset stays ~10^4 (the quadratic ground-truth
+                  # cost is subset², an explicit dial — never corpus-wide)
+
+
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine evaluation of the MinHash/LSH banding configuration: on a
+    deterministic doc_id-gated eval subset, compute the EXACT all-pairs
+    word-set-Jaccard ground truth, the banding's candidate pairs over the
+    same docs, and the resulting candidate-stage recall (true pairs the
+    bands surface) and precision (candidates that verify). This is the
+    number that justifies N_MINHASH/band geometry — when thresholds or the
+    shingle size change, the eval moves BEFORE production recall silently
+    degrades.
+
+    Scale shape: the quadratic work is confined to the gated subset (the
+    cross-join is the documented intent — bounded by the gate, tuned so
+    subset² stays trivial); signatures and banding reuse the production
+    chain verbatim on the subset's rows, so the eval measures exactly the
+    deployed config.
+
+    Reference analog: the reference's fixture-count self-checks
+    (``tests/test_composable.py:146-147``) as a continuous measurement.
+    """
+    sub = F.col("doc_id") % _RECALL_MOD == 0
+    w = (
+        load(spark, sf_dir, "documents")
+        .filter(sub)
+        .select("doc_id", F.array_distinct(_words()).alias("wset"))
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb"))
+    common = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    jac = common / (F.size("wa") + F.size("wb") - common)
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.round(jac + 1e-9, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= _VERIFY_JACCARD)
+    )
+    bands = _band_buckets(
+        dedup_minhash_signature(spark, sf_dir).filter(sub)
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "bucket")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "bucket"),
+            ["band_idx", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_docs = w.agg(F.count("*").alias("n_docs_eval"))
+    stats = (
+        n_docs.crossJoin(truth.agg(F.count("*").alias("true_pairs")))
+        .crossJoin(cand.agg(F.count("*").alias("cand_pairs")))
+        .crossJoin(found.agg(F.count("*").alias("found_pairs")))
+    )
+    return stats.select(
+        "n_docs_eval",
+        "true_pairs",
+        "cand_pairs",
+        "found_pairs",
+        F.when(
+            F.col("true_pairs") > 0,
+            F.round(F.col("found_pairs") / F.col("true_pairs") + 1e-9, 4),
+        ).alias("recall"),
+        F.when(
+            F.col("cand_pairs") > 0,
+            F.round(F.col("found_pairs") / F.col("cand_pairs") + 1e-9, 4),
+        ).alias("precision"),
+    )
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+ssig AS (SELECT * FROM sig WHERE doc_id % {_RECALL_MOD} = 0),
+bands AS (
+  SELECT doc_id, unnest([{", ".join(
+      f"md5(sig{2 * b} || '|' || sig{2 * b + 1})"
+      for b in range(N_MINHASH // 2))}]) AS bucket,
+         unnest(generate_series(0, {N_MINHASH // 2 - 1})) AS band_idx
+  FROM ssig WHERE sig0 IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+),
+w AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS wset
+  FROM documents WHERE doc_id % {_RECALL_MOD} = 0
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+  WHERE round(
+    len(list_intersect(a.wset, b.wset))::DOUBLE
+      / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset)))
+    + 1e-9, 4) >= {_VERIFY_JACCARD}
+),
+found AS (SELECT * FROM truth SEMI JOIN cand USING (doc_a, doc_b)),
+stats AS (
+  SELECT (SELECT count(*) FROM w)::BIGINT AS n_docs_eval,
+         (SELECT count(*) FROM truth)::BIGINT AS true_pairs,
+         (SELECT count(*) FROM cand)::BIGINT AS cand_pairs,
+         (SELECT count(*) FROM found)::BIGINT AS found_pairs
+)
+SELECT n_docs_eval, true_pairs, cand_pairs, found_pairs,
+       CASE WHEN true_pairs > 0
+            THEN round(found_pairs / true_pairs::DOUBLE + 1e-9, 4) END
+         AS recall,
+       CASE WHEN cand_pairs > 0
+            THEN round(found_pairs / cand_pairs::DOUBLE + 1e-9, 4) END
+         AS precision
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix — who copies from whom
+# ---------------------------------------------------------------------------
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-verified near-dup pairs attributed to SOURCE pairs — the
+    mirror-site / syndication detector: a heavy (A, B) cell with A ≠ B says
+    corpus B republishes A's content (drop one side wholesale instead of
+    paying per-pair dedup), a heavy diagonal says a source re-crawls
+    itself. Sources are ordered lexicographically within a pair so (A, B)
+    and (B, A) accumulate in one cell.
+
+    Plan shape: the verified pairs are the pair-graph subset (tiny next to
+    the corpus); two equi-joins attach the doc→source dimension — at
+    10^12 docs the source map is a projection of the same documents scan,
+    and the matrix itself is |sources|² at most. No work beyond the LSH
+    chain touches the corpus.
+
+    Reference analog: J3's provenance bookkeeping (rejected-by-source,
+    ``config/config.yml:56-60``) lifted to pairwise source association.
+    """
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        "doc_b",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard") + 1e-9, 4).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_matrix_sql() -> str:
+    return f"""
+WITH p AS (
+{_lsh_verified_sql()}
+),
+j AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+       round(avg(jaccard) + 1e-9, 4) AS avg_jaccard
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup savings report — the ROI statement of the near-dup pipeline
 # ---------------------------------------------------------------------------
 
@@ -1075,6 +1268,8 @@ QUERIES = {
     "dedup_connected_components": dedup_connected_components,
     "dedup_quality_keeper": dedup_quality_keeper,
     "dedup_savings_report": dedup_savings_report,
+    "dedup_source_matrix": dedup_source_matrix,
+    "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
 }
 
 ORACLE = {
@@ -1091,4 +1286,6 @@ ORACLE = {
     "dedup_connected_components": _cc_sql(),
     "dedup_quality_keeper": _quality_keeper_sql(),
     "dedup_savings_report": _savings_sql(),
+    "dedup_source_matrix": _source_matrix_sql(),
+    "dedup_lsh_recall_eval": _lsh_recall_sql(),
 }

@@ -296,3 +296,21 @@ def test_sole_blame_subqueries_are_keyed_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     low = plan.lower()
     assert "leftsemi" in low and "leftanti" in low, plan
+
+
+def test_volume_shipping_broadcasts_dims(spark):
+    plan = plan_of(spark, "volume_shipping")
+    assert "CartesianProduct" not in plan, plan
+    # both nation sides and the supplier dim ride broadcast hash joins;
+    # only the fact-to-fact links may shuffle
+    assert count(plan, "BroadcastHashJoin") >= 3, plan
+
+
+def test_market_share_single_pass_conditional_agg(spark):
+    plan = plan_of(spark, "market_share")
+    assert "CartesianProduct" not in plan, plan
+    # share = conditional sum over ONE join tree: 7 scans (nation twice —
+    # customer side and supplier side), no second lineitem scan, one
+    # partial+final aggregate pair (tree-form tokens, details not counted)
+    assert count(plan, "Scan parquet (") <= 7, plan
+    assert count(plan, "HashAggregate (") <= 2, plan

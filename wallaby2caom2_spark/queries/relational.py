@@ -820,6 +820,168 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q7/Q8 analogs — bi-national trade volume and market share
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+_Q7_YEARS = (1996, 1997)
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "EUROPE"
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing between two nations (supplier side
+    vs customer side), per direction per year. Exercises the double
+    dimension-chain join — lineitem → supplier → nation on one side,
+    lineitem → orders → customer → nation on the other — with both nation
+    dims broadcast and the fact-to-fact links as hash equi-joins; the
+    asymmetric pair filter (supp ≠ cust within the pair) prunes in codegen
+    before the aggregation.
+
+    Reference analog: the cross-provenance bookkeeping the reference never
+    needed (single-source pipeline) — the standard warehouse join pattern
+    a lakehouse user expects the engine to cover.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    n1, n2 = _Q7_NATIONS
+    year = F.year("l_shipdate")
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nat.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .filter(
+            (
+                (F.col("supp_nation") == n1) & (F.col("cust_nation") == n2)
+                | (F.col("supp_nation") == n2) & (F.col("cust_nation") == n1)
+            )
+            & year.isin(*_Q7_YEARS)
+        )
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        j.groupBy("supp_nation", "cust_nation", year.alias("l_year"))
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_VOLUME_SHIPPING_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate)::INTEGER AS l_year,
+       sum(round(l_extendedprice*(1-l_discount)*100, 0)::BIGINT)::BIGINT
+         AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = '{_Q7_NATIONS[0]}' AND cn.n_name = '{_Q7_NATIONS[1]}')
+    OR (sn.n_name = '{_Q7_NATIONS[1]}' AND cn.n_name = '{_Q7_NATIONS[0]}'))
+  AND year(l_shipdate) IN ({", ".join(str(y) for y in _Q7_YEARS)})
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of the revenue sold
+    into a region, per year — the conditional-aggregation-over-a-join
+    pattern (share = SUM(CASE WHEN nation THEN rev END) / SUM(rev)) that
+    avoids a second scan or a self-join. Share divides two exact cents
+    sums, rounded at the handoff (the registry-wide money rule).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    year = F.year("o_orderdate")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(
+                nat.select("n_nationkey", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .filter(
+            (F.col("r_name") == _Q8_REGION) & year.isin(*_Q7_YEARS)
+        )
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = j.groupBy(year.alias("o_year")).agg(
+        F.sum(rev).alias("total_cents"),
+        F.sum(
+            F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(0)
+        ).alias("nation_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "total_cents",
+        "nation_cents",
+        F.round(
+            F.col("nation_cents") / F.col("total_cents") + 1e-9, 6
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+_MARKET_SHARE_SQL = f"""
+WITH j AS (
+  SELECT year(o_orderdate)::INTEGER AS o_year,
+         round(l_extendedprice*(1-l_discount)*100, 0)::BIGINT AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = '{_Q8_REGION}'
+    AND year(o_orderdate) IN ({", ".join(str(y) for y in _Q7_YEARS)})
+),
+agg AS (
+  SELECT o_year, sum(rev)::BIGINT AS total_cents,
+         sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev ELSE 0 END)
+           ::BIGINT AS nation_cents
+  FROM j GROUP BY o_year
+)
+SELECT o_year, total_cents, nation_cents,
+       round(nation_cents / total_cents::DOUBLE + 1e-9, 6) AS mkt_share
+FROM agg ORDER BY o_year
+"""
+
+
 QUERIES = {
     "min_price_supplier": min_price_supplier,
     "orders_with_returns_semi": orders_with_returns_semi,
@@ -838,9 +1000,13 @@ QUERIES = {
     "value_repair_scrub": value_repair_scrub,
     "top_unshipped_orders": top_unshipped_orders,
     "distinct_users_two_phase": distinct_users_two_phase,
+    "volume_shipping": volume_shipping,
+    "market_share": market_share,
 }
 
 ORACLE = {
+    "volume_shipping": _VOLUME_SHIPPING_SQL,
+    "market_share": _MARKET_SHARE_SQL,
     "min_price_supplier": _MIN_PRICE_SUPPLIER_SQL,
     "orders_with_returns_semi": _SEMI_JOIN_SQL,
     "suppliers_sole_blame": _SOLE_BLAME_SQL,

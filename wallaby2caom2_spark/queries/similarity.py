@@ -1236,6 +1236,114 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF recall evaluation — measure the nprobe=1 approximation, don't guess
+# ---------------------------------------------------------------------------
+
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine recall@k of the IVF(nprobe=1) search against exact
+    brute-force ground truth on the SAME probe set — the measured answer
+    to "what does confining each probe to one inverted list cost?". A
+    probe whose true neighbors straddle a centroid boundary loses them;
+    this query quantifies how often. The vector-space sibling of
+    ``dedup_lsh_recall_eval``.
+
+    Scale shape: the predicted pairs reuse the production IVF chain
+    verbatim; ground truth is brute force ONLY for the gated probe subset
+    (broadcast probes fanned over the data scan — bounded by the probe
+    gate, the explicit dial), then two windowed top-k's and a left join on
+    the (probe, neighbor) key. Ties are impossible by construction: both
+    engines rank on ROUNDED cosine with a neighbor-id tiebreak.
+    """
+    pred = ann_ivf_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", _to_double(F.col("embedding"))
+    )
+    data = emb.filter(F.col("vec_id") >= N_CENTROIDS).withColumn(
+        "en", _norm(F.col("e"))
+    )
+    probes = data.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("en").alias("qn"),
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))
+    pairs = data.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos + 1e-9, 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id")
+    )
+    per_q = (
+        truth.join(
+            pred.withColumn("hit", F.lit(1)), ["q_id", "neighbor_id"], "left"
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("k_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("k_hit"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").alias("n_probes"),
+        F.lit(TOP_K).cast("int").alias("k"),
+        F.round(
+            F.avg(F.col("k_hit") / F.col("k_true")) + 1e-9, 4
+        ).alias("avg_recall"),
+        F.round(
+            F.min(F.col("k_hit") / F.col("k_true")) + 1e-9, 4
+        ).alias("min_recall"),
+        F.sum(
+            (F.col("k_hit") == F.col("k_true")).cast("long")
+        ).alias("n_perfect"),
+    )
+
+
+_IVF_RECALL_SQL = f"""
+WITH pred AS (
+{_IVF_TOPK_SQL}
+),
+e2 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       WHERE vec_id >= {N_CENTROIDS}),
+probes2 AS (SELECT vec_id AS q_id, e AS qe FROM e2 WHERE vec_id % 101 = 0),
+pairs2 AS (
+  SELECT q_id, d.vec_id AS neighbor_id,
+         round(list_dot_product(qe, d.e)
+               / (sqrt(list_dot_product(qe, qe))
+                  * sqrt(list_dot_product(d.e, d.e)))
+               + 1e-9, 4) AS cos_sim
+  FROM probes2 p JOIN e2 d ON d.vec_id <> p.q_id
+),
+truth AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+    FROM pairs2
+  ) WHERE rk <= {TOP_K}
+),
+per_q AS (
+  SELECT t.q_id, count(*)::BIGINT AS k_true,
+         sum(CASE WHEN p.rank IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS k_hit
+  FROM truth t LEFT JOIN pred p USING (q_id, neighbor_id)
+  GROUP BY t.q_id
+)
+SELECT count(*)::BIGINT AS n_probes, {TOP_K}::INTEGER AS k,
+       round(avg(k_hit / k_true::DOUBLE) + 1e-9, 4) AS avg_recall,
+       round(min(k_hit / k_true::DOUBLE) + 1e-9, 4) AS min_recall,
+       sum(CASE WHEN k_hit = k_true THEN 1 ELSE 0 END)::BIGINT AS n_perfect
+FROM per_q
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "contrastive_pair_mining": contrastive_pair_mining,
@@ -1250,9 +1358,11 @@ QUERIES = {
     "kmeans_train": kmeans_train,
     "embedding_top_pc": embedding_top_pc,
     "semantic_cluster_dedup": semantic_cluster_dedup,
+    "ann_ivf_recall_eval": ann_ivf_recall_eval,
 }
 
 ORACLE = {
+    "ann_ivf_recall_eval": _IVF_RECALL_SQL,
     "kmeans_train": _kmeans_sql(),
     "embedding_top_pc": _top_pc_sql(),
     "contrastive_pair_mining": _contrastive_sql(),

@@ -52,6 +52,9 @@ def main() -> None:
         "audio_syllable_rate_gate",
         "audio_health_gate",
         "audio_transcode_migration",
+        "audio_onset_stats",
+        "audio_declip_report",
+        "audio_gate_agreement",
         "transcript_compression_gate",
         "clips_token_budget_report",
         "clips_curation_funnel",

@@ -314,3 +314,19 @@ def test_market_share_single_pass_conditional_agg(spark):
     # partial+final aggregate pair (tree-form tokens, details not counted)
     assert count(plan, "Scan parquet (") <= 7, plan
     assert count(plan, "HashAggregate (") <= 2, plan
+
+
+def test_customer_order_distribution_outer_join_prefiltered(spark):
+    plan = plan_of(spark, "customer_order_distribution")
+    assert "CartesianProduct" not in plan, plan
+    # the priority exclusion reaches the orders SCAN (pre-join, where it
+    # prunes) rather than filtering after the outer join
+    assert "PushedFilters" in plan and "o_orderpriority" in plan, plan
+
+
+def test_brand_promo_disjunction_pushes_brand_filter(spark):
+    plan = plan_of(spark, "brand_promo_revenue")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the implied brand membership prunes the part scan before the join
+    assert "In(p_brand" in plan, plan

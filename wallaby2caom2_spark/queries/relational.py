@@ -982,6 +982,113 @@ FROM agg ORDER BY o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q13/Q19 analogs — outer-join distribution and disjunctive pushdown
+# ---------------------------------------------------------------------------
+
+_Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of order COUNTS per customer,
+    INCLUDING the zero-order customers — the pattern that forces a LEFT
+    OUTER join (an inner join silently drops the zero bucket, the classic
+    Q13 bug) followed by a double aggregation, with the order-side filter
+    applied BEFORE the join (on the join's right side, where it prunes;
+    after the join it would turn legitimate matches into fake zeros).
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_CUST_DIST_SQL = f"""
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '{_Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+_Q19_ARMS = (
+    ("Brand#12", 1, 15, 1.0, 11.0),
+    ("Brand#23", 1, 25, 10.0, 20.0),
+    ("Brand#34", 1, 35, 20.0, 30.0),
+)
+
+
+def brand_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand+size from part, quantity from lineitem). The
+    plan property that matters: the part-side sub-predicates (brand IN,
+    size ≤ max) are implied by the disjunction and push into the
+    broadcast-side scan, so the join probes a pre-filtered dim while the
+    full disjunction evaluates in codegen after the join — not a filter
+    on a cartesian.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    arm = None
+    for brand, lo_sz, hi_sz, lo_q, hi_q in _Q19_ARMS:
+        a = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(lo_sz, hi_sz)
+            & F.col("l_quantity").between(lo_q, hi_q)
+        )
+        arm = a if arm is None else (arm | a)
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    F.col("p_brand").isin([a[0] for a in _Q19_ARMS])
+                )
+            ),
+            li.l_partkey == part.p_partkey,
+        )
+        .filter(arm)
+        .agg(
+            F.sum(rev).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q19_arm_sql(a) -> str:
+    brand, lo_sz, hi_sz, lo_q, hi_q = a
+    return (
+        f"(p_brand = '{brand}' AND p_size BETWEEN {lo_sz} AND {hi_sz}"
+        f" AND l_quantity BETWEEN {lo_q} AND {hi_q})"
+    )
+
+
+_BRAND_PROMO_SQL = f"""
+SELECT sum(round(l_extendedprice*(1-l_discount)*100, 0)::BIGINT)::BIGINT
+         AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(_q19_arm_sql(a) for a in _Q19_ARMS)}
+"""
+
+
 QUERIES = {
     "min_price_supplier": min_price_supplier,
     "orders_with_returns_semi": orders_with_returns_semi,
@@ -1002,11 +1109,15 @@ QUERIES = {
     "distinct_users_two_phase": distinct_users_two_phase,
     "volume_shipping": volume_shipping,
     "market_share": market_share,
+    "customer_order_distribution": customer_order_distribution,
+    "brand_promo_revenue": brand_promo_revenue,
 }
 
 ORACLE = {
     "volume_shipping": _VOLUME_SHIPPING_SQL,
     "market_share": _MARKET_SHARE_SQL,
+    "customer_order_distribution": _CUST_DIST_SQL,
+    "brand_promo_revenue": _BRAND_PROMO_SQL,
     "min_price_supplier": _MIN_PRICE_SUPPLIER_SQL,
     "orders_with_returns_semi": _SEMI_JOIN_SQL,
     "suppliers_sole_blame": _SOLE_BLAME_SQL,

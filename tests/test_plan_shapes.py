@@ -228,6 +228,9 @@ CLIPS_QUERIES = [
     "audio_resample_stats",
     "audio_specaugment_stats",
     "audio_loudness_gate",
+    "audio_onset_stats",
+    "audio_declip_report",
+    "audio_gate_agreement",
     "clips_shard_packing",
     "corpus_shuffle_order",
     "audio_incremental_dedup",

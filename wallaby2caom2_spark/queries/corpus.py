@@ -881,6 +881,100 @@ FROM fit ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# heavy hitters — Misra-Gries sketch per partition + exact verify pass
+# ---------------------------------------------------------------------------
+
+_HH_FRAC = 1000       # report tokens with frequency > N / _HH_FRAC
+_HH_K = 2 * _HH_FRAC  # sketch capacity; k ≥ frac ⟹ no true hitter is lost
+
+
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters (tokens with frequency > N/1000) via the
+    two-pass sketch pattern: a bounded-memory MISRA-GRIES summary per
+    partition generates candidates, then ONE exact counting pass confined
+    to the candidate set produces exact counts — so the approximate stage
+    decides WHAT to count, never the published numbers, and the output is
+    deterministic and engine-independent (the DuckDB oracle is plain
+    exact GROUP BY ... HAVING).
+
+    Why not just groupBy? At vocabulary >> memory (web-scale n-grams,
+    URLs, user-ids) the exact group state is the problem; Misra-Gries
+    holds ≤ k counters per partition regardless of vocabulary. The recall
+    guarantee is unconditional: an item with global share > 1/_HH_FRAC
+    has local share > 1/_HH_FRAC on ≥1 partition (averaging), and MG with
+    k = 2·_HH_FRAC capacity never evicts an item of local share >
+    1/(k+1) — so every true hitter reaches the verify pass; false
+    candidates cost only their exact count.
+
+    Scale shape: pass 1 is map-side only (one bounded dict per partition,
+    ≤ k rows emitted each); pass 2 re-scans with a BROADCAST semi-join on
+    the candidate set and aggregates |candidates| groups. No
+    corpus-sized shuffle at any point.
+
+    Reference analog: A4/A5's counters (``config/config.yml:43-47``)
+    generalized to the frequent-items sketch a 10^12-token corpus needs.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(_words_col()).alias("term"))
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["term"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > _HH_K:
+                # batched MG decrement: subtract the (size-k)-th smallest
+                # count from every counter and drop the non-positive —
+                # equivalent to (size-k) rounds of the classic all-minus-1
+                # step, preserving the freq(t) - n/(k+1) lower bound
+                vals = sorted(counters.values())
+                d = vals[len(counters) - _HH_K]
+                counters = {
+                    t: c - d for t, c in counters.items() if c - d > 0
+                }
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cand = (
+        terms.mapInPandas(_mg, "term string").distinct()
+    )
+    exact = (
+        terms.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = terms.agg(F.count("*").alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_FRAC > F.col("n_total"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total") + 1e-9, 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+    )
+
+
+_HEAVY_HITTERS_SQL = f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+  FROM documents
+),
+total AS (SELECT count(*)::BIGINT AS n_total FROM w)
+SELECT term, count(*)::BIGINT AS cnt,
+       round(count(*) / n_total::DOUBLE + 1e-9, 6) AS share
+FROM w, total
+GROUP BY term, n_total
+HAVING count(*) * {_HH_FRAC} > n_total
+ORDER BY cnt DESC, term ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # Heaps-law fit per source — vocabulary-growth monitor
 # ---------------------------------------------------------------------------
 
@@ -1036,9 +1130,11 @@ QUERIES = {
     "vocab_jaccard_sources": vocab_jaccard_sources,
     "corpus_zipf_fit": corpus_zipf_fit,
     "corpus_heaps_fit": corpus_heaps_fit,
+    "corpus_heavy_hitters": corpus_heavy_hitters,
 }
 
 ORACLE = {
+    "corpus_heavy_hitters": _HEAVY_HITTERS_SQL,
     "sample_epoch_upsampling": _EPOCH_UPSAMPLING_SQL,
     "bpe_pair_counts": _BPE_SQL,
     "ngram_lm_train_score": _NGRAM_LM_SQL,

@@ -427,6 +427,118 @@ FROM reach GROUP BY src
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the near-dup graph — hub documents of boilerplate families
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 8
+_PR_DAMP = 0.85
+
+
+def dedup_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (undirected) LSH-verified near-dup graph — the
+    hub score: in a large boilerplate family the template source connects
+    to many variants and accumulates rank, so the top hubs are where to
+    LOOK when a dedup savings report says one family dominates.
+
+    The third iterative-algorithm shape in the registry (k-means: fixed
+    point over centroids; CC: label propagation to convergence; here:
+    fixed ITERATION COUNT power method). Everything stays in-plan — the
+    node count enters as a crossed-in 1-row aggregate, never a driver
+    ``.count()`` — and each round is one equi-join + partial-agg sum over
+    the edge list with ``localCheckpoint`` keeping the lineage O(1).
+
+    Cross-engine determinism: rank is rounded to 12 dp EVERY iteration in
+    both engines, so float-accumulation-order noise (≤ 1e-14 per round at
+    near-dup degrees) can never compound across the 8 rounds; the oracle
+    unrolls the same 8 steps as a CTE chain. Final handoff rounds to 6.
+
+    Reference analog: J1's regroup generalized from "which group" to "how
+    central in the group" (``fix_product_id_visit.py:80-107``).
+    """
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst")
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    n1 = nodes.agg(F.count("*").alias("c"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "doc_id", F.round(1.0 / F.col("c"), 12).alias("r"), "c"
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("doc_id").alias("src"), "r"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("r") / F.col("deg")).alias("part"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("part").alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n1))
+            .join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    (1.0 - _PR_DAMP) / F.col("c")
+                    + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+                "c",
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "doc_id", F.round(F.col("r") + 1e-9, 6).alias("pagerank")
+    ).orderBy(F.col("pagerank").desc(), F.col("doc_id").asc())
+
+
+def _pagerank_sql() -> str:
+    head = f"""
+WITH p AS (
+{_lsh_verified_sql()}
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM e),
+nn AS (SELECT count(*)::BIGINT AS c FROM nodes),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+pr0 AS (SELECT doc_id, round(1.0 / c, 12) AS r FROM nodes, nn)"""
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(f""",
+c{i} AS (
+  SELECT e.dst AS doc_id, sum(pr{i}.r / deg.deg) AS s
+  FROM e JOIN pr{i} ON e.src = pr{i}.doc_id
+         JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+pr{i + 1} AS (
+  SELECT nodes.doc_id,
+         round((1.0 - {_PR_DAMP}) / c + {_PR_DAMP} * coalesce(s, 0.0), 12)
+           AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} USING (doc_id)
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT doc_id, round(r + 1e-9, 6) AS pagerank
+FROM pr{_PR_ITERS}
+ORDER BY pagerank DESC, doc_id ASC
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH recall/precision evaluation — measure the banding config, don't guess
 # ---------------------------------------------------------------------------
 
@@ -1270,6 +1382,7 @@ QUERIES = {
     "dedup_savings_report": dedup_savings_report,
     "dedup_source_matrix": dedup_source_matrix,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
+    "dedup_pagerank_hubs": dedup_pagerank_hubs,
 }
 
 ORACLE = {
@@ -1288,4 +1401,5 @@ ORACLE = {
     "dedup_savings_report": _savings_sql(),
     "dedup_source_matrix": _source_matrix_sql(),
     "dedup_lsh_recall_eval": _lsh_recall_sql(),
+    "dedup_pagerank_hubs": _pagerank_sql(),
 }

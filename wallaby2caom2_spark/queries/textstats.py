@@ -1380,7 +1380,79 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement — Efraimidis-Spirakis priorities
+# ---------------------------------------------------------------------------
+
+_WPRI_K = 100        # sample size
+_WPRI_W_FLOOR = 0.01  # zero-weight guard (a 0 weight would divide by zero)
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED sample of K docs without replacement — the
+    Efraimidis-Spirakis priority method, the standard distributed
+    weighted sampler: each doc gets priority u^(1/w) with u a uniform
+    (here a DETERMINISTIC md5-hash uniform — retry-safe, layout- and
+    engine-independent, the registry's no-rand() rule) and the global
+    top-K by priority IS an exact weighted sample without replacement.
+    Ranking maximizes ln(u)/w (monotone in u^(1/w), numerically tamer),
+    ROUNDED to 9 dp with a doc_id tiebreak so libm's last-ulp ln()
+    differences can never flip the cross-engine order (the bm25
+    rank-stability rule).
+
+    Scale shape: priorities are pure codegen over the documents scan; the
+    only wide op is the global top-K (a K-row TakeOrdered — no full
+    sort materializes at any executor).
+
+    Reference analog: the work-selection layer (todo + retry selection,
+    J4) upgraded from membership to weighted priority.
+    """
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    u = (
+        F.expr(
+            "conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)"
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0  # (0, 1) strictly — ln(0) can never occur
+    w = F.greatest(F.col("quality"), F.lit(_WPRI_W_FLOOR))
+    pri = F.round(F.log(u) / w + 1e-12, 9)
+    ranked = q.select("doc_id", "quality", pri.alias("priority")).orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    return ranked.limit(_WPRI_K).select(
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        )
+        .alias("rank"),
+        "doc_id",
+        "quality",
+        "priority",
+    )
+
+
+_WEIGHTED_PRIORITY_SQL = f"""
+WITH q AS (
+{_QUALITY_SQL}
+),
+pri AS (
+  SELECT doc_id, quality,
+         round(
+           ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0)
+              / 4294967297.0)
+           / greatest(quality, {_WPRI_W_FLOOR}) + 1e-12, 9) AS priority
+  FROM q
+)
+SELECT row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rank,
+       doc_id, quality, priority
+FROM pri
+ORDER BY priority DESC, doc_id ASC
+LIMIT {_WPRI_K}
+"""
+
+
 QUERIES = {
+    "sample_weighted_priority": sample_weighted_priority,
     "text_token_stats": text_token_stats,
     "classifier_train_logreg": classifier_train_logreg,
     "text_quality_score": text_quality_score,
@@ -1401,6 +1473,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sample_weighted_priority": _WEIGHTED_PRIORITY_SQL,
     "quality_outlier_mad": _MAD_SQL,
     "quality_psi_by_source": _PSI_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,

@@ -1089,6 +1089,97 @@ WHERE {" OR ".join(_q19_arm_sql(a) for a in _Q19_ARMS)}
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q16/Q22 analogs — distinct-supplier variety and idle-customer value
+# ---------------------------------------------------------------------------
+
+_Q16_EXCLUDED_BRAND = "Brand#5"
+
+
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers ship each (brand,
+    size) slice — supplier-diversity reporting. The distinct aggregate
+    runs on the (partkey, suppkey) pairs observed in lineitem joined to a
+    broadcast-pruned part dim; a brand exclusion prunes that dim before
+    the join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") != _Q16_EXCLUDED_BRAND
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+_PART_VARIETY_SQL = f"""
+SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{_Q16_EXCLUDED_BRAND}'
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+"""
+
+
+_Q22_RECENT_CUTOFF = "2001-01-01"
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance and
+    NO RECENT order (none since ``_Q22_RECENT_CUTOFF``) — the
+    lapsed-high-value-customer report. Two classic pieces: a decorrelated
+    scalar subquery (the average over positive balances, computed once
+    and crossed in as a 1-row broadcast, never per-row) and a LEFT ANTI
+    join against the recent orders for the NOT EXISTS, with the recency
+    predicate pushed into the orders scan.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _Q22_RECENT_CUTOFF
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    idle = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    seg = F.col("c_mktsegment")
+    return (
+        idle.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy(seg.alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("total_bal_cents"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_IDLE_CUSTOMER_SQL = f"""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment AS mktsegment, count(*)::BIGINT AS n_custs,
+       sum(round(c_acctbal * 100, 0)::BIGINT)::BIGINT AS total_bal_cents
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '{_Q22_RECENT_CUTOFF}')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "min_price_supplier": min_price_supplier,
     "orders_with_returns_semi": orders_with_returns_semi,
@@ -1111,6 +1202,8 @@ QUERIES = {
     "market_share": market_share,
     "customer_order_distribution": customer_order_distribution,
     "brand_promo_revenue": brand_promo_revenue,
+    "part_supplier_variety": part_supplier_variety,
+    "idle_customer_balance": idle_customer_balance,
 }
 
 ORACLE = {
@@ -1118,6 +1211,8 @@ ORACLE = {
     "market_share": _MARKET_SHARE_SQL,
     "customer_order_distribution": _CUST_DIST_SQL,
     "brand_promo_revenue": _BRAND_PROMO_SQL,
+    "part_supplier_variety": _PART_VARIETY_SQL,
+    "idle_customer_balance": _IDLE_CUSTOMER_SQL,
     "min_price_supplier": _MIN_PRICE_SUPPLIER_SQL,
     "orders_with_returns_semi": _SEMI_JOIN_SQL,
     "suppliers_sole_blame": _SOLE_BLAME_SQL,

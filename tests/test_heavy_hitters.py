@@ -59,3 +59,16 @@ def test_subthreshold_token_excluded(spark, tmp_path):
     d = _write(spark, tmp_path, rows)
     out = {r["term"]: r["cnt"] for r in corpus_heavy_hitters(spark, d).collect()}
     assert out == {"hot": 41}
+
+
+def test_empty_partitions_are_harmless(spark, tmp_path):
+    # more partitions than token rows → some MG instances see zero
+    # batches and must still emit a schema-clean empty frame
+    d = _write(spark, tmp_path, ["hot hot hot", "cold"])
+    docs = spark.read.parquet(f"{d}/documents.parquet").repartition(16)
+    d2 = str(tmp_path / "docs16")
+    docs.write.parquet(f"{d2}/documents.parquet")
+    out = {
+        r["term"]: r["cnt"] for r in corpus_heavy_hitters(spark, d2).collect()
+    }
+    assert out == {"hot": 3, "cold": 1}

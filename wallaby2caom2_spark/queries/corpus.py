@@ -936,7 +936,12 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 counters = {
                     t: c - d for t, c in counters.items() if c - d > 0
                 }
-        yield pd.DataFrame({"term": list(counters.keys())})
+        # explicit object dtype: an EMPTY partition would otherwise yield a
+        # default float64 column that Arrow must cast to the declared
+        # string schema — make the frame carry strings in every case
+        yield pd.DataFrame(
+            {"term": pd.Series(list(counters.keys()), dtype=object)}
+        )
 
     cand = (
         terms.mapInPandas(_mg, "term string").distinct()

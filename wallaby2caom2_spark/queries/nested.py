@@ -204,11 +204,93 @@ FROM t GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# two-level tree profile — Observation→plane→artifact depth, measured
+# ---------------------------------------------------------------------------
+
+def nested_two_level_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-level nested assembly (customer → orders[] → items[]) with the
+    shape statistics computed by NESTED higher-order functions — the
+    reference's Observation→planes→artifacts depth
+    (``wallaby2caom2/main_app.py:205-231``) exercised one level deeper
+    than the other nested ops: per customer, total leaf count and the
+    maximum per-order fan-out are folds over an array of structs that
+    each carry an inner array, entirely in codegen. The published
+    relation is the corpus histogram of tree widths (orders per
+    customer) with leaf/fan-out aggregates per width.
+
+    Scale shape: two hash re-aggregations (items→order, order→customer —
+    the A1/A2 chain) build the tree; the folds are map-side expressions
+    on the assembled rows; the histogram is a third, tiny aggregation.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("line"),
+                F.col("l_quantity").alias("qty"),
+            )
+        ).alias("items")
+    )
+    per_cust = (
+        orders.join(items, orders.o_orderkey == items.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("o_orderkey").alias("okey"), F.col("items"))
+            ).alias("otree")
+        )
+    )
+    n_orders = F.size("otree")
+    n_leaves = F.aggregate(
+        F.col("otree"), F.lit(0), lambda acc, o: acc + F.size(o.items)
+    )
+    max_fanout = F.aggregate(
+        F.col("otree"), F.lit(0), lambda acc, o: F.greatest(acc, F.size(o.items))
+    )
+    shaped = per_cust.select(
+        n_orders.alias("n_orders"),
+        n_leaves.alias("n_leaves"),
+        max_fanout.alias("max_fanout"),
+    )
+    return (
+        shaped.groupBy("n_orders")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_leaves").cast("bigint").alias("total_leaves"),
+            F.max("max_fanout").alias("widest_order"),
+        )
+        .orderBy("n_orders")
+    )
+
+
+_TWO_LEVEL_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*)::INTEGER AS n_items
+  FROM lineitem GROUP BY l_orderkey
+),
+per_cust AS (
+  SELECT o_custkey,
+         count(*)::INTEGER AS n_orders,
+         sum(n_items)::INTEGER AS n_leaves,
+         max(n_items)::INTEGER AS max_fanout
+  FROM orders JOIN per_order ON o_orderkey = l_orderkey
+  GROUP BY o_custkey
+)
+SELECT n_orders, count(*)::BIGINT AS n_customers,
+       sum(n_leaves)::BIGINT AS total_leaves,
+       max(max_fanout)::INTEGER AS widest_order
+FROM per_cust GROUP BY n_orders ORDER BY n_orders
+"""
+
+
 QUERIES = {
     "nested_order_assembly": nested_order_assembly,
     "rekey_regroup": rekey_regroup,
     "nested_field_patch": nested_field_patch,
     "nested_conditional_wipe": nested_conditional_wipe,
+    "nested_two_level_profile": nested_two_level_profile,
 }
 
 ORACLE = {
@@ -216,4 +298,5 @@ ORACLE = {
     "rekey_regroup": _REKEY_REGROUP_SQL,
     "nested_field_patch": _NESTED_PATCH_SQL,
     "nested_conditional_wipe": _NESTED_WIPE_SQL,
+    "nested_two_level_profile": _TWO_LEVEL_SQL,
 }

@@ -332,9 +332,9 @@ def test_fixture_matches_onset(spark, fixture_rows):
         f = fix[r["clip_id"]]
         assert r["on_ok"] == f["on_ok"], r["clip_id"]
         assert r["on_frames"] == f["on_frames"], r["clip_id"]
-        assert r["n_onsets"] == f["on_onsets"], r["clip_id"]
-        assert _norm(r["onset_rate"]) == _norm(f["on_rate"]), r["clip_id"]
-        assert _norm(r["flux_mean"]) == _norm(f["on_flux_mean"]), r["clip_id"]
+        assert r["on_onsets"] == f["on_onsets"], r["clip_id"]
+        assert _norm(r["on_rate"]) == _norm(f["on_rate"]), r["clip_id"]
+        assert _norm(r["on_flux_mean"]) == _norm(f["on_flux_mean"]), r["clip_id"]
 
 
 def test_fixture_matches_declip(spark, fixture_rows):

@@ -74,6 +74,6 @@ def test_containment_rows(spark):
     )
     by = {r["clip_id"]: r for r in onset_stats(df).collect()}
     assert by["bad"]["on_ok"] is False
-    assert by["bad"]["n_onsets"] == 0
+    assert by["bad"]["on_onsets"] == 0
     assert by["ok"]["on_ok"] is True
-    assert by["ok"]["n_onsets"] >= 3
+    assert by["ok"]["on_onsets"] >= 3

@@ -192,11 +192,30 @@ def test_run_id_survives_partition_type_inference(spark, clips_path, tmp_path):
         assert got == {info["run_id"]}, tbl
 
 
+def test_invalid_run_id_fails_before_any_wave(spark, clips_path, tmp_path):
+    """A bad caller-supplied run_id must be rejected BEFORE any wave
+    executes (fail fast), not at the first lineage append after a full
+    wave of decode work."""
+    out = str(tmp_path / "out_badid")
+    with pytest.raises(ValueError):
+        run_resumable(
+            spark, clips_path, out, n_buckets=2, n_waves=1,
+            run_id="2026-08-21",
+        )
+    assert not os.path.exists(os.path.join(out, "results"))
+
+
 def test_number_parseable_run_id_refused():
     from wallaby2caom2_spark.sources.lineage import check_run_id
 
     assert check_run_id("r6e0612805002") == "r6e0612805002"
     assert check_run_id("fixed") == "fixed"
-    for bad in ("6e0612805002", "123", "1.5", "inf", "nan"):
+    assert check_run_id("r2026-08-21") == "r2026-08-21"
+    # numbers, float spellings, AND date/timestamp-shaped ids: Spark's
+    # partition reader type-infers all of them on read-back
+    for bad in (
+        "6e0612805002", "123", "1.5", "inf", "nan", "Infinity", "NaN",
+        "2026-08-21", "2026-08-21 07:00:00", "", "_tmp", "99bottles",
+    ):
         with pytest.raises(ValueError):
             check_run_id(bad)

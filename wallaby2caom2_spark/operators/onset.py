@@ -61,10 +61,12 @@ ONSET_SCHEMA = T.StructType(
     [
         T.StructField("clip_id", T.StringType()),
         T.StructField("on_ok", T.BooleanType()),
+        # on_* prefix throughout, matching the persisted fixture columns
+        # and the sibling declip operator's dcl_* convention
         T.StructField("on_frames", T.IntegerType()),
-        T.StructField("n_onsets", T.IntegerType()),
-        T.StructField("onset_rate", T.DoubleType()),
-        T.StructField("flux_mean", T.DoubleType()),
+        T.StructField("on_onsets", T.IntegerType()),
+        T.StructField("on_rate", T.DoubleType()),
+        T.StructField("on_flux_mean", T.DoubleType()),
     ]
 )
 
@@ -127,11 +129,11 @@ def onset_stats(df: DataFrame) -> DataFrame:
                     "clip_id": pd.Series(out["clip_id"], dtype=object),
                     "on_ok": pd.Series(out["on_ok"], dtype=bool),
                     "on_frames": pd.Series(out["on_frames"], dtype=np.int32),
-                    "n_onsets": pd.Series(out["n_onsets"], dtype=np.int32),
-                    "onset_rate": pd.Series(
-                        out["onset_rate"], dtype=np.float64
+                    "on_onsets": pd.Series(out["on_onsets"], dtype=np.int32),
+                    "on_rate": pd.Series(out["on_rate"], dtype=np.float64),
+                    "on_flux_mean": pd.Series(
+                        out["on_flux_mean"], dtype=np.float64
                     ),
-                    "flux_mean": pd.Series(out["flux_mean"], dtype=np.float64),
                 }
             )
 

@@ -64,6 +64,12 @@ def run_resumable(
     # parse as a number (lineage.check_run_id) — a bare 12-char hex like
     # 6e0612805002 type-infers as a double on read-back
     run_id = ckpt.ensure_run_id(run_id or "r" + uuid.uuid4().hex[:12])
+    # fail FAST on an invalid id: without this, a caller-supplied numeric /
+    # date-shaped id (or a legacy checkpoint whose stored hex id happens to
+    # be all-numeric — pre-guard checkpoints must be re-minted) would only
+    # be rejected at the first append_lineage call, i.e. AFTER a full wave
+    # of decode work had already run and been written
+    lineage_src.check_run_id(run_id)
     remaining = ckpt.remaining()
     if not remaining:
         return {"run_id": run_id, "waves": 0, "buckets": []}

@@ -2225,9 +2225,9 @@ def audio_onset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = onset.onset_stats(load_clips(spark, sf_dir))
     band = (
         F.when(~F.col("on_ok"), "undecodable")
-        .when(F.col("n_onsets") == 0, "static")
-        .when(F.col("onset_rate") < 1.0, "sparse")
-        .when(F.col("onset_rate") <= 9.0, "speechlike")
+        .when(F.col("on_onsets") == 0, "static")
+        .when(F.col("on_rate") < 1.0, "sparse")
+        .when(F.col("on_rate") <= 9.0, "speechlike")
         .otherwise("impulsive")
     )
     return (
@@ -2235,9 +2235,9 @@ def audio_onset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("onset_band")
         .agg(
             F.count("*").alias("n_clips"),
-            F.sum("n_onsets").alias("total_onsets"),
-            F.round(F.avg("onset_rate") + 1e-9, 4).alias("avg_rate"),
-            F.round(F.avg("flux_mean") + 1e-9, 4).alias("avg_flux"),
+            F.sum("on_onsets").alias("total_onsets"),
+            F.round(F.avg("on_rate") + 1e-9, 4).alias("avg_rate"),
+            F.round(F.avg("on_flux_mean") + 1e-9, 4).alias("avg_flux"),
         )
         .orderBy("onset_band")
     )

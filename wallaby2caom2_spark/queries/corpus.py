@@ -901,10 +901,13 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     URLs, user-ids) the exact group state is the problem; Misra-Gries
     holds ≤ k counters per partition regardless of vocabulary. The recall
     guarantee is unconditional: an item with global share > 1/_HH_FRAC
-    has local share > 1/_HH_FRAC on ≥1 partition (averaging), and MG with
-    k = 2·_HH_FRAC capacity never evicts an item of local share >
-    1/(k+1) — so every true hitter reaches the verify pass; false
-    candidates cost only their exact count.
+    has local share > 1/_HH_FRAC on ≥1 partition (averaging), and the
+    batched MG below undercounts any item by at most n/k (each decrement
+    event subtracts the same d from all ≤ k surviving counters, and the
+    total decremented mass is ≤ n, so per-counter loss ≤ n/k) — with
+    k = 2·_HH_FRAC that leaves 1/k = 1/(2·_HH_FRAC) of slack below the
+    1/_HH_FRAC reporting line, so every true hitter reaches the verify
+    pass; false candidates cost only their exact count.
 
     Scale shape: pass 1 is map-side only (one bounded dict per partition,
     ≤ k rows emitted each); pass 2 re-scans with a BROADCAST semi-join on
@@ -930,7 +933,13 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # batched MG decrement: subtract the (size-k)-th smallest
                 # count from every counter and drop the non-positive —
                 # equivalent to (size-k) rounds of the classic all-minus-1
-                # step, preserving the freq(t) - n/(k+1) lower bound
+                # step. NOTE the batched bound is freq(t) - n/k, not the
+                # classic n/(k+1): a decrement event subtracts d from the
+                # ≤ k SURVIVING counters (the k+1-th-counter argument
+                # doesn't apply once eviction is batched), and the total
+                # decremented mass is ≤ n ⟹ per-item undercount ≤ n/k.
+                # k = 2·_HH_FRAC keeps 1/k slack below the 1/_HH_FRAC
+                # line, so false negatives remain impossible.
                 vals = sorted(counters.values())
                 d = vals[len(counters) - _HH_K]
                 counters = {

@@ -29,16 +29,27 @@ def check_run_id(run_id: str) -> str:
     reader type-infers directory values: an id that parses as a number —
     a 12-char hex like ``6e0612805002`` reads back as the DOUBLE 6e+612 →
     Infinity — silently corrupts every read of the lineage/metrics tables.
-    Caught live (run_id column showed ``Infinity`` on read-back). Writers
-    refuse ambiguous ids loudly instead; ``run_resumable`` mints ids with
-    an ``r`` prefix so generated ids can never collide with the rule."""
-    try:
-        float(run_id)
-    except ValueError:
-        return run_id
+    Caught live (run_id column showed ``Infinity`` on read-back).
+
+    The inference also coerces DATE/TIMESTAMP-shaped values ('2026-08-21'
+    reads back as a date, changing the column type), so a float() probe is
+    not enough: the guard requires the id to START WITH AN ASCII LETTER,
+    matching the ``r``-prefix mint rule in ``run_resumable`` — no numeric,
+    date, or timestamp literal begins with a letter, so a letter-first id
+    always reads back as the string it was written as.  The float() probe
+    is kept as well: it catches the special spellings ("inf", "Infinity",
+    "NaN") that start with a letter but that a double parser still
+    accepts."""
+    if run_id and run_id[0].isascii() and run_id[0].isalpha():
+        try:
+            float(run_id)
+        except ValueError:
+            return run_id
     raise ValueError(
-        f"run_id {run_id!r} parses as a number and would be type-inferred "
-        "as a partition value on read — prefix it with a letter"
+        f"run_id {run_id!r} must start with an ASCII letter: partition "
+        "directory values that parse as numbers, dates, or timestamps are "
+        "type-inferred on read-back and corrupt the lineage/metrics tables "
+        "— prefix the id with a letter (generated ids use 'r')"
     )
 
 

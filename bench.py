@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from bench_common import adaptive_warmup  # noqa: E402
+from bench_common import adaptive_warmup, sample_stable  # noqa: E402
 from wallaby2caom2_spark.queries import ALL_QUERIES  # noqa: E402
 from wallaby2caom2_spark.queries.clips_flagship import clips_path_for  # noqa: E402
 from wallaby2caom2_spark.session import get_spark  # noqa: E402
@@ -80,13 +80,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     times: dict[str, float] = {}
+    extra_samples = 0
     for name in HEADLINE:
         fn = ALL_QUERIES[name]
         # warm-up (excluded) — adaptive steady-state rule, shared with the
         # other benches (bench_common.adaptive_warmup)
         adaptive_warmup(spark, lambda: _force(name, fn(spark, SF_DIR)))
-        samples = []
-        for _ in range(N_RUNS):
+
+        def _timed() -> float:
             # cold-path guard shared with the other benches: none of
             # today's HEADLINE queries persist, but a future addition that
             # does (curation funnel, BPE) would otherwise time warm-cache
@@ -94,7 +95,14 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.time()
             _force(name, fn(spark, SF_DIR))
-            samples.append(time.time() - t0)
+            return time.time() - t0
+
+        # throttle gate (bench_common.sample_stable): a sample set whose
+        # median/min spread shows the hypervisor-throttling signature is
+        # resampled up to a wall-clock cap, so a one-shot driver run can't
+        # record a storm as a regression
+        samples = sample_stable(_timed, N_RUNS)
+        extra_samples += len(samples) - N_RUNS
         times[name] = round(min(samples), 3)
 
     n_clips = spark.read.parquet(clips_path).count()
@@ -114,6 +122,7 @@ def main() -> None:
                 "n_clips": n_clips,
                 "parallelism": CPUS,
                 "runs_per_query": N_RUNS,
+                "extra_samples": extra_samples,
             }
         )
     )

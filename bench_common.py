@@ -7,6 +7,7 @@ hand-tuned copies of the convergence rule would silently diverge).
 
 from __future__ import annotations
 
+import statistics
 import time
 from typing import Callable
 
@@ -16,6 +17,46 @@ from typing import Callable
 # flagship); steady state is the honest estimate of an hours-long job
 WARMUP_MAX_ROUNDS = 5
 WARMUP_IMPROVE = 0.8
+
+
+# throttle-detection gate for the timed samples themselves: this VM's
+# hypervisor bursts make identical back-to-back runs vary 2-5x (guest ~90%
+# idle during slow samples). A CLEAN sample set has median ≈ min; a
+# median/min spread beyond THROTTLE_SPREAD is the documented throttling
+# signature, so the harness keeps sampling — bounded by RESAMPLE_CAP_S of
+# extra wall-clock and RESAMPLE_MAX extra samples — until the best N
+# samples form a clean window. The min of more samples only improves, so
+# resampling can never make the reported number worse; it makes a one-shot
+# driver run robust to landing on a storm (round-3 verdict item #2).
+THROTTLE_SPREAD = 2.0
+RESAMPLE_CAP_S = 120.0
+RESAMPLE_MAX = 12
+
+
+def sample_stable(
+    timed_run: Callable[[], float],
+    n_runs: int,
+    *,
+    spread: float = THROTTLE_SPREAD,
+    cap_s: float = RESAMPLE_CAP_S,
+    max_extra: int = RESAMPLE_MAX,
+    clock: Callable[[], float] = time.time,
+) -> list[float]:
+    """Collect ``n_runs`` samples from ``timed_run`` (which executes one
+    run and returns its wall seconds), then — while the best ``n_runs``
+    samples still look throttled (median > ``spread`` x min) — keep adding
+    samples up to ``cap_s`` extra wall-clock / ``max_extra`` extra runs.
+    Returns every sample taken; callers report ``min(samples)``."""
+    samples = [timed_run() for _ in range(n_runs)]
+    t0 = clock()
+    while len(samples) < n_runs + max_extra:
+        best = sorted(samples)[:n_runs]
+        if statistics.median(best) <= spread * best[0]:
+            break
+        if clock() - t0 >= cap_s:
+            break
+        samples.append(timed_run())
+    return samples
 
 
 def adaptive_warmup(spark, run: Callable[[], None]) -> None:

@@ -333,3 +333,83 @@ def test_brand_promo_disjunction_pushes_brand_filter(spark):
     assert "BroadcastHashJoin" in plan, plan
     # the implied brand membership prunes the part scan before the join
     assert "In(p_brand" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# bounded-window contract (round-3 verdict item #4)
+# ---------------------------------------------------------------------------
+
+_BOUNDED_NODES = {"Aggregate", "GlobalLimit", "LocalLimit"}
+
+
+def _subtree_is_bounded(node) -> bool:
+    """True when every path from ``node`` to a leaf relation passes through
+    a row-bounding operator (Aggregate or Limit) — i.e. the subtree's
+    output is a bounded summary (K-row feature model, bucket totals, merge
+    table), not a corpus-sized relation."""
+    if node.nodeName() in _BOUNDED_NODES:
+        return True
+    n = node.children().size()
+    if n == 0:
+        return False  # leaf relation: corpus-sized
+    return all(
+        _subtree_is_bounded(node.children().apply(i)) for i in range(n)
+    )
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """Violations of the bounded-window contract: Window nodes with an
+    EMPTY partitionSpec (→ WindowExec collapses to one partition) whose
+    input subtree reaches a leaf scan without passing a bounding
+    operator. Such a window is a corpus-sized serial point — exactly the
+    refactor this pin exists to catch."""
+    found: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            child = node.children().apply(0)
+            if not _subtree_is_bounded(child):
+                found.append(node.simpleString(100))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return found
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # each uses an unpartitioned window BY DESIGN, over a bounded
+        # input (512-row DSIR feature model / K-row BPE merge list /
+        # top-K priority sample / per-bucket shard totals); this pin
+        # keeps a refactor from silently globalizing a corpus window
+        "sample_importance_dsir",
+        "bpe_train_merges",
+        "sample_weighted_priority",
+        "clips_shard_packing",
+    ],
+)
+def test_global_windows_sit_above_bounded_inputs(spark, name):
+    df = ALL_QUERIES[name](spark, SF)
+    bad = _unbounded_global_windows(df)
+    assert not bad, f"{name}: unpartitioned Window over unbounded input:\n" + "\n".join(bad)
+
+
+def test_bounded_window_detector_catches_violation(spark):
+    """Canary: the detector must actually flag an unpartitioned window fed
+    straight from a scan — otherwise the parametrized pin above could rot
+    into a vacuous pass."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bad_df = docs.withColumn(
+        "rk", F.row_number().over(W.orderBy("doc_id"))
+    )
+    assert _unbounded_global_windows(bad_df), "detector missed a global window over a scan"
+    ok_df = (
+        docs.groupBy("lang").agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(W.orderBy("n")))
+    )
+    assert not _unbounded_global_windows(ok_df)

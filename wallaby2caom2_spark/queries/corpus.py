@@ -77,6 +77,10 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_PAIRS)
         .withColumn(
             "rk",
+            # unpartitioned window over the pair-count aggregate (K-row
+            # merge table; bounded-window contract pinned by
+            # tests/test_plan_shapes.py::
+            # test_global_windows_sit_above_bounded_inputs)
             F.row_number().over(
                 Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
             ),
@@ -415,6 +419,9 @@ def _bpe_train(docs: DataFrame) -> DataFrame:
     final = vocab.select(
         F.explode(F.split(F.trim(seq), " ")).alias("token"), "wfreq"
     )
+    # unpartitioned window over the vocabulary aggregate (bounded input;
+    # pinned by tests/test_plan_shapes.py::
+    # test_global_windows_sit_above_bounded_inputs)
     w = Window.orderBy(F.col("tok_count").desc(), F.col("token").asc())
     return (
         final.groupBy("token")

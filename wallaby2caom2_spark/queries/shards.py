@@ -508,6 +508,9 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # unpartitioned window over the per-shard totals aggregate (bounded
+    # by shard count; pinned by tests/test_plan_shapes.py::
+    # test_global_windows_sit_above_bounded_inputs)
     w = Window.orderBy("shard_id")
     return (
         shards.withColumn(

@@ -1309,6 +1309,9 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(F.round(F.sum(F.col("c") * F.col("log_ratio")) + 1e-9, 4).alias("w"))
     )
+    # unpartitioned window BY DESIGN over the per-doc weight aggregate —
+    # bounded-window contract pinned by tests/test_plan_shapes.py::
+    # test_global_windows_sit_above_bounded_inputs
     rk = F.row_number().over(
         Window.orderBy(F.col("w").desc(), F.col("doc_id"))
     )
@@ -1419,6 +1422,9 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = q.select("doc_id", "quality", pri.alias("priority")).orderBy(
         F.col("priority").desc(), F.col("doc_id").asc()
     )
+    # unpartitioned window over the K-row limit output (bounded input;
+    # pinned by tests/test_plan_shapes.py::
+    # test_global_windows_sit_above_bounded_inputs)
     return ranked.limit(_WPRI_K).select(
         F.row_number()
         .over(

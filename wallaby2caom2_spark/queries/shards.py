@@ -381,10 +381,11 @@ def clips_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the NTILE window partitions by ``lang`` — parallel across
     languages, one partition per language. At 10^12 rows the per-language
-    partition is itself too big for one task; the documented scale path is
-    the same switch ``sample_mixture_quota`` names: replace exact NTILE
-    with approximate quantile thresholds (one pass, broadcast thresholds),
-    keeping this exact form as the oracle-checkable reference semantics.
+    partition is itself too big for one task; the scale path is
+    ``clips_quality_curriculum_approx`` (histogram-quantile deciles, also
+    oracle-checked) behind the ``clips_quality_curriculum_auto`` row-count
+    switch — parity and switch covered by tests/test_curriculum_switch.py.
+    This exact form remains the reference semantics.
     """
     from pyspark.sql.window import Window
 
@@ -405,6 +406,127 @@ def clips_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "decile")
     )
+
+
+# --- approximate-quantile path (the named 10^12-row switch) ----------------
+#
+# NTILE's per-language window sorts every row of the language — at 10^12
+# rows one language is far too big for a single task's sort. The scale
+# path bins by FIXED-GRID HISTOGRAM quantiles instead: the score is in
+# [0,1] by construction (_quality_score is a 0.5/0.3/0.2 blend of
+# saturated terms), so quantizing it to a _CURR_GRID-step grid collapses
+# the corpus to a ≤ |langs| x _CURR_GRID histogram in ONE map-side-combined
+# shuffle; decile thresholds then come from the cumulative histogram
+# (windows over the bounded histogram only) and every clip in a grid
+# bucket shares the decile of the bucket's cumulative rank. Deterministic
+# by construction — unlike a GK/approx_percentile sketch it is exactly
+# replayable in the DuckDB oracle, so BOTH curriculum paths sit under the
+# full rows+schema+hash gate. Rank error ≤ the mass of one grid bucket
+# per decile boundary (tolerance the parity test derives and asserts).
+
+_CURR_GRID = 2000
+# auto-switch: exact NTILE below, histogram deciles at/above this input
+# row count (metadata-only parquet count — no scan)
+_CURR_APPROX_ROWS = 100_000_000
+
+
+def clips_quality_curriculum_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram-quantile curriculum bins — approximate decile ASSIGNMENT
+    with exact, oracle-checkable semantics (see block comment above)."""
+    from pyspark.sql.window import Window
+
+    kept = (
+        quality_filter(load_clips(spark, sf_dir))
+        .filter(F.col("keep"))
+        .select("lang", "ppl", _quality_score().alias("score"))
+    )
+    gb = F.least(
+        F.floor(F.col("score") * _CURR_GRID).cast("int"),
+        F.lit(_CURR_GRID - 1),
+    )
+    hist = kept.groupBy("lang", gb.alias("gb")).agg(
+        F.count("*").alias("n"),
+        F.sum("score").alias("s_score"),
+        F.sum("ppl").alias("s_ppl"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("gb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("lang")
+    binned = hist.select(
+        "lang",
+        "n",
+        "s_score",
+        "s_ppl",
+        F.least(
+            F.ceil(F.sum("n").over(w_cum) * 10 / F.sum("n").over(w_all))
+            .cast("int"),
+            F.lit(10),
+        ).alias("decile"),
+    )
+    return (
+        binned.groupBy("lang", "decile")
+        .agg(
+            F.sum("n").alias("n_clips"),
+            F.round(F.sum("s_score") / F.sum("n") + 1e-9, 4).alias(
+                "avg_score"
+            ),
+            F.round(F.sum("s_ppl") / F.sum("n") + 1e-9, 2).alias("avg_ppl"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+def quality_curriculum_approx_oracle(sf_dir: str) -> str:
+    """DuckDB replay of the histogram-decile rule: same grid, same
+    cumulative-rank assignment, same per-bin aggregates."""
+    path = features_path_for(sf_dir)
+    return f"""
+WITH kept AS (
+  SELECT lang, ppl,
+         lang_conf * 0.5
+           + (1.0 - least(ppl / 10000.0, 1.0)) * 0.3
+           + least(rms * 4.0, 1.0) * 0.2 AS score
+  FROM read_parquet('{path}/*.parquet') WHERE keep
+),
+hist AS (
+  SELECT lang,
+         least(floor(score * {_CURR_GRID})::INTEGER, {_CURR_GRID - 1}) AS gb,
+         count(*)::BIGINT AS n, sum(score) AS s_score, sum(ppl) AS s_ppl
+  FROM kept GROUP BY 1, 2
+),
+binned AS (
+  SELECT lang, n, s_score, s_ppl,
+         least(ceil(sum(n) OVER (PARTITION BY lang ORDER BY gb
+                                 ROWS UNBOUNDED PRECEDING) * 10.0
+                    / sum(n) OVER (PARTITION BY lang))::INTEGER,
+               10) AS decile
+  FROM hist
+)
+SELECT lang, decile, sum(n)::BIGINT AS n_clips,
+       round(sum(s_score) / sum(n) + 1e-9, 4) AS avg_score,
+       round(sum(s_ppl) / sum(n) + 1e-9, 2) AS avg_ppl
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def clips_quality_curriculum_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    approx_rows: int = _CURR_APPROX_ROWS,
+) -> DataFrame:
+    """The row-count switch between the two curriculum paths: exact NTILE
+    (reference semantics) below ``approx_rows`` input clips, histogram
+    deciles at/above it. The input-table count is parquet-metadata-only
+    (no column scan). Covered by tests/test_curriculum_switch.py."""
+    n = spark.read.parquet(clips_path_for(sf_dir)).count()
+    if n >= approx_rows:
+        return clips_quality_curriculum_approx(spark, sf_dir)
+    return clips_quality_curriculum(spark, sf_dir)
 
 
 def quality_curriculum_oracle(sf_dir: str) -> str:
@@ -553,6 +675,7 @@ QUERIES = {
     "audio_incremental_dedup": audio_incremental_dedup,
     "crossmodal_dup_consistency": crossmodal_dup_consistency,
     "clips_quality_curriculum": clips_quality_curriculum,
+    "clips_quality_curriculum_approx": clips_quality_curriculum_approx,
     "corpus_shuffle_order": corpus_shuffle_order,
 }
 
@@ -564,5 +687,6 @@ ORACLE_BUILDERS = {
     "audio_incremental_dedup": incremental_dedup_oracle,
     "crossmodal_dup_consistency": crossmodal_oracle,
     "clips_quality_curriculum": quality_curriculum_oracle,
+    "clips_quality_curriculum_approx": quality_curriculum_approx_oracle,
     "corpus_shuffle_order": shuffle_order_oracle,
 }

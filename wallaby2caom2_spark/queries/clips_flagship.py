@@ -191,6 +191,17 @@ def clips_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_metrics(quality_filter(load_clips(spark, sf_dir)))
 
 
+def clips_quality_filter_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship through the DECLARATIVE entry path: cascade + scrub
+    mask expressed as ``spark.sql`` over a temp view of the fused-feature
+    stage (plans/sql_api.py). Same rows, same single-Exchange
+    single-Arrow-crossing plan as the DataFrame path (pinned by
+    tests/test_sql_api.py); shares the DataFrame flagship's oracle."""
+    from ..plans import sql_api
+
+    return sql_api.quality_filter_sql(spark, load_clips(spark, sf_dir))
+
+
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary metadata extraction over the clips payloads UNIONED
     with the image-mix side table — real PNG IHDR geometry, real JPEG SOF
@@ -2944,6 +2955,7 @@ FROM g CROSS JOIN r ORDER BY codec
 
 QUERIES = {
     "clips_quality_filter": clips_quality_filter,
+    "clips_quality_filter_sql": clips_quality_filter_sql,
     "clips_metrics": clips_metrics,
     "multimodal_media_meta": multimodal_media_meta,
     "multimodal_pixel_stats": multimodal_pixel_stats,
@@ -3008,6 +3020,7 @@ CLIPS_ORACLE_BUILDERS = {
     "audio_vad_stats": vad_stats_oracle,
     "audio_snr_profile": snr_profile_oracle,
     "clips_quality_filter": quality_filter_oracle,
+    "clips_quality_filter_sql": quality_filter_oracle,
     "clips_metrics": metrics_oracle,
     "audio_speaking_rate_gate": speaking_rate_oracle,
     "audio_fingerprint_neardup": fingerprint_neardup_oracle,

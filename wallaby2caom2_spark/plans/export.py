@@ -351,3 +351,133 @@ def export_packed_shards(
     }
     write_manifest_atomic(out_path, manifest)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# preview artifact sink — persisted PNG files + manifest (S11 closure)
+# ---------------------------------------------------------------------------
+
+_PREVIEW_FLAVORS = ("waveform", "spectrogram")
+
+
+def export_preview_artifacts(
+    spark: SparkSession,
+    clips_path: str,
+    out_path: str,
+    n_buckets: int = 8,
+    flavor: str = "waveform",
+) -> dict:
+    """Persist per-clip preview PNGs as individual artifact FILES (the
+    reference persists ``<file_id>_prev_256.png`` thumbnails,
+    ``wallaby2caom2/preview_augmentation.py:77-97``) plus a manifest —
+    previews as binary columns (queries/clips_flagship.py) cover the query
+    surface; this sink covers the artifact-store contract.
+
+    Layout: ``out_path/previews/bucket=<b>/<clip_id>_prev_256.png`` (or
+    ``_spec_`` for spectrograms). Executors write the files directly —
+    each task owns whole buckets, file bytes are deterministic from the
+    payload, and each file lands via tmp + atomic rename, so task retries
+    and re-runs converge (same idempotence contract as the parquet
+    sinks). On a multi-node cluster ``out_path`` must be shared storage
+    (object store / NFS), exactly like any Spark sink path.
+
+    Stale guard (same contract as export_training_shards): after the
+    write, any on-disk bucket directory this run did not produce is a
+    foreign artifact set and fails the export loudly instead of folding
+    into the manifest.
+
+    Scale shape: decode+render is the one Python crossing; ONE exchange
+    routes slim (id, name, png) rows so each bucket is written by exactly
+    one task; the manifest aggregation is per-bucket (bounded by
+    MANIFEST_MAX_BUCKETS like the shard manifest).
+    """
+    from ..operators import preview as preview_op
+
+    if n_buckets > MANIFEST_MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds MANIFEST_MAX_BUCKETS="
+            f"{MANIFEST_MAX_BUCKETS}"
+        )
+    if flavor not in _PREVIEW_FLAVORS:
+        raise ValueError(f"flavor must be one of {_PREVIEW_FLAVORS}")
+    clips = read_clips(spark, clips_path)
+    if flavor == "waveform":
+        prev = preview_op.with_previews(clips)
+        png_col, name_col, ok_col = "thumb_png", "thumb_name", "prev_ok"
+    else:
+        prev = preview_op.with_spectrograms(clips)
+        png_col, name_col, ok_col = "sgram_png", "sgram_name", "sgram_ok"
+
+    rows = with_bucket(
+        prev.filter(F.col(ok_col)).select(
+            "clip_id", F.col(name_col).alias("name"), F.col(png_col).alias("png")
+        ),
+        n_buckets,
+    )
+    # one exchange of slim preview rows: every bucket dir is owned by one
+    # task (no cross-task interleaving within a bucket directory)
+    rows = rows.repartition(n_buckets, F.col("bucket"))
+
+    art_dir = os.path.join(out_path, "previews")
+    os.makedirs(art_dir, exist_ok=True)
+
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    def _write(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for b, grp in pdf.groupby("bucket"):
+                bdir = os.path.join(art_dir, f"bucket={int(b)}")
+                os.makedirs(bdir, exist_ok=True)
+                n_bytes = 0
+                for name, png in zip(grp["name"], grp["png"]):
+                    data = bytes(png)
+                    tmp = os.path.join(bdir, f".{name}.tmp")
+                    with open(tmp, "wb") as fh:
+                        fh.write(data)
+                    os.replace(tmp, os.path.join(bdir, name))
+                    n_bytes += len(data)
+                yield pd.DataFrame(
+                    {
+                        "bucket": [int(b)],
+                        "n_files": [len(grp)],
+                        "n_bytes": [n_bytes],
+                    }
+                )
+
+    per_bucket = (
+        rows.mapInPandas(_write, "bucket int, n_files long, n_bytes long")
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_files").alias("n_files"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+        .collect()
+    )
+    written = {int(r["bucket"]) for r in per_bucket}
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(art_dir)
+        if d.startswith("bucket=")
+    }
+    stale = sorted(on_disk - written)
+    if stale:
+        raise ValueError(
+            f"previews dir has stale buckets {stale} from a previous export "
+            f"— clear {art_dir} before re-exporting"
+        )
+    manifest = {
+        "flavor": flavor,
+        "n_previews": int(sum(r["n_files"] for r in per_bucket)),
+        "n_buckets": n_buckets,
+        "buckets": {
+            str(int(r["bucket"])): {
+                "n_files": int(r["n_files"]),
+                "n_bytes": int(r["n_bytes"]),
+            }
+            for r in per_bucket
+        },
+    }
+    write_manifest_atomic(out_path, manifest)
+    return manifest

@@ -1,0 +1,179 @@
+"""Real executed MERGE semantics on the copy-on-write snapshot table
+(round-3 verdict #1: the read-modify-write path must run end-to-end with
+no mocks). Covers: bootstrap, upsert correctness, copy-on-write file
+reuse, latest-wins with order_col, time travel, crash-before-commit
+safety + converging re-run, optimistic-concurrency conflict, and the
+merge_upsert_auto dispatch."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from wallaby2caom2_spark.operators.upsert import merge_upsert_auto
+from wallaby2caom2_spark.sources import snapshot_table as st
+
+SCHEMA = "clip_id string, val string, seq int"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(spark, path, version=None):
+    return {
+        r["clip_id"]: (r["val"], r["seq"])
+        for r in st.read_table(spark, path, version=version).collect()
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    st.create_table(
+        spark,
+        path,
+        _df(spark, [(f"c{i:03d}", f"v0_{i}", 0) for i in range(40)]),
+        key="clip_id",
+        n_buckets=8,
+    )
+    return path
+
+
+def test_bootstrap_roundtrip(spark, table):
+    state = _state(spark, table)
+    assert len(state) == 40
+    assert state["c007"] == ("v0_7", 0)
+    assert st.current_version(table) == 0
+
+
+def test_merge_updates_and_inserts(spark, table):
+    out = st.merge(
+        spark,
+        table,
+        _df(spark, [("c001", "v1_1", 1), ("c002", "v1_2", 1), ("zz9", "new", 1)]),
+    )
+    assert out["version"] == 1 and out["base_version"] == 0
+    assert out["updated"] == 2 and out["inserted"] == 1
+    state = _state(spark, table)
+    assert len(state) == 41
+    assert state["c001"] == ("v1_1", 1)
+    assert state["c002"] == ("v1_2", 1)
+    assert state["zz9"] == ("new", 1)
+    assert state["c003"] == ("v0_3", 0)  # untouched key intact
+
+
+def test_copy_on_write_reuses_untouched_bucket_files(spark, table):
+    base = st.read_manifest(table)
+    st.merge(spark, table, _df(spark, [("c001", "x", 1)]))
+    new = st.read_manifest(table)
+    touched = {
+        b for b in new["buckets"] if new["buckets"][b] != base["buckets"][b]
+    }
+    untouched = set(new["buckets"]) - touched
+    # a 1-key merge touches exactly one bucket; every other bucket entry
+    # must still point at the ORIGINAL snapshot's files (no rewrite)
+    assert len(touched) == 1
+    assert untouched and all(
+        new["buckets"][b] == base["buckets"][b] for b in untouched
+    )
+
+
+def test_latest_wins_order_col_and_intra_batch_dups(spark, table):
+    st.merge(
+        spark,
+        table,
+        _df(
+            spark,
+            [("c005", "older", 3), ("c005", "newer", 7), ("c005", "mid", 5)],
+        ),
+        order_col="seq",
+    )
+    assert _state(spark, table)["c005"] == ("newer", 7)
+
+
+def test_time_travel(spark, table):
+    st.merge(spark, table, _df(spark, [("c001", "v1", 1)]))
+    st.merge(spark, table, _df(spark, [("c001", "v2", 2)]))
+    assert _state(spark, table, version=0)["c001"] == ("v0_1", 0)
+    assert _state(spark, table, version=1)["c001"] == ("v1", 1)
+    assert _state(spark, table)["c001"] == ("v2", 2)
+    assert st.current_version(table) == 2
+
+
+def test_crash_before_commit_leaves_base_visible_and_rerun_converges(
+    spark, table, monkeypatch
+):
+    before = _state(spark, table)
+    real_commit = st._commit
+
+    def exploding_commit(*a, **kw):
+        raise RuntimeError("injected crash before CURRENT swap")
+
+    monkeypatch.setattr(st, "_commit", exploding_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        st.merge(spark, table, _df(spark, [("c001", "v1", 1), ("nw", "n", 1)]))
+    # data files were written, but the table still reads as the base —
+    # snapshot isolation held through the crash
+    assert st.current_version(table) == 0
+    assert _state(spark, table) == before
+
+    monkeypatch.setattr(st, "_commit", real_commit)
+    out = st.merge(
+        spark, table, _df(spark, [("c001", "v1", 1), ("nw", "n", 1)])
+    )
+    assert out["updated"] == 1 and out["inserted"] == 1
+    state = _state(spark, table)
+    assert state["c001"] == ("v1", 1) and state["nw"] == ("n", 1)
+    assert len(state) == len(before) + 1  # exactly-once: no double insert
+
+
+def test_concurrent_commit_conflict(spark, table, monkeypatch):
+    """First-writer-wins: if CURRENT advances between a merge's base read
+    and its commit, the merge must raise instead of clobbering."""
+    real_read = st.read_manifest
+    base = real_read(table)
+
+    def stale_read(path, version=None):
+        if version is None:
+            return dict(base)  # what a slow writer captured before the race
+        return real_read(path, version)
+
+    # writer B lands first
+    st.merge(spark, table, _df(spark, [("c001", "fromB", 1)]))
+    # writer A, still holding the version-0 base, now tries to commit
+    monkeypatch.setattr(st, "read_manifest", stale_read)
+    with pytest.raises(st.SnapshotConflictError):
+        st.merge(spark, table, _df(spark, [("c002", "fromA", 1)]))
+    monkeypatch.setattr(st, "read_manifest", real_read)
+    # B's commit survived; A's did not
+    state = _state(spark, table)
+    assert state["c001"] == ("fromB", 1)
+    assert state["c002"] == ("v0_2", 0)
+
+
+def test_merge_upsert_auto_dispatch(spark, table, tmp_path):
+    out = merge_upsert_auto(
+        spark, table, _df(spark, [("c001", "auto", 1)]), key="clip_id"
+    )
+    assert out["engine"] == "snapshot_merge"
+    assert _state(spark, table)["c001"] == ("auto", 1)
+    # a plain (non-snapshot) path still takes the overwrite stand-in
+    plain = str(tmp_path / "plain")
+    out2 = merge_upsert_auto(
+        spark, plain, _df(spark, [("a", "x", 1)]), key="clip_id"
+    )
+    assert out2["engine"] == "partition_overwrite"
+    assert os.path.isdir(plain)
+
+
+def test_empty_update_batch_is_noop(spark, table):
+    out = st.merge(spark, table, _df(spark, []))
+    assert out["touched_buckets"] == []
+    assert st.current_version(table) == 0
+
+
+def test_create_refuses_existing(spark, table):
+    with pytest.raises(ValueError, match="already exists"):
+        st.create_table(spark, table, _df(spark, [("a", "b", 0)]))

@@ -111,13 +111,21 @@ def merge_upsert_auto(
     order_col: str | None = None,
 ) -> dict:
     """Gated dispatch (J2): a catalog table with a MERGE-capable provider
-    gets true ``MERGE INTO``; anything else (a parquet path — this
-    container) gets the bucket-partitioned overwrite stand-in with the same
-    latest-wins semantics. ``target`` is a table name when it contains no
-    path separator and the provider probe succeeds."""
+    gets true ``MERGE INTO``; a path holding a snapshot table
+    (sources/snapshot_table.py) gets the REAL copy-on-write merge commit
+    — executed end-to-end in tests, no mocks (tests/test_snapshot_merge.py);
+    any other path gets the bucket-partitioned overwrite stand-in with
+    the same latest-wins semantics. ``target`` is a table name when it
+    contains no path separator and the provider probe succeeds."""
     if "/" not in target and supports_merge_into(spark, target):
         deduped = _dedup_updates(updates, key, order_col)
         out = _run_merge_into(spark, target, deduped, key)
+        return out
+    from ..sources import snapshot_table
+
+    if snapshot_table.is_snapshot_table(target):
+        out = snapshot_table.merge(spark, target, updates, order_col=order_col)
+        out["engine"] = "snapshot_merge"
         return out
     out = merge_upsert(
         spark, target, updates, key=key, n_buckets=n_buckets,

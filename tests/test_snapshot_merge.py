@@ -177,3 +177,62 @@ def test_empty_update_batch_is_noop(spark, table):
 def test_create_refuses_existing(spark, table):
     with pytest.raises(ValueError, match="already exists"):
         st.create_table(spark, table, _df(spark, [("a", "b", 0)]))
+
+
+def test_compact_collapses_snapshot_dirs(spark, table):
+    st.merge(spark, table, _df(spark, [("c001", "a", 1)]))
+    st.merge(spark, table, _df(spark, [("c002", "b", 2)]))
+    before = _state(spark, table)
+    m = st.read_manifest(table)
+    # ≥2 snapshot dirs referenced (exactly 3 unless both merge keys hash
+    # to the same bucket, in which case merge 2 re-rewrote merge 1's dir)
+    n_dirs = len({os.path.dirname(r) for r in m["buckets"].values()})
+    assert n_dirs >= 2
+
+    out = st.compact(spark, table)
+    assert out["snapshot_dirs_before"] == n_dirs
+    after_m = st.read_manifest(table)
+    # every bucket now lives in ONE fresh snapshot dir; data unchanged
+    assert len({os.path.dirname(r) for r in after_m["buckets"].values()}) == 1
+    assert _state(spark, table) == before
+
+
+def test_expire_removes_old_dirs_keeps_time_travel_window(spark, table):
+    st.merge(spark, table, _df(spark, [("c001", "v1", 1)]))
+    st.merge(spark, table, _df(spark, [("c001", "v2", 2)]))  # version 2
+    live_before = _state(spark, table)
+
+    out = st.expire_snapshots(table, keep_last=2)
+    assert out["kept_versions"] == [1, 2]
+    assert out["removed_manifest_versions"] == [0]
+    # v0's exclusive dir may have survived if v1/v2 still reference its
+    # untouched buckets — expiry must never remove a LIVE-referenced dir
+    m1, m2 = st.read_manifest(table, 1), st.read_manifest(table, 2)
+    live_dirs = {
+        os.path.dirname(r)
+        for mm in (m1, m2)
+        for r in mm["buckets"].values()
+    }
+    assert all(d not in live_dirs for d in out["removed_snapshot_dirs"])
+
+    # current + retained versions still read correctly
+    assert _state(spark, table) == live_before
+    assert _state(spark, table, version=1)["c001"] == ("v1", 1)
+    # expired version is gone
+    with pytest.raises(FileNotFoundError):
+        st.read_manifest(table, 0)
+
+
+def test_expire_after_compact_drops_all_old_data(spark, table):
+    st.merge(spark, table, _df(spark, [("c001", "x", 1)]))
+    st.compact(spark, table)  # version 2, self-contained
+    out = st.expire_snapshots(table, keep_last=1)
+    assert out["kept_versions"] == [2]
+    # only the compacted snapshot dir remains on disk
+    data_dirs = os.listdir(os.path.join(table, "data"))
+    m = st.read_manifest(table)
+    live = {os.path.dirname(r).split(os.sep)[-1] for r in m["buckets"].values()}
+    assert set(data_dirs) == live and len(data_dirs) == 1
+    # the merge updated an existing key: still the original 40 rows
+    assert len(_state(spark, table)) == 40
+    assert _state(spark, table)["c001"] == ("x", 1)

@@ -269,3 +269,85 @@ def merge(
         "updated": n_update_keys - inserted,
         "inserted": inserted,
     }
+
+
+# ---------------------------------------------------------------------------
+# maintenance: compact + expire (the lakehouse housekeeping pair)
+# ---------------------------------------------------------------------------
+
+def compact(spark: SparkSession, path: str) -> dict:
+    """Rewrite EVERY bucket into one fresh snapshot — bounds manifest
+    fragmentation after many small merges (each merge adds per-bucket
+    file groups from a new snapshot dir; reads union one frame per
+    distinct snapshot referenced). The reference analog is the bulk
+    rewrite maintenance visitor (P19, ``plans/maintenance.py``) — a full
+    table rewrite as ONE job, committed with the same put-if-absent
+    protocol so a concurrent merge cannot be clobbered (one of the two
+    wins; the loser retries)."""
+    base = read_manifest(path)
+    all_buckets = sorted(int(b) for b in base["buckets"])
+    df = _read_buckets(spark, path, base, all_buckets)
+    # materialize before writing: compaction writes to a FRESH snapshot
+    # dir so the scan's source files are never overwritten, but the
+    # checkpoint pins the read to the base version even if a concurrent
+    # merge commits mid-compact (the commit race is then decided by the
+    # put-if-absent protocol, not by a torn scan)
+    df = df.localCheckpoint(eager=True)
+    _sid, dirs = _write_snapshot_files(df, path, all_buckets)
+    manifest = {
+        "key": base["key"],
+        "n_buckets": base["n_buckets"],
+        "buckets": {str(b): d for b, d in dirs.items()},
+    }
+    new_version = base["version"] + 1
+    _commit(path, manifest, new_version, base_version=base["version"])
+    return {
+        "version": new_version,
+        "rewritten_buckets": all_buckets,
+        "snapshot_dirs_before": len(
+            {os.path.dirname(r) for r in base["buckets"].values()}
+        ),
+    }
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Delete data directories referenced ONLY by manifests older than the
+    ``keep_last`` most recent versions, then drop those manifests — the
+    vacuum/expire half of lakehouse maintenance. Time travel keeps
+    working for retained versions; orphan dirs from crashed commits
+    (written but never referenced) are also removed.
+
+    Driver-side filesystem work only — bounded by snapshot-history
+    length x bucket count, no Spark job."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = current_version(path)
+    keep_versions = [v for v in range(cur, -1, -1)][:keep_last]
+    live_dirs: set[str] = set()
+    for v in keep_versions:
+        m = read_manifest(path, v)
+        live_dirs.update(os.path.dirname(rel) for rel in m["buckets"].values())
+
+    data_root = os.path.join(path, "data")
+    removed_dirs = []
+    for sid in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        rel = os.path.join("data", sid)
+        if rel not in live_dirs:
+            shutil.rmtree(os.path.join(path, rel))
+            removed_dirs.append(rel)
+
+    removed_manifests = []
+    meta = _meta_dir(path)
+    for name in sorted(os.listdir(meta)):
+        if name.startswith("v") and name.endswith(".json"):
+            v = int(name[1:-5])
+            if v not in keep_versions:
+                os.remove(os.path.join(meta, name))
+                removed_manifests.append(v)
+    return {
+        "kept_versions": sorted(keep_versions),
+        "removed_snapshot_dirs": removed_dirs,
+        "removed_manifest_versions": removed_manifests,
+    }

@@ -236,3 +236,48 @@ def test_expire_after_compact_drops_all_old_data(spark, table):
     # the merge updated an existing key: still the original 40 rows
     assert len(_state(spark, table)) == 40
     assert _state(spark, table)["c001"] == ("x", 1)
+
+
+def test_snapshot_changes_diff(spark, table):
+    st.merge(
+        spark,
+        table,
+        _df(spark, [("c001", "upd", 1), ("zz1", "ins", 1)]),
+    )
+    changes = {
+        r["clip_id"]: (r["change"], r["old_val"], r["new_val"])
+        for r in st.snapshot_changes(spark, table, 0, 1).collect()
+    }
+    assert changes == {
+        "c001": ("updated", "v0_1", "upd"),
+        "zz1": ("inserted", None, "ins"),
+    }
+
+
+def test_snapshot_changes_prunes_untouched_buckets(spark, table):
+    """The manifest diff is the change index: buckets with identical file
+    pointers in both versions must not appear in the diff plan's scan."""
+    st.merge(spark, table, _df(spark, [("c001", "upd", 1)]))
+    df = st.snapshot_changes(spark, table, 0, 1)
+    m0, m1 = st.read_manifest(table, 0), st.read_manifest(table, 1)
+    differing = {
+        b for b in m1["buckets"] if m1["buckets"][b] != m0["buckets"][b]
+    }
+    assert len(differing) == 1
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the scan reads only the two differing-bucket dirs — an untouched
+    # bucket's directory never appears in the plan's file listing
+    untouched_rel = next(
+        m0["buckets"][b] for b in m0["buckets"] if b not in differing
+    )
+    assert untouched_rel.split("/bucket=")[0] + "/bucket=" in str(
+        m0["buckets"]
+    )  # sanity on the layout
+    assert untouched_rel not in plan
+
+
+def test_snapshot_changes_identical_versions_empty(spark, table):
+    st.merge(spark, table, _df(spark, [("c001", "x", 1)]))
+    out = st.snapshot_changes(spark, table, 1, 1)
+    assert out.count() == 0
+    assert "change" in out.columns and "old_val" in out.columns

@@ -351,3 +351,80 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
         "removed_snapshot_dirs": removed_dirs,
         "removed_manifest_versions": removed_manifests,
     }
+
+
+# ---------------------------------------------------------------------------
+# change-data-capture: keyed diff between two versions
+# ---------------------------------------------------------------------------
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Keyed change set between two retained versions: one row per key
+    that was INSERTED, UPDATED, or DELETED, with ``change`` and both
+    versions' non-key columns as ``old_<c>`` / ``new_<c>``.
+
+    Scale shape — the copy-on-write layout IS the index: a bucket whose
+    manifest entry (file pointer) is IDENTICAL in both versions cannot
+    contain a change, so only DIFFERING buckets are read at all (a 0.1%
+    merge yields a diff that scans 0.1% of both versions, not two full
+    tables). Within those buckets the diff is a single full-outer
+    equi-join on the key with a row-hash comparison, shuffling only the
+    touched buckets' slim rows.
+    """
+    m_from = read_manifest(path, from_version)
+    m_to = read_manifest(path, to_version)
+    key = m_from["key"]
+    differing = sorted(
+        int(b)
+        for b in m_to["buckets"]
+        if m_from["buckets"].get(b) != m_to["buckets"][b]
+    )
+    if not differing:
+        # typed empty frame with the full diff schema
+        base = _read_buckets(spark, path, m_to, None).limit(0)
+        cols = [c for c in base.columns if c not in (key, "bucket")]
+        empty = base.select(
+            F.col(key),
+            F.lit("unchanged").alias("change"),
+            *[F.col(c).alias(f"old_{c}") for c in cols],
+            *[F.col(c).alias(f"new_{c}") for c in cols],
+        )
+        return empty.filter(F.lit(False))
+    old = _read_buckets(spark, path, m_from, differing)
+    new = _read_buckets(spark, path, m_to, differing)
+    cols = [c for c in old.columns if c not in (key, "bucket")]
+    o = old.select(
+        F.col(key),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in cols],
+    )
+    joined = o.join(n, on=key, how="full_outer")
+    row_eq = None
+    for c in cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        row_eq = eq if row_eq is None else (row_eq & eq)
+    change = (
+        F.when(F.col("_in_old").isNull(), "inserted")
+        .when(F.col("_in_new").isNull(), "deleted")
+        .when(row_eq if row_eq is not None else F.lit(True), "unchanged")
+        .otherwise("updated")
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change") != "unchanged")
+        .select(
+            key,
+            "change",
+            *[f"old_{c}" for c in cols],
+            *[f"new_{c}" for c in cols],
+        )
+    )

@@ -78,37 +78,66 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# sorted-neighborhood window: within a bucket, each clip is paired with
+# its SN_W successors in projection order. Pairs per bucket = O(n·W), so
+# total candidates are O(N·W) REGARDLESS of bucket skew; a bucket with
+# n ≤ SN_W+1 members gets exact all-pairs automatically.
+SN_W = 64
+
+
 def audio_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similar-sounding clip pairs: embeddings → 8-hyperplane LSH bucket →
-    within-bucket cosine → histogram of high-similarity pairs.
+    SORTED-NEIGHBORHOOD candidate pairs within the bucket → cosine →
+    histogram of high-similarity (≥0.98) pairs.
 
-    Scale shape: candidate generation is the bucket equi-join (never
-    all-pairs — 2^8 buckets confine the quadratic work), the cosine is a
-    24-term JVM fold on slim rows, and the pair histogram is one
-    aggregation. The LSH trade is explicit: a near-dup pair split by a
-    hyperplane is missed; more planes with banding (the MinHash treatment,
-    queries/dedup.py) is the recall dial.
+    Scale shape — learned at the sf0.1 sweep: a plain within-bucket
+    self-join is NOT bucket-bounded when the embedding distribution
+    collapses into a few modes (measured: 37k of 95k clips in ONE of the
+    256 sign buckets → 1.2e9 candidate pairs; adding planes does not
+    split a cluster tighter than the hyperplane margins — 31k still
+    co-bucket at 16 planes). Candidate generation is therefore the
+    sorted-neighborhood method on top of the LSH block: members of a
+    bucket are ordered by their (deterministic) projection on plane 0,
+    and each pairs with its ``SN_W`` successors — an equi-join on
+    (bucket, position), O(N·SN_W) pairs total under ANY skew, exact
+    all-pairs for small buckets. Near-identical embeddings have
+    near-identical projections, so cos≥0.98 pairs land within the window
+    with high probability; the window size (and the plane count) is the
+    explicit recall dial. Per-bucket ordering is a window sort bounded by
+    the bucket, never a global sort.
     """
+    from pyspark.sql.window import Window
+
     e = embed.embed_clips(load_clips(spark, sf_dir)).filter(F.col("emb_ok"))
     bucket = F.lit(0)
     for h in range(N_PLANES):
         plane = F.array(*[F.lit(v) for v in PLANES[h]])
         bucket = bucket + F.when(_dot(F.col("emb"), plane) > 0, 1 << h).otherwise(0)
+    plane0 = F.array(*[F.lit(v) for v in PLANES[0]])
     b = e.select(
         "clip_id",
         "emb",
         bucket.cast("int").alias("bucket"),
         F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+        _dot(F.col("emb"), plane0).alias("proj"),
     )
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
+    pos_w = Window.partitionBy("bucket").orderBy("proj", "clip_id")
+    r = b.withColumn("pos", F.row_number().over(pos_w))
+    lhs = r.select(
+        F.col("bucket").alias("l_bucket"),
+        F.col("emb").alias("l_emb"),
+        F.col("nrm").alias("l_nrm"),
+        F.col("pos").alias("l_pos"),
+        F.explode(F.sequence(F.lit(1), F.lit(SN_W))).alias("off"),
+    ).withColumn("t_pos", F.col("l_pos") + F.col("off"))
+    pairs = lhs.join(
         r,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col("l.clip_id") < F.col("r.clip_id")),
+        (F.col("l_bucket") == F.col("bucket"))
+        & (F.col("t_pos") == F.col("pos")),
     ).select(
         F.round(
-            _dot(F.col("l.emb"), F.col("r.emb"))
-            / (F.col("l.nrm") * F.col("r.nrm"))
+            _dot(F.col("l_emb"), F.col("emb"))
+            / (F.col("l_nrm") * F.col("nrm"))
             + 1e-9,
             2,
         ).alias("cos_sim")
@@ -128,17 +157,27 @@ def semantic_neardup_oracle(sf_dir: str) -> str:
         for h in range(N_PLANES)
     )
     path = features_path_for(sf_dir)
+    # the off-table keeps the oracle's pair generation an EQUI-join on
+    # (bucket, pos) too — a BETWEEN range condition would hash-join on
+    # bucket alone and regrow the quadratic inside the hot bucket
     return f"""
 WITH e AS (
   SELECT clip_id, emb, ({terms})::INTEGER AS bucket,
-         sqrt(list_dot_product(emb, emb)) AS nrm
+         sqrt(list_dot_product(emb, emb)) AS nrm,
+         list_dot_product(emb, {_sql_plane(0)}) AS proj
   FROM read_parquet('{path}/*.parquet') WHERE emb_ok
 ),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY proj, clip_id)
+           AS pos
+  FROM e
+),
+offs AS (SELECT unnest(generate_series(1, {SN_W})) AS off),
 pairs AS (
-  SELECT round(list_dot_product(l.emb, r.emb) / (l.nrm * r.nrm) + 1e-9, 2)
+  SELECT round(list_dot_product(l.emb, r2.emb) / (l.nrm * r2.nrm) + 1e-9, 2)
            AS cos_sim
-  FROM e l JOIN e r
-    ON l.bucket = r.bucket AND l.clip_id < r.clip_id
+  FROM r l CROSS JOIN offs
+  JOIN r r2 ON r2.bucket = l.bucket AND r2.pos = l.pos + off
 )
 SELECT cos_sim, count(*)::BIGINT AS n_pairs
 FROM pairs WHERE cos_sim >= 0.98

@@ -1215,9 +1215,14 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 b AS (SELECT vec_id, label, e, ({terms}) AS bucket FROM e),
 labeled AS (
   SELECT a.vec_id AS anchor_id, c.vec_id AS other_id,
+         -- + 0.0 normalizes IEEE negative zero: a cosine a hair below 0
+         -- rounds to -0.0 in DuckDB but +0.0 in Spark (BigDecimal has no
+         -- signed zero) and the two stringify differently under the
+         -- driver's value-hash (caught by the sf0.1 full sweep)
          round(list_dot_product(a.e, c.e)
                / (sqrt(list_dot_product(a.e, a.e))
-                  * sqrt(list_dot_product(c.e, c.e))) + 1e-9, 4) AS cos_sim,
+                  * sqrt(list_dot_product(c.e, c.e))) + 1e-9, 4) + 0.0
+           AS cos_sim,
          CASE WHEN a.label = c.label THEN 'positive'
               WHEN round(list_dot_product(a.e, c.e)
                          / (sqrt(list_dot_product(a.e, a.e))

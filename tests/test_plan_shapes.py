@@ -413,3 +413,16 @@ def test_bounded_window_detector_catches_violation(spark):
         .withColumn("rk", F.row_number().over(W.orderBy("n")))
     )
     assert not _unbounded_global_windows(ok_df)
+
+
+def test_semantic_neardup_pair_join_includes_position(spark):
+    """Candidate pairs must join on (bucket AND position) — a bucket-only
+    join regrows the quadratic inside a hot bucket (the sf0.1 finding:
+    37k of 95k clips share one sign bucket). The plan must be a hash/SMJ
+    equi-join whose keys include the position column, never a nested-loop
+    fallback."""
+    plan = plan_of(spark, "audio_semantic_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the join keys carry the shifted position (t_pos = l_pos + off)
+    assert "t_pos" in plan, plan

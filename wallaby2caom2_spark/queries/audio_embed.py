@@ -130,15 +130,21 @@ def audio_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("l_pos"),
         F.explode(F.sequence(F.lit(1), F.lit(SN_W))).alias("off"),
     ).withColumn("t_pos", F.col("l_pos") + F.col("off"))
+    # unrolled per-pair dot: higher-order folds (zip_with/aggregate) are
+    # INTERPRETED per element, while an explicit getItem product chain
+    # stays inside whole-stage codegen — at sf0.1 the pair stage runs over
+    # ~6M candidates, where the interpreter overhead dominated the query.
+    # Left-to-right addition order matches _dot and list_dot_product.
+    pair_dot = F.col("l_emb").getItem(0) * F.col("emb").getItem(0)
+    for i in range(1, embed.EMB_DIM):
+        pair_dot = pair_dot + F.col("l_emb").getItem(i) * F.col("emb").getItem(i)
     pairs = lhs.join(
         r,
         (F.col("l_bucket") == F.col("bucket"))
         & (F.col("t_pos") == F.col("pos")),
     ).select(
         F.round(
-            _dot(F.col("l_emb"), F.col("emb"))
-            / (F.col("l_nrm") * F.col("nrm"))
-            + 1e-9,
+            pair_dot / (F.col("l_nrm") * F.col("nrm")) + 1e-9,
             2,
         ).alias("cos_sim")
     )
@@ -173,11 +179,17 @@ r AS (
   FROM e
 ),
 offs AS (SELECT unnest(generate_series(1, {SN_W})) AS off),
+-- t_pos is hoisted into a projection so BOTH join equalities are plain
+-- column references: left in the ON clause as `r2.pos = l.pos + off`,
+-- DuckDB hash-joins on bucket alone and evaluates the position match as
+-- a residual — quadratic again inside the hot bucket (measured 373 s at
+-- sf0.1 vs 3 s with the hoisted key)
+lhs AS (SELECT l.emb, l.nrm, l.bucket, l.pos + off AS t_pos
+        FROM r l CROSS JOIN offs),
 pairs AS (
-  SELECT round(list_dot_product(l.emb, r2.emb) / (l.nrm * r2.nrm) + 1e-9, 2)
-           AS cos_sim
-  FROM r l CROSS JOIN offs
-  JOIN r r2 ON r2.bucket = l.bucket AND r2.pos = l.pos + off
+  SELECT round(list_dot_product(lhs.emb, r2.emb) / (lhs.nrm * r2.nrm)
+               + 1e-9, 2) AS cos_sim
+  FROM lhs JOIN r r2 ON r2.bucket = lhs.bucket AND r2.pos = lhs.t_pos
 )
 SELECT cos_sim, count(*)::BIGINT AS n_pairs
 FROM pairs WHERE cos_sim >= 0.98

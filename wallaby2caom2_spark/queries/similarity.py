@@ -60,19 +60,6 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(_dot(a, a))
 
 
-def _dot_unrolled(a: F.Column, b: F.Column, dim: int = DIM) -> F.Column:
-    """Per-PAIR dot product as an explicit getItem product chain: the
-    higher-order fold (``_dot``) is interpreted per element, which is fine
-    once per row (norms) but dominates a pair join that evaluates it
-    O(pairs) times — the unrolled chain stays inside whole-stage codegen
-    (measured 25x on the semantic near-dup pair stage). Addition order is
-    left-to-right, identical to the fold and to DuckDB's
-    ``list_dot_product``, so results stay bit-identical."""
-    acc = a.getItem(0) * b.getItem(0)
-    for i in range(1, dim):
-        acc = acc + a.getItem(i) * b.getItem(i)
-    return acc
-
 
 # ---------------------------------------------------------------------------
 # brute-force cosine top-k (correctness baseline)
@@ -99,9 +86,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cand.join(
         F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id")
     )
-    cos = _dot_unrolled(F.col("pe"), F.col("ne")) / (
-        F.col("pn") * F.col("nn")
-    )
+    cos = _dot(F.col("pe"), F.col("ne")) / (F.col("pn") * F.col("nn"))
     scored = joined.select(
         "probe_id", "neighbor_id", F.round(cos + 1e-9, 4).alias("cos_sim")
     )
@@ -195,7 +180,7 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = emb.withColumn("en", _norm(F.col("e"))).join(
         F.broadcast(cents), F.col("vec_id") >= F.lit(N_CENTROIDS)
     )
-    cos = _dot_unrolled(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))
+    cos = _dot(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))
     scored = joined.select(
         "vec_id", "label", "centroid_id", F.round(cos + 1e-9, 4).alias("cos_sim")
     )
@@ -259,7 +244,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = emb.filter(F.col("vec_id") >= N_CENTROIDS).withColumn(
         "en", _norm(F.col("e"))
     )
-    cos_c = _dot_unrolled(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))
+    cos_c = _dot(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))
     scored = data.join(F.broadcast(cents)).select(
         "vec_id", "e", "en", "centroid_id", F.round(cos_c + 1e-9, 4).alias("cos_c")
     )
@@ -280,7 +265,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(assigned, "centroid_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    cos_q = _dot_unrolled(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))
+    cos_q = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))
     pairs = cand.select(
         "q_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -405,7 +390,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot_unrolled(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos + 1e-9, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= _NEAR_DUP_COS)
@@ -469,9 +454,9 @@ def _pq_codebook_and_best(
     )
     # same algebraic form as the oracle (dot expansions) so doubles match
     d = F.round(
-        _dot_unrolled(F.col("se"), F.col("se"), PQ_SUB)
-        - 2.0 * _dot_unrolled(F.col("se"), F.col("ce"), PQ_SUB)
-        + _dot_unrolled(F.col("ce"), F.col("ce"), PQ_SUB)
+        _dot(F.col("se"), F.col("se"))
+        - 2.0 * _dot(F.col("se"), F.col("ce"))
+        + _dot(F.col("ce"), F.col("ce"))
         + 1e-9,
         4,
     )
@@ -582,9 +567,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         "c_id",
         F.round(
-            _dot_unrolled(F.col("qe"), F.col("qe"), PQ_SUB)
-            - 2.0 * _dot_unrolled(F.col("qe"), F.col("ce"), PQ_SUB)
-            + _dot_unrolled(F.col("ce"), F.col("ce"), PQ_SUB)
+            _dot(F.col("qe"), F.col("qe"))
+            - 2.0 * _dot(F.col("qe"), F.col("ce"))
+            + _dot(F.col("ce"), F.col("ce"))
             + 1e-9,
             4,
         ).alias("lq"),
@@ -650,7 +635,7 @@ def _sq_l2_to(lit_centroid: list[float]) -> F.Column:
     through the Lloyd iterations."""
     c = F.array(*[F.lit(float(v)) for v in lit_centroid])
     e = F.col("e")
-    return _dot_unrolled(e, e) - 2.0 * _dot_unrolled(e, c) + _dot_unrolled(c, c)
+    return _dot(e, e) - 2.0 * _dot(e, c) + _dot(c, c)
 
 
 def _kmeans_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -1023,7 +1008,7 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("we"),
         F.col("nrm").alias("wn"),
     )
-    cos = _dot_unrolled(F.col("be"), F.col("we")) / (F.col("bn") * F.col("wn"))
+    cos = _dot(F.col("be"), F.col("we")) / (F.col("bn") * F.col("wn"))
     removed = (
         better.join(worse, "cluster_id")
         .filter(F.col("b_rk") < F.col("w_rk"))
@@ -1199,7 +1184,7 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.bucket") == F.col("c.bucket"))
         & (F.col("a.vec_id") < F.col("c.vec_id")),
     )
-    cos = _dot_unrolled(F.col("a.e"), F.col("c.e")) / (F.col("a.nrm") * F.col("c.nrm"))
+    cos = _dot(F.col("a.e"), F.col("c.e")) / (F.col("a.nrm") * F.col("c.nrm"))
     labeled = pairs.select(
         F.col("a.vec_id").alias("anchor_id"),
         F.col("c.vec_id").alias("other_id"),
@@ -1288,7 +1273,7 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("en").alias("qn"),
     )
-    cos = _dot_unrolled(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("en"))
     pairs = data.join(
         F.broadcast(probes), F.col("vec_id") != F.col("q_id")
     ).select(

@@ -70,9 +70,11 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e", _to_double(F.col("embedding"))
     )
     # norms are computed ONCE per side before the pair join — per-pair work
-    # is a single dot-product fold. Recomputing norms inside the join would
-    # be O(Q x N) redundant 64-element folds (higher-order functions are
-    # interpreted, not codegen — the dominant cost of this query).
+    # is a single dot-product fold; recomputing norms inside the join would
+    # triple the O(Q x N) per-pair fold work. (Round-4 A/B: the fold also
+    # beats an unrolled 64-term getItem chain 2x — Spark 4 evaluates array
+    # folds efficiently while the giant expression defeats codegen/JIT —
+    # so the fold IS the fast form, not just the readable one.)
     probes = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from bench_common import adaptive_warmup, sample_stable  # noqa: E402
+from bench_common import adaptive_warmup, host_probe, sample_stable  # noqa: E402
 from wallaby2caom2_spark.queries import ALL_QUERIES  # noqa: E402
 from wallaby2caom2_spark.queries.clips_flagship import clips_path_for  # noqa: E402
 from wallaby2caom2_spark.session import get_spark  # noqa: E402
@@ -75,6 +75,7 @@ def main() -> None:
 
     clips_path = clips_path_for(SF_DIR)  # generate outside the timed region
     n_clips = None
+    probe_before = host_probe()
 
     spark = get_spark("bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -123,6 +124,12 @@ def main() -> None:
                 "parallelism": CPUS,
                 "runs_per_query": N_RUNS,
                 "extra_samples": extra_samples,
+                # host-weather self-adjudication (bench_common.host_probe):
+                # high loadavg with the guest otherwise idle = external
+                # contention; spin_mips calibrates this window's actual
+                # execution speed so two artifacts can be compared
+                "host_probe_before": probe_before,
+                "host_probe_after": host_probe(),
             }
         )
     )

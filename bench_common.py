@@ -7,6 +7,7 @@ hand-tuned copies of the convergence rule would silently diverge).
 
 from __future__ import annotations
 
+import os
 import statistics
 import time
 from typing import Callable
@@ -57,6 +58,31 @@ def sample_stable(
             break
         samples.append(timed_run())
     return samples
+
+
+def host_probe(spin_s: float = 0.25) -> dict:
+    """Point-in-time host-contention evidence, embedded in bench JSON so
+    the artifact adjudicates itself: ``loadavg1`` with no guest process
+    running means EXTERNAL (hypervisor/co-tenant) contention, and
+    ``spin_mips`` — iterations of a fixed pure-Python loop per second —
+    calibrates how fast this guest actually executes right now (measured
+    clean-window vs contended-window runs differ ~1.7x across the whole
+    suite while the code is unchanged). A reader comparing two bench
+    artifacts should trust the one with the lower load and higher spin."""
+    t_end = time.perf_counter() + spin_s
+    n = 0
+    x = 1.0
+    while time.perf_counter() < t_end:
+        x = x * 1.0000001 + 1e-12  # fixed float work per iteration
+        n += 1
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        load1 = -1.0
+    return {
+        "loadavg1": round(load1, 2),
+        "spin_mips": round(n / spin_s / 1e6, 3),
+    }
 
 
 def adaptive_warmup(spark, run: Callable[[], None]) -> None:

@@ -71,3 +71,12 @@ def test_min_only_improves_with_resampling():
 def test_single_run_mode_needs_no_median():
     run, clock = _scripted([3.0])
     assert sample_stable(run, 1, clock=clock) == [3.0]
+
+
+def test_host_probe_shape_and_sanity():
+    from bench_common import host_probe
+
+    p = host_probe(spin_s=0.05)
+    assert set(p) == {"loadavg1", "spin_mips"}
+    assert p["spin_mips"] > 0.1  # any functioning CPU spins >100k iter/s
+    assert p["loadavg1"] >= -1.0

@@ -19,6 +19,7 @@ from . import (
     corpus,
     curation,
     dedup,
+    lakehouse,
     nested,
     relational,
     retrieval,
@@ -42,6 +43,7 @@ _MODULES = (
     clips_flagship,
     shards,
     audio_embed,
+    lakehouse,
 )
 
 ALL_QUERIES = {}

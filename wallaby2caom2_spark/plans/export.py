@@ -481,3 +481,166 @@ def export_preview_artifacts(
     }
     write_manifest_atomic(out_path, manifest)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# observation-document sink — one serialized record per observation
+# ---------------------------------------------------------------------------
+
+
+def observation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_key, doc) rows: the order→items nested tree serialized to one
+    JSON document per observation IN-PLAN (``F.to_json`` over the struct,
+    codegen — no Python). The reference's record-serialization analog
+    (``write_obs_to_file``, ``tests/test_caom_gen_visit.py:123-126``:
+    one CAOM2 XML document per observation). ``array_sort`` pins the
+    item order (collect_list is otherwise nondeterministic)."""
+    from ..queries._tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("line"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            )
+        ).alias("items")
+    )
+    tree = orders.join(items, orders.o_orderkey == items.l_orderkey)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("obs_id"),
+            F.col("o_custkey").alias("owner"),
+            F.col("o_orderdate").cast("string").alias("date"),
+            F.col("items"),
+        )
+    )
+    return tree.select(
+        F.col("o_orderkey").cast("string").alias("doc_key"), doc.alias("doc")
+    )
+
+
+def export_observation_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_buckets: int = 8,
+    per_record_files: bool = False,
+) -> dict:
+    """Persist the serialized observation documents + manifest.
+
+    Default (``per_record_files=False``): Spark-native JSONL — one text
+    line per document, bucket-partitioned dirs, fully distributed; THE
+    form that scales to 10^12 records (an object store will not enjoy
+    10^12 individual files). ``per_record_files=True`` reproduces the
+    reference's literal one-file-per-observation contract
+    (``<doc_key>.json``) via the same executor-side atomic artifact
+    writer as the preview sink — appropriate for bounded record sets
+    (a curation batch, a QA export). Both carry the stale-bucket guard
+    and atomic manifest."""
+    if n_buckets > MANIFEST_MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds MANIFEST_MAX_BUCKETS="
+            f"{MANIFEST_MAX_BUCKETS}"
+        )
+    docs = with_bucket(
+        observation_documents(spark, sf_dir), n_buckets, key="doc_key"
+    )
+    docs_dir = os.path.join(out_path, "documents")
+    # this run's bucket set comes from the INPUT frame, not from any
+    # read-back: partition discovery on the output dir would fold a
+    # foreign (stale) bucket into the written set and defeat the guard
+    written = {
+        int(r["bucket"])
+        for r in docs.select("bucket").distinct().collect()
+    }
+    if per_record_files:
+        os.makedirs(docs_dir, exist_ok=True)
+        import pandas as pd  # noqa: F401
+
+        def _write(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for b, grp in pdf.groupby("bucket"):
+                    bdir = os.path.join(docs_dir, f"bucket={int(b)}")
+                    os.makedirs(bdir, exist_ok=True)
+                    n_bytes = 0
+                    for key, doc in zip(grp["doc_key"], grp["doc"]):
+                        data = doc.encode()
+                        tmp = os.path.join(bdir, f".{key}.json.tmp")
+                        with open(tmp, "wb") as fh:
+                            fh.write(data)
+                        os.replace(tmp, os.path.join(bdir, f"{key}.json"))
+                        n_bytes += len(data)
+                    yield pd.DataFrame(
+                        {
+                            "bucket": [int(b)],
+                            "n_docs": [len(grp)],
+                            "n_bytes": [n_bytes],
+                        }
+                    )
+
+        per_bucket = (
+            docs.repartition(n_buckets, F.col("bucket"))
+            .mapInPandas(_write, "bucket int, n_docs long, n_bytes long")
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_bytes").alias("n_bytes"),
+            )
+            .collect()
+        )
+    else:
+        (
+            docs.repartition(n_buckets, F.col("bucket"))
+            .select("doc", "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .text(docs_dir)
+        )
+        per_bucket = [
+            r
+            for r in (
+                spark.read.schema("doc string, bucket int")
+                .text(docs_dir)
+                .selectExpr("bucket", "length(doc) + 1 AS n_bytes")
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_bytes").alias("n_bytes"),
+                )
+                .collect()
+            )
+            if int(r["bucket"]) in written  # foreign rows fail the guard below
+        ]
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(docs_dir)
+        if d.startswith("bucket=")
+    }
+    stale = sorted(on_disk - written)
+    if stale:
+        raise ValueError(
+            f"documents dir has stale buckets {stale} from a previous "
+            f"export — clear {docs_dir} before re-exporting"
+        )
+    manifest = {
+        "format": "json-file-per-record" if per_record_files else "jsonl",
+        "n_docs": int(sum(r["n_docs"] for r in per_bucket)),
+        "n_buckets": n_buckets,
+        "buckets": {
+            str(int(r["bucket"])): {
+                "n_docs": int(r["n_docs"]),
+                "n_bytes": int(r["n_bytes"]),
+            }
+            for r in per_bucket
+        },
+    }
+    write_manifest_atomic(out_path, manifest)
+    return manifest

@@ -125,9 +125,11 @@ def main() -> None:
                 "runs_per_query": N_RUNS,
                 "extra_samples": extra_samples,
                 # host-weather self-adjudication (bench_common.host_probe):
-                # high loadavg with the guest otherwise idle = external
-                # contention; spin_mips calibrates this window's actual
-                # execution speed so two artifacts can be compared
+                # the BEFORE probe is the contention signal — high loadavg
+                # with the guest otherwise idle = external contention
+                # (loadavg is a 1-min EWMA, so the AFTER probe mostly
+                # reflects the bench's own 32-thread work; read its
+                # spin_mips for execution-speed drift, not its loadavg)
                 "host_probe_before": probe_before,
                 "host_probe_after": host_probe(),
             }

@@ -93,3 +93,39 @@ def test_metrics_one_row_per_batch(spark, dirs):
     rows = m.collect()
     assert len(rows) == 1
     assert rows[0]["inserted"] == N and rows[0]["updated"] == 0
+
+
+def test_crash_after_merge_before_checkpoint_converges(spark, dirs, monkeypatch):
+    """THE streaming-merge failure case: the batch's merge COMMITS, then
+    the job dies before the streaming checkpoint records the batch — on
+    restart the file source re-delivers the same batch and the merge runs
+    again. State must converge (same keys, same content → the re-merge
+    updates rows to the values they already hold), and the metrics row is
+    REPLACED, not duplicated."""
+    import wallaby2caom2_spark.streaming.upsert_stream as us
+
+    in_dir, out = dirs
+    datagen.write_clips_parquet(in_dir, N, seed=11)
+
+    real_upsert = us.upsert_batch
+    calls = {"n": 0}
+
+    def crashing_upsert(*a, **kw):
+        stats = real_upsert(*a, **kw)
+        calls["n"] += 1
+        raise RuntimeError("injected crash after merge commit")
+
+    monkeypatch.setattr(us, "upsert_batch", crashing_upsert)
+    with pytest.raises(Exception, match="injected crash"):
+        run_upsert_stream(spark, in_dir, out, n_buckets=4)
+    assert calls["n"] == 1
+    table = os.path.join(out, "table")
+    # the merge itself committed before the crash
+    assert st.is_snapshot_table(table)
+
+    monkeypatch.setattr(us, "upsert_batch", real_upsert)
+    run_upsert_stream(spark, in_dir, out, n_buckets=4)  # re-delivery
+    # converged: exactly the batch pipeline's rows, no duplicates
+    assert _table_state(spark, table) == _filter_state(spark, in_dir)
+    m = spark.read.parquet(os.path.join(out, "metrics")).collect()
+    assert len(m) == 1  # replaced, not appended

@@ -189,6 +189,7 @@ PAYLOAD_COLS = frozenset(
 
 CLIPS_QUERIES = [
     "clips_quality_filter",
+    "clips_quality_filter_sql",
     "clips_metrics",
     "clips_curation_funnel",
     "clips_waveform_preview",

@@ -281,3 +281,41 @@ def test_snapshot_changes_identical_versions_empty(spark, table):
     out = st.snapshot_changes(spark, table, 1, 1)
     assert out.count() == 0
     assert "change" in out.columns and "old_val" in out.columns
+
+
+def test_schema_widening_merge(spark, table):
+    """Updates may add NEW columns: touched buckets rewrite with the
+    superset schema; untouched buckets keep their files and read back
+    NULL for the new column; time travel preserves the old schema."""
+    wide = spark.createDataFrame(
+        [("c001", "w", 1, "extra1"), ("zznew", "n", 1, "extra2")],
+        SCHEMA + ", note string",
+    )
+    out = st.merge(spark, table, wide)
+    assert out["updated"] == 1 and out["inserted"] == 1
+    df = st.read_table(spark, table)
+    assert "note" in df.columns
+    rows = {r["clip_id"]: r["note"] for r in df.collect()}
+    assert rows["c001"] == "extra1" and rows["zznew"] == "extra2"
+    assert rows["c003"] is None  # untouched bucket: NULL-filled
+    assert "note" not in st.read_table(spark, table, version=0).columns
+
+
+def test_schema_widening_cdc_reports_null_to_value(spark, table):
+    wide = spark.createDataFrame(
+        [("c001", "w", 1, "filled")], SCHEMA + ", note string"
+    )
+    st.merge(spark, table, wide)
+    ch = {
+        r["clip_id"]: (r["change"], r["old_note"], r["new_note"])
+        for r in st.snapshot_changes(spark, table, 0, 1).collect()
+    }
+    assert ch["c001"] == ("updated", None, "filled")
+
+
+def test_column_drop_refused(spark, table):
+    narrow = spark.createDataFrame(
+        [("c001", "x")], "clip_id string, val string"
+    )
+    with pytest.raises(ValueError, match="missing existing columns"):
+        st.merge(spark, table, narrow)

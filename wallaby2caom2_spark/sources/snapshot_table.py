@@ -187,7 +187,10 @@ def _read_buckets(
         raise ValueError(f"no buckets to read in {path}")
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        # allowMissingColumns: snapshots written before a schema-widening
+        # merge lack the new columns — their rows read back as NULL (the
+        # standard lakehouse evolution contract)
+        df = df.unionByName(p, allowMissingColumns=True)
     return df
 
 
@@ -208,6 +211,13 @@ def merge(
     real copy-on-write commit: read ONLY touched buckets from the base
     snapshot, resolve, write new files for those buckets, commit a new
     manifest that reuses every untouched bucket's existing files.
+
+    Schema evolution: updates may carry NEW columns (widening) — the
+    touched buckets are rewritten with the superset schema, untouched
+    buckets keep their files and read back with NULL for the new columns
+    (``_read_buckets``). Updates may NOT drop existing columns: a missing
+    column would silently NULL matched rows' retained values, so it
+    raises instead.
 
     Returns {"version", "base_version", "touched_buckets", "updated",
     "inserted"}.
@@ -236,11 +246,20 @@ def merge(
         }
 
     existing = _read_buckets(spark, path, base, touched)
+    dropped = (set(existing.columns) - {"bucket"}) - set(upd.columns)
+    if dropped:
+        raise ValueError(
+            f"updates are missing existing columns {sorted(dropped)}: "
+            "column drops are not supported (a latest-wins merge would "
+            "silently NULL matched rows' retained values) — carry every "
+            "existing column; new columns (widening) are fine"
+        )
     n_before = existing.count()
     from pyspark.sql.window import Window
 
     merged = existing.withColumn("_is_update", F.lit(False)).unionByName(
-        upd.withColumn("_is_update", F.lit(True))
+        upd.withColumn("_is_update", F.lit(True)),
+        allowMissingColumns=True,  # widening: existing side gains NULLs
     )
     w = Window.partitionBy(key).orderBy(F.col("_is_update").desc())
     resolved = (
@@ -396,6 +415,11 @@ def snapshot_changes(
         return empty.filter(F.lit(False))
     old = _read_buckets(spark, path, m_from, differing)
     new = _read_buckets(spark, path, m_to, differing)
+    # schema evolution: coerce both versions to the superset schema (a
+    # widened column reads as NULL on the older side), so a value filled
+    # in by a widening merge reports as an update of NULL → value
+    old = old.unionByName(new.limit(0), allowMissingColumns=True)
+    new = new.unionByName(old.limit(0), allowMissingColumns=True)
     cols = [c for c in old.columns if c not in (key, "bucket")]
     o = old.select(
         F.col(key),

@@ -40,9 +40,10 @@ def test_waveform_artifacts_match_column_bytes(spark, small_clips, tmp_path):
     assert manifest["n_previews"] == len(expected) > 0
 
     on_disk = {}
-    art_dir = os.path.join(out, "previews")
+    art_dir = os.path.join(out, "previews-waveform")
     for bdir in os.listdir(art_dir):
-        assert bdir.startswith("bucket=")
+        if not bdir.startswith("bucket="):
+            continue  # manifest.json lives alongside the bucket dirs
         for name in os.listdir(os.path.join(art_dir, bdir)):
             with open(os.path.join(art_dir, bdir, name), "rb") as fh:
                 on_disk[name] = fh.read()
@@ -54,7 +55,7 @@ def test_waveform_artifacts_match_column_bytes(spark, small_clips, tmp_path):
         assert data[:8] == b"\x89PNG\r\n\x1a\n", name
 
     # manifest on disk equals the returned dict and the real counts
-    with open(os.path.join(out, "manifest.json")) as fh:
+    with open(os.path.join(art_dir, "manifest.json")) as fh:
         persisted = json.load(fh)
     assert persisted == manifest
     assert sum(b["n_files"] for b in manifest["buckets"].values()) == len(
@@ -71,10 +72,11 @@ def test_spectrogram_flavor_names(spark, small_clips, tmp_path):
         spark, small_clips, out, n_buckets=2, flavor="spectrogram"
     )
     assert manifest["flavor"] == "spectrogram"
-    art_dir = os.path.join(out, "previews")
+    art_dir = os.path.join(out, "previews-spectrogram")
     names = [
         n
         for bdir in os.listdir(art_dir)
+        if bdir.startswith("bucket=")
         for n in os.listdir(os.path.join(art_dir, bdir))
     ]
     assert names and all(n.endswith("_spec_256.png") for n in names)
@@ -90,7 +92,7 @@ def test_rerun_is_idempotent(spark, small_clips, tmp_path):
 def test_stale_bucket_guard(spark, small_clips, tmp_path):
     out = str(tmp_path / "out_stale")
     export_preview_artifacts(spark, small_clips, out, n_buckets=N_BUCKETS)
-    foreign = os.path.join(out, "previews", "bucket=99")
+    foreign = os.path.join(out, "previews-waveform", "bucket=99")
     os.makedirs(foreign)
     with open(os.path.join(foreign, "alien_prev_256.png"), "wb") as fh:
         fh.write(b"\x89PNGjunk")
@@ -105,3 +107,31 @@ def test_unknown_flavor_rejected(spark, small_clips, tmp_path):
         export_preview_artifacts(
             spark, small_clips, str(tmp_path / "x"), flavor="oscilloscope"
         )
+
+
+def test_both_flavors_coexist_in_one_out_path(spark, small_clips, tmp_path):
+    """Round-4 advice: the two flavors are independent artifact sets —
+    exporting both into one out_path must leave two self-describing
+    dirs, each with its own manifest, neither guard tripping."""
+    out = str(tmp_path / "out_both")
+    m_wave = export_preview_artifacts(
+        spark, small_clips, out, n_buckets=2, flavor="waveform"
+    )
+    m_spec = export_preview_artifacts(
+        spark, small_clips, out, n_buckets=2, flavor="spectrogram"
+    )
+    for flavor, m in (("waveform", m_wave), ("spectrogram", m_spec)):
+        art_dir = os.path.join(out, f"previews-{flavor}")
+        with open(os.path.join(art_dir, "manifest.json")) as fh:
+            persisted = json.load(fh)
+        assert persisted == m
+        assert persisted["flavor"] == flavor
+        # every file in the dir matches the flavor's naming scheme
+        suffix = "_prev_256.png" if flavor == "waveform" else "_spec_256.png"
+        names = [
+            n
+            for bdir in os.listdir(art_dir)
+            if bdir.startswith("bucket=")
+            for n in os.listdir(os.path.join(art_dir, bdir))
+        ]
+        assert names and all(n.endswith(suffix) for n in names)

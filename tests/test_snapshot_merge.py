@@ -69,7 +69,9 @@ def test_copy_on_write_reuses_untouched_bucket_files(spark, table):
     st.merge(spark, table, _df(spark, [("c001", "x", 1)]))
     new = st.read_manifest(table)
     touched = {
-        b for b in new["buckets"] if new["buckets"][b] != base["buckets"][b]
+        b
+        for b in new["buckets"]
+        if new["buckets"][b] != base["buckets"].get(b)
     }
     untouched = set(new["buckets"]) - touched
     # a 1-key merge touches exactly one bucket; every other bucket entry
@@ -109,7 +111,7 @@ def test_crash_before_commit_leaves_base_visible_and_rerun_converges(
     real_commit = st._commit
 
     def exploding_commit(*a, **kw):
-        raise RuntimeError("injected crash before CURRENT swap")
+        raise RuntimeError("injected crash before manifest link")
 
     monkeypatch.setattr(st, "_commit", exploding_commit)
     with pytest.raises(RuntimeError, match="injected"):
@@ -319,3 +321,280 @@ def test_column_drop_refused(spark, table):
     )
     with pytest.raises(ValueError, match="missing existing columns"):
         st.merge(spark, table, narrow)
+
+
+# ---------------------------------------------------------------------------
+# sparse manifests (round-4 advice: a create with fewer keys than buckets
+# must not record pointers to nonexistent bucket dirs)
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_create_one_row_sixteen_buckets(spark, tmp_path):
+    path = str(tmp_path / "sparse")
+    st.create_table(
+        spark, path, _df(spark, [("only", "v", 0)]), key="clip_id",
+        n_buckets=16,
+    )
+    m = st.read_manifest(path)
+    # only the bucket that actually holds the row appears in the manifest
+    assert len(m["buckets"]) == 1
+    assert _state(spark, path) == {"only": ("v", 0)}
+    # the streaming-bootstrap shape: merge immediately after sparse create
+    out = st.merge(spark, path, _df(spark, [("other", "w", 1)]))
+    assert out["inserted"] == 1
+    assert len(_state(spark, path)) == 2
+
+
+def test_read_missing_bucket_selection_is_typed_empty(spark, tmp_path):
+    path = str(tmp_path / "sparse2")
+    st.create_table(
+        spark, path, _df(spark, [("only", "v", 0)]), key="clip_id",
+        n_buckets=16,
+    )
+    m = st.read_manifest(path)
+    present = {int(b) for b in m["buckets"]}
+    absent = sorted(set(range(16)) - present)[:3]
+    df = st._read_buckets(spark, path, m, absent)
+    assert df.count() == 0
+    assert set(df.columns) == {"clip_id", "val", "seq", "bucket"}
+
+
+# ---------------------------------------------------------------------------
+# DELETE arm (WHEN MATCHED AND cond THEN DELETE)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_delete_arm(spark, table):
+    out = st.merge(
+        spark,
+        table,
+        _df(
+            spark,
+            [
+                ("c001", "DEL", 1),   # matched + cond   → deleted
+                ("c002", "keep2", 1),  # matched          → updated
+                ("zz1", "DEL", 1),    # unmatched + cond → no-op
+                ("zz2", "new", 1),    # unmatched        → inserted
+            ],
+        ),
+        delete_where="val = 'DEL'",
+    )
+    assert out["deleted"] == 1
+    assert out["updated"] == 1
+    assert out["inserted"] == 1
+    state = _state(spark, table)
+    assert "c001" not in state and "zz1" not in state
+    assert state["c002"] == ("keep2", 1) and state["zz2"] == ("new", 1)
+    assert len(state) == 40  # 40 - 1 deleted + 1 inserted
+    # time travel still shows the pre-delete row
+    assert _state(spark, table, version=0)["c001"] == ("v0_1", 0)
+
+
+def test_delete_emptying_a_bucket_drops_its_manifest_entry(spark, tmp_path):
+    path = str(tmp_path / "deltbl")
+    st.create_table(
+        spark, path, _df(spark, [("solo", "v", 0)]), key="clip_id",
+        n_buckets=8,
+    )
+    out = st.merge(
+        spark, path, _df(spark, [("solo", "x", 1)]), delete_where="true"
+    )
+    assert out["deleted"] == 1 and out["inserted"] == 0
+    assert st.read_manifest(path)["buckets"] == {}
+    df = st.read_table(spark, path)
+    assert df.count() == 0
+    assert set(df.columns) == {"clip_id", "val", "seq", "bucket"}
+    # and the emptied table accepts new data again
+    st.merge(spark, path, _df(spark, [("re", "born", 2)]))
+    assert _state(spark, path) == {"re": ("born", 2)}
+
+
+def test_cdc_reports_deleted_rows(spark, table):
+    st.merge(
+        spark,
+        table,
+        _df(spark, [("c001", "DEL", 1), ("zz1", "ins", 1)]),
+        delete_where="val = 'DEL'",
+    )
+    changes = {
+        r["clip_id"]: (r["change"], r["old_val"], r["new_val"])
+        for r in st.snapshot_changes(spark, table, 0, 1).collect()
+    }
+    assert changes["c001"] == ("deleted", "v0_1", None)
+    assert changes["zz1"] == ("inserted", None, "ins")
+
+
+def test_null_delete_condition_means_keep(spark, table):
+    out = st.merge(
+        spark,
+        table,
+        _df(spark, [("c001", None, 1)]),
+        delete_where="val = 'DEL'",  # NULL = 'DEL' → NULL → keep
+    )
+    assert out["deleted"] == 0 and out["updated"] == 1
+    assert _state(spark, table)["c001"] == (None, 1)
+
+
+def test_merge_upsert_auto_delete_dispatch(spark, table, tmp_path):
+    out = merge_upsert_auto(
+        spark,
+        table,
+        _df(spark, [("c003", "DEL", 1)]),
+        key="clip_id",
+        delete_where="val = 'DEL'",
+    )
+    assert out["engine"] == "snapshot_merge" and out["deleted"] == 1
+    assert "c003" not in _state(spark, table)
+    # the plain-path stand-in refuses deletes rather than dropping them
+    plain = str(tmp_path / "plain")
+    merge_upsert_auto(spark, plain, _df(spark, [("a", "x", 1)]), key="clip_id")
+    with pytest.raises(ValueError, match="delete_where"):
+        merge_upsert_auto(
+            spark, plain, _df(spark, [("a", "DEL", 2)]), key="clip_id",
+            delete_where="val = 'DEL'",
+        )
+
+
+# ---------------------------------------------------------------------------
+# commit protocol: the manifest link IS the commit point
+# ---------------------------------------------------------------------------
+
+
+def test_crash_after_manifest_link_is_a_completed_commit(
+    spark, table, monkeypatch
+):
+    """A failure AFTER the put-if-absent link is a committed version —
+    there is no pointer-swap step left to tear (the round-4 advice
+    scenario: an orphan v<N>.json can no longer strand retries)."""
+    real_commit = st._commit
+
+    def commit_then_crash(*a, **kw):
+        real_commit(*a, **kw)
+        raise RuntimeError("injected crash after manifest link")
+
+    monkeypatch.setattr(st, "_commit", commit_then_crash)
+    with pytest.raises(RuntimeError, match="after manifest link"):
+        st.merge(spark, table, _df(spark, [("c001", "v1", 1)]))
+    # the commit happened: version advanced, data visible
+    assert st.current_version(table) == 1
+    assert _state(spark, table)["c001"] == ("v1", 1)
+
+    # a retried merge reads the NEW base and converges (no conflict, no
+    # duplicate insert — latest-wins is idempotent)
+    monkeypatch.setattr(st, "_commit", real_commit)
+    out = st.merge(spark, table, _df(spark, [("c001", "v1", 1)]))
+    assert out["base_version"] == 1 and out["version"] == 2
+    assert out["inserted"] == 0 and out["updated"] == 1
+    assert _state(spark, table)["c001"] == ("v1", 1)
+
+
+def test_threaded_merge_race_exactly_one_winner(spark, table, monkeypatch):
+    """Two full merges racing from the SAME base (forced via a stale
+    manifest read): exactly one commits, the loser raises, the table is
+    readable throughout and shows only the winner."""
+    import threading
+
+    real_read = st.read_manifest
+    base = real_read(table)
+
+    def stale_read(path, version=None):
+        if version is None:
+            return dict(base)
+        return real_read(path, version)
+
+    monkeypatch.setattr(st, "read_manifest", stale_read)
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def run(name, key_val):
+        barrier.wait()
+        try:
+            st.merge(spark, table, _df(spark, [(key_val, f"from_{name}", 1)]))
+            results[name] = "ok"
+        except st.SnapshotConflictError:
+            results[name] = "conflict"
+        except Exception as exc:  # pragma: no cover - diagnostic
+            results[name] = repr(exc)
+
+    threads = [
+        threading.Thread(target=run, args=("A", "c001")),
+        threading.Thread(target=run, args=("B", "c002")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    monkeypatch.setattr(st, "read_manifest", real_read)
+    assert sorted(results.values()) == ["conflict", "ok"]
+    winner = next(k for k, v in results.items() if v == "ok")
+    state = _state(spark, table)
+    if winner == "A":
+        assert state["c001"] == ("from_A", 1) and state["c002"] == ("v0_2", 0)
+    else:
+        assert state["c002"] == ("from_B", 1) and state["c001"] == ("v0_1", 0)
+    assert st.current_version(table) == 1
+
+
+def _race_commit_child(path, writer_id, barrier, queue):
+    """Child-process body for the multi-process commit race: all children
+    block on the barrier, then race ``_commit`` for the same next version
+    from the same base. Pure filesystem — no Spark in the child."""
+    manifest = {
+        "key": "clip_id",
+        "n_buckets": 8,
+        "buckets": {"0": f"data/s_from_writer_{writer_id}/bucket=0"},
+        "schema": "{}",
+        "writer": writer_id,
+    }
+    barrier.wait(timeout=30)
+    try:
+        st._commit(path, manifest, new_version=1, base_version=0)
+        queue.put((writer_id, "ok"))
+    except st.SnapshotConflictError:
+        queue.put((writer_id, "conflict"))
+    except Exception as exc:  # pragma: no cover - diagnostic
+        queue.put((writer_id, repr(exc)))
+
+
+def test_multiprocess_commit_race_exactly_one_winner(tmp_path):
+    """Round-4 verdict #3: a REAL multi-process race on the put-if-absent
+    commit protocol (kernel-level ``os.link`` atomicity, not a
+    monkeypatched serialization). Four processes race the same next
+    version from the same base; exactly one wins, every loser gets
+    ``SnapshotConflictError``, and the committed manifest is exactly one
+    writer's payload — never a torn mix."""
+    import multiprocessing as mp
+
+    path = str(tmp_path / "racetbl")
+    st._commit(
+        path,
+        {"key": "clip_id", "n_buckets": 8, "buckets": {}, "schema": "{}"},
+        new_version=0,
+        base_version=-1,
+    )
+    ctx = mp.get_context("fork")  # children do filesystem work only
+    n = 4
+    barrier = ctx.Barrier(n)
+    queue = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_commit_child, args=(path, i, barrier, queue))
+        for i in range(n)
+    ]
+    for p in procs:
+        p.start()
+    results = dict(queue.get(timeout=60) for _ in range(n))
+    for p in procs:
+        p.join(timeout=30)
+    outcomes = sorted(results.values())
+    assert outcomes == ["conflict"] * (n - 1) + ["ok"], results
+    winner = next(k for k, v in results.items() if v == "ok")
+    # the committed manifest is the winner's, byte-coherent
+    m = st.read_manifest(path)
+    assert m["writer"] == winner
+    assert m["buckets"]["0"] == f"data/s_from_writer_{winner}/bucket=0"
+    assert st.current_version(path) == 1
+    # no stray tmp files left behind by the losers
+    leftovers = [
+        f for f in os.listdir(st._meta_dir(path)) if ".tmp-" in f
+    ]
+    assert leftovers == []

@@ -151,7 +151,7 @@ def test_gated_dispatch_chooses_merge_when_available(spark, monkeypatch):
     calls = {}
     monkeypatch.setattr(upsert, "supports_merge_into", lambda s, t: True)
 
-    def fake_merge(s, table, updates, key):
+    def fake_merge(s, table, updates, key, delete_where=None):
         calls["table"] = table
         calls["keys"] = sorted(
             r["clip_id"] for r in updates.select("clip_id").collect()
@@ -201,4 +201,20 @@ def test_build_merge_sql_shape():
         "ON t.clip_id = s.clip_id "
         "WHEN MATCHED THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_build_merge_sql_delete_arm():
+    from wallaby2caom2_spark.operators.upsert import build_merge_sql
+
+    sql = build_merge_sql(
+        "lake.results", "src_view", "clip_id", delete_where="s.op = 'D'"
+    )
+    assert sql == (
+        "MERGE INTO lake.results t USING src_view s "
+        "ON t.clip_id = s.clip_id "
+        "WHEN MATCHED AND (s.op = 'D') THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND NOT coalesce((s.op = 'D'), false) "
+        "THEN INSERT *"
     )

@@ -75,14 +75,32 @@ def _dedup_updates(
     )
 
 
-def build_merge_sql(target_table: str, source_view: str, key: str) -> str:
+def build_merge_sql(
+    target_table: str,
+    source_view: str,
+    key: str,
+    delete_where: str | None = None,
+) -> str:
     """The MERGE statement the lakehouse path runs — latest-wins upsert,
-    identical semantics to the parquet fallback's window resolution."""
+    identical semantics to the parquet fallback's window resolution.
+    ``delete_where`` (a SQL predicate over the SOURCE row ``s``) adds the
+    ``WHEN MATCHED AND cond THEN DELETE`` arm and gates the insert arm so
+    an unmatched delete marker is a no-op — matching
+    ``snapshot_table.merge``'s delete semantics."""
+    if delete_where is None:
+        return (
+            f"MERGE INTO {target_table} t USING {source_view} s "
+            f"ON t.{key} = s.{key} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
     return (
         f"MERGE INTO {target_table} t USING {source_view} s "
         f"ON t.{key} = s.{key} "
+        f"WHEN MATCHED AND ({delete_where}) THEN DELETE "
         "WHEN MATCHED THEN UPDATE SET * "
-        "WHEN NOT MATCHED THEN INSERT *"
+        f"WHEN NOT MATCHED AND NOT coalesce(({delete_where}), false) "
+        "THEN INSERT *"
     )
 
 
@@ -91,12 +109,13 @@ def _run_merge_into(
     target_table: str,
     updates: DataFrame,
     key: str,
+    delete_where: str | None = None,
 ) -> dict:
     """Execute the real MERGE (only reachable when supports_merge_into)."""
     view = f"_upsert_src_{abs(hash(target_table)) % 10_000}"
     updates.createOrReplaceTempView(view)
     try:
-        spark.sql(build_merge_sql(target_table, view, key))
+        spark.sql(build_merge_sql(target_table, view, key, delete_where))
     finally:
         spark.catalog.dropTempView(view)
     return {"engine": "merge_into", "table": target_table}
@@ -109,6 +128,7 @@ def merge_upsert_auto(
     key: str = "clip_id",
     n_buckets: int = 16,
     order_col: str | None = None,
+    delete_where: str | None = None,
 ) -> dict:
     """Gated dispatch (J2): a catalog table with a MERGE-capable provider
     gets true ``MERGE INTO``; a path holding a snapshot table
@@ -116,17 +136,32 @@ def merge_upsert_auto(
     — executed end-to-end in tests, no mocks (tests/test_snapshot_merge.py);
     any other path gets the bucket-partitioned overwrite stand-in with
     the same latest-wins semantics. ``target`` is a table name when it
-    contains no path separator and the provider probe succeeds."""
+    contains no path separator and the provider probe succeeds.
+
+    ``delete_where`` (SQL predicate over the update row) enables the
+    MATCHED-DELETE arm on the MERGE INTO and snapshot paths; the plain
+    partition-overwrite stand-in has no row-deletion story (it only
+    rewrites whole buckets from resolved rows), so it refuses rather
+    than silently keeping rows marked for deletion."""
     if "/" not in target and supports_merge_into(spark, target):
         deduped = _dedup_updates(updates, key, order_col)
-        out = _run_merge_into(spark, target, deduped, key)
+        out = _run_merge_into(spark, target, deduped, key, delete_where)
         return out
     from ..sources import snapshot_table
 
     if snapshot_table.is_snapshot_table(target):
-        out = snapshot_table.merge(spark, target, updates, order_col=order_col)
+        out = snapshot_table.merge(
+            spark, target, updates, order_col=order_col,
+            delete_where=delete_where,
+        )
         out["engine"] = "snapshot_merge"
         return out
+    if delete_where is not None:
+        raise ValueError(
+            "delete_where requires a snapshot table or a MERGE-capable "
+            "catalog table; the partition-overwrite stand-in cannot "
+            "delete rows"
+        )
     out = merge_upsert(
         spark, target, updates, key=key, n_buckets=n_buckets,
         order_col=order_col,

@@ -373,8 +373,12 @@ def export_preview_artifacts(
     previews as binary columns (queries/clips_flagship.py) cover the query
     surface; this sink covers the artifact-store contract.
 
-    Layout: ``out_path/previews/bucket=<b>/<clip_id>_prev_256.png`` (or
-    ``_spec_`` for spectrograms). Executors write the files directly —
+    Layout: ``out_path/previews-<flavor>/bucket=<b>/<clip_id>_prev_256.png``
+    (``_spec_`` names for spectrograms), with the manifest INSIDE the
+    flavor dir — the two flavors are independent artifact sets, so they
+    never share bucket dirs or clobber each other's manifest (exporting
+    both into one ``out_path`` leaves two self-describing dirs).
+    Executors write the files directly —
     each task owns whole buckets, file bytes are deterministic from the
     payload, and each file lands via tmp + atomic rename, so task retries
     and re-runs converge (same idempotence contract as the parquet
@@ -418,7 +422,7 @@ def export_preview_artifacts(
     # task (no cross-task interleaving within a bucket directory)
     rows = rows.repartition(n_buckets, F.col("bucket"))
 
-    art_dir = os.path.join(out_path, "previews")
+    art_dir = os.path.join(out_path, f"previews-{flavor}")
     os.makedirs(art_dir, exist_ok=True)
 
     import pandas as pd  # noqa: F401  (worker-side)
@@ -479,7 +483,9 @@ def export_preview_artifacts(
             for r in per_bucket
         },
     }
-    write_manifest_atomic(out_path, manifest)
+    # manifest lives inside the flavor dir: it describes exactly that
+    # dir's contents, and a second flavor's export cannot overwrite it
+    write_manifest_atomic(art_dir, manifest)
     return manifest
 
 
@@ -609,7 +615,10 @@ def export_observation_documents(
             for r in (
                 spark.read.schema("doc string, bucket int")
                 .text(docs_dir)
-                .selectExpr("bucket", "length(doc) + 1 AS n_bytes")
+                # octet_length: UTF-8 BYTES (+1 for the newline), so the
+                # manifest matches the per_record_files branch's encoded
+                # byte accounting for multibyte documents
+                .selectExpr("bucket", "octet_length(doc) + 1 AS n_bytes")
                 .groupBy("bucket")
                 .agg(
                     F.count("*").alias("n_docs"),

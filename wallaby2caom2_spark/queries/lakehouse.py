@@ -16,7 +16,11 @@ root, content depends only on the input parquet):
 - version 1: MERGE of (a) UPDATES: every customer with c_acctbal < 0
   re-segmented to 'REPAIRED' (bal unchanged), (b) INSERTS: one row per
   ``supplier`` under the disjoint key space 's<suppkey>' with seg
-  'NEWSUPP'.
+  'NEWSUPP';
+- version 2: DELETE-arm MERGE (``delete_where="bal < 0"`` over the
+  update batch — the ``WHEN MATCHED AND cond THEN DELETE`` arm the
+  reference's repair visitor needs, ``fix_product_id_visit.py:97-106``)
+  removing every NEWSUPP row with negative balance.
 
 The oracle never touches the snapshot table: it recomputes the expected
 diff from ``customer``/``supplier`` alone, so a bug anywhere in the
@@ -34,7 +38,7 @@ from ..sources import snapshot_table as st
 from ._tables import load
 from .clips_flagship import _CACHE_ROOT
 
-_TBL_VERSION = "v1"
+_TBL_VERSION = "v2"  # bump forces cache rebuild (v2 adds the delete wave)
 _N_BUCKETS = 8
 
 
@@ -71,11 +75,28 @@ def _wave2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.unionByName(inserts)
 
 
+def _wave3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete batch: every negative-balance supplier row, carried with
+    all existing columns (merge refuses column drops); ``delete_where``
+    selects them all."""
+    return (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "rec_id"
+            ),
+            F.lit("NEWSUPP").alias("seg"),
+            F.round(F.col("s_acctbal"), 2).alias("bal"),
+        )
+    )
+
+
 def _ensure_table(spark: SparkSession, sf_dir: str) -> str:
-    """Build the two-version table once per sf; content is a pure function
-    of the input parquet, so a cached table is identical to a rebuilt
-    one. A partially-built cache (crash between create and merge) is
-    detected by version and completed."""
+    """Build the three-version table once per sf; content is a pure
+    function of the input parquet, so a cached table is identical to a
+    rebuilt one. A partially-built cache (crash between create and a
+    merge wave) is detected by version and completed."""
     path = _table_path(sf_dir)
     if not st.is_snapshot_table(path):
         st.create_table(
@@ -84,6 +105,8 @@ def _ensure_table(spark: SparkSession, sf_dir: str) -> str:
         )
     if st.current_version(path) == 0:
         st.merge(spark, path, _wave2(spark, sf_dir))
+    if st.current_version(path) == 1:
+        st.merge(spark, path, _wave3(spark, sf_dir), delete_where="bal < 0")
     return path
 
 
@@ -112,12 +135,12 @@ ORDER BY rec_id
 
 
 def snapshot_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-merge table audit grouped by segment — reads the CURRENT
-    version through the snapshot reader, proving the merged state (not
+    """Post-merge table audit grouped by segment — reads version 1 (time
+    travel) through the snapshot reader, proving the merged state (not
     just the diff) matches what the source tables imply."""
     path = _ensure_table(spark, sf_dir)
     return (
-        st.read_table(spark, path)
+        st.read_table(spark, path, version=1)
         .groupBy("seg")
         .agg(
             F.count("*").alias("n_recs"),
@@ -142,12 +165,68 @@ FROM merged GROUP BY seg ORDER BY seg
 """
 
 
+def snapshot_delete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-DELETE table audit grouped by segment — reads the CURRENT
+    version (after the wave-3 delete merge), so a delete that silently
+    kept rows, dropped the wrong keys, or corrupted untouched buckets
+    breaks the hash against the source-derived oracle."""
+    path = _ensure_table(spark, sf_dir)
+    return (
+        st.read_table(spark, path)
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_recs"),
+            F.round(F.sum("bal") + 1e-9, 2).alias("total_bal"),
+        )
+        .orderBy("seg")
+    )
+
+
+_DELETE_COUNTS_SQL = """
+WITH merged AS (
+  SELECT CASE WHEN c_acctbal < 0 THEN 'REPAIRED' ELSE c_mktsegment END
+           AS seg,
+         round(c_acctbal, 2) AS bal
+  FROM customer
+  UNION ALL
+  SELECT 'NEWSUPP', round(s_acctbal, 2) FROM supplier WHERE s_acctbal >= 0
+)
+SELECT seg, count(*)::BIGINT AS n_recs,
+       round(sum(bal) + 1e-9, 2) AS total_bal
+FROM merged GROUP BY seg ORDER BY seg
+"""
+
+
+def snapshot_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The version-1 → version-2 change set: exactly the DELETED
+    negative-balance supplier rows, via the manifest-pruned CDC reader —
+    old values present, new values NULL."""
+    path = _ensure_table(spark, sf_dir)
+    return st.snapshot_changes(spark, path, 1, 2).orderBy("rec_id")
+
+
+_CDC_DELETES_SQL = """
+SELECT 's' || s_suppkey::VARCHAR AS rec_id,
+       'deleted' AS change,
+       'NEWSUPP' AS old_seg,
+       round(s_acctbal, 2) AS old_bal,
+       NULL::VARCHAR AS new_seg,
+       NULL::DOUBLE AS new_bal
+FROM supplier WHERE s_acctbal < 0
+ORDER BY rec_id
+"""
+
+
 QUERIES = {
     "snapshot_cdc_demo": snapshot_cdc_demo,
     "snapshot_merge_counts": snapshot_merge_counts,
+    "snapshot_delete_counts": snapshot_delete_counts,
+    "snapshot_cdc_deletes": snapshot_cdc_deletes,
 }
 
 ORACLE = {
     "snapshot_cdc_demo": _CDC_SQL,
     "snapshot_merge_counts": _MERGE_COUNTS_SQL,
+    "snapshot_delete_counts": _DELETE_COUNTS_SQL,
+    "snapshot_cdc_deletes": _CDC_DELETES_SQL,
 }

@@ -10,50 +10,74 @@ table format those engines provide — enough that the merge path EXECUTES
 end-to-end in tests with no mocks:
 
 - **Versioned snapshots** — every commit writes new data files under a
-  fresh snapshot directory and a new manifest ``_meta/v<N>.json``; the
-  live version is the single pointer file ``_meta/CURRENT``, swapped via
-  ``os.replace`` (atomic on POSIX). Readers resolve CURRENT → manifest →
-  file list, so they see a complete old version or a complete new one,
-  never a torn mix — the property the parquet dynamic-partition-overwrite
-  stand-in (operators/upsert.py) cannot give across multiple partitions.
+  fresh snapshot directory and a new manifest ``_meta/v<N>.json``. The
+  manifest file ITSELF is the commit point: the live version is simply
+  the highest ``v<N>.json`` present (the same log-is-the-truth rule as
+  Delta's ``_delta_log``), created via ``os.link`` from a temp file —
+  an atomic put-if-absent, so exactly one writer can publish a given
+  version. There is no separate pointer file to swap, hence no window
+  in which a crash can leave a half-commit: either ``v<N>.json`` exists
+  (committed) or it does not (invisible). Readers resolve version →
+  manifest → file list, so they see a complete old version or a
+  complete new one, never a torn mix.
 - **Copy-on-write at bucket granularity** — a merge rewrites data files
   ONLY for buckets its updates touch; untouched buckets' manifest
   entries carry forward pointing at the older snapshot's files (no read,
   no rewrite — at 10^12 rows a 0.1% update batch rewrites 0.1% of the
   table, which is the entire point of a lakehouse MERGE).
+- **Sparse manifests** — a manifest entry exists only for buckets that
+  actually hold rows (Spark's ``partitionBy`` creates no directory for
+  an empty partition); a missing entry reads as an empty bucket. The
+  manifest also records the snapshot's schema so an empty table / empty
+  bucket-set read returns a correctly-typed empty DataFrame.
 - **Optimistic concurrency** — a merge records the base version it read;
-  if CURRENT moved by commit time it raises ``SnapshotConflictError``
-  instead of clobbering the other writer (the same first-writer-wins
-  rule Iceberg/Delta enforce; retry = re-run the merge on the new base).
+  if a newer manifest exists by commit time it raises
+  ``SnapshotConflictError`` instead of clobbering the other writer (the
+  same first-writer-wins rule Iceberg/Delta enforce; retry = re-run the
+  merge on the new base). Two writers racing from the same base both
+  try to link the same ``v<N>.json``; the loser's ``os.link`` fails.
+- **Crash safety** — a failure before the manifest link leaves orphan
+  data files and NO visible change; a failure after the link IS a
+  completed commit (re-running the merge reads the new base and
+  converges — latest-wins is idempotent). Exactly-once at read time,
+  the wave-runner contract. Orphan data dirs are reaped by
+  ``expire_snapshots``.
+- **MERGE arms** — UPDATE matched / INSERT unmatched / DELETE matched
+  rows satisfying ``delete_where`` (the ``WHEN MATCHED AND cond THEN
+  DELETE`` arm the reference's repair visitor needs —
+  ``wallaby2caom2/fix_product_id_visit.py:97-106`` deletes emptied
+  planes). A bucket emptied by deletes simply drops out of the manifest.
 - **Time travel** — ``read_table(..., version=N)`` resolves any retained
   manifest.
-- **Crash safety** — a failure after data-file write but before the
-  CURRENT swap leaves orphan files and NO visible change; re-running the
-  merge converges (exactly-once at read time, the wave-runner contract).
 
-On a multi-node cluster the table path must be shared storage with
-atomic rename (HDFS / NFS; on S3 the pointer swap needs a conditional
-put — documented limitation, same one Delta solves with a LogStore).
-Single-writer-at-a-time is assumed per table, as with Hive.
+On a multi-node cluster the table path must be shared storage where
+create-exclusive is atomic (HDFS / NFS with ``os.link`` semantics; on
+S3 the manifest put needs a conditional put — documented limitation,
+the same one Delta solves with a LogStore). Single-writer-at-a-time is
+the supported regime per table, as with Hive; the put-if-absent link
+additionally guarantees that even a violating concurrent writer cannot
+clobber a committed manifest.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.partitioning import with_bucket
 
 _META = "_meta"
-_CURRENT = "CURRENT"
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 
 class SnapshotConflictError(RuntimeError):
-    """CURRENT advanced between a merge's base read and its commit —
+    """The table advanced between a merge's base read and its commit —
     another writer won; re-run the merge against the new base."""
 
 
@@ -61,13 +85,29 @@ def _meta_dir(path: str) -> str:
     return os.path.join(path, _META)
 
 
+def _list_versions(path: str) -> list[int]:
+    meta = _meta_dir(path)
+    if not os.path.isdir(meta):
+        return []
+    out = []
+    for name in os.listdir(meta):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def is_snapshot_table(path: str) -> bool:
-    return os.path.isfile(os.path.join(_meta_dir(path), _CURRENT))
+    return bool(_list_versions(path))
 
 
 def current_version(path: str) -> int:
-    with open(os.path.join(_meta_dir(path), _CURRENT)) as fh:
-        return int(fh.read().strip())
+    """The live version = highest committed manifest (the manifest file
+    is the commit point; there is no pointer file that can lag it)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    return versions[-1]
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -84,19 +124,21 @@ def read_manifest(path: str, version: int | None = None) -> dict:
 
 def _commit(path: str, manifest: dict, new_version: int, base_version: int) -> None:
     """Publish manifest ``v<new_version>.json`` with PUT-IF-ABSENT
-    semantics (hard-link from a temp file — ``os.link`` fails atomically
-    if the target exists), then swap CURRENT. Two writers racing from the
-    same base both try to create the same next manifest; exactly one link
-    succeeds and the loser gets ``SnapshotConflictError`` — the same
-    atomic-next-log-entry protocol lakehouse formats use, so a losing
-    writer can never clobber the winner's committed manifest."""
+    semantics — ``os.link`` from a temp file fails atomically if the
+    target exists. The link IS the commit: once ``v<N>.json`` is
+    visible the table is at version N (readers take the max manifest),
+    so there is no post-link step a crash could tear. Two writers
+    racing from the same base both try to create the same next
+    manifest; exactly one link succeeds and the loser gets
+    ``SnapshotConflictError`` — the atomic-next-log-entry protocol
+    lakehouse formats use."""
     meta = _meta_dir(path)
     os.makedirs(meta, exist_ok=True)
-    cur = os.path.join(meta, _CURRENT)
-    if os.path.exists(cur) and current_version(path) != base_version:
+    versions = _list_versions(path)
+    if versions and versions[-1] != base_version:
         raise SnapshotConflictError(
             f"snapshot table {path}: base version {base_version} is no "
-            f"longer current ({current_version(path)}) — concurrent commit; "
+            f"longer current ({versions[-1]}) — concurrent commit; "
             "re-run the merge"
         )
     mpath = _manifest_path(path, new_version)
@@ -104,36 +146,61 @@ def _commit(path: str, manifest: dict, new_version: int, base_version: int) -> N
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     try:
-        os.link(tmp, mpath)  # atomic create-exclusive: the commit point
+        os.link(tmp, mpath)  # atomic create-exclusive: THE commit point
     except FileExistsError:
         raise SnapshotConflictError(
             f"snapshot table {path}: version {new_version} was committed "
-            "concurrently (or a crashed commit left an orphan manifest "
-            f"without advancing CURRENT — inspect {mpath}); re-run the merge"
+            "concurrently; re-run the merge on the new base"
         ) from None
     finally:
         os.remove(tmp)
-    ctmp = cur + ".tmp"
-    with open(ctmp, "w") as fh:
-        fh.write(str(new_version))
-    os.replace(ctmp, cur)
 
 
 def _write_snapshot_files(
-    df: DataFrame, path: str, buckets: list[int]
+    df: DataFrame, path: str, n_tasks: int
 ) -> tuple[str, dict[int, str]]:
     """Write ``df`` (must carry ``bucket``) under a fresh snapshot dir,
-    one directory per bucket, returning {bucket: relative_dir}. One
-    bucket-hash exchange → each bucket dir is one task's output."""
+    one directory per bucket, returning {bucket: relative_dir} for the
+    bucket dirs ACTUALLY created — ``partitionBy`` makes no directory
+    for an empty partition, so a sparse write (fewer keys than buckets,
+    hash skew, or deletes emptying a bucket) yields a sparse map; a
+    missing entry means an empty bucket (``_read_buckets``).
+
+    ``repartitionByRange`` on the bucket value keeps rewrite
+    parallelism equal to the touched-bucket count (plain hash
+    ``repartition`` can collide distinct bucket values into one task)."""
     sid = "s" + uuid.uuid4().hex[:12]
     snap_rel = os.path.join("data", sid)
-    out = (
-        df.repartition(max(len(buckets), 1), F.col("bucket"))
+    (
+        df.repartitionByRange(max(n_tasks, 1), F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
+        .parquet(os.path.join(path, snap_rel))
     )
-    out.parquet(os.path.join(path, snap_rel))
-    return sid, {b: os.path.join(snap_rel, f"bucket={b}") for b in buckets}
+    written: dict[int, str] = {}
+    for name in os.listdir(os.path.join(path, snap_rel)):
+        if name.startswith("bucket="):
+            b = int(name.split("=", 1)[1])
+            written[b] = os.path.join(snap_rel, name)
+    return sid, written
+
+
+def _schema_with_bucket(df: DataFrame) -> str:
+    """JSON schema of the snapshot INCLUDING the bucket partition column
+    (recorded in the manifest so empty reads are correctly typed)."""
+    fields = [f for f in df.schema.fields if f.name != "bucket"]
+    fields.append(T.StructField("bucket", T.IntegerType(), True))
+    return json.dumps(T.StructType(fields).jsonValue())
+
+
+def _empty_frame(spark: SparkSession, manifest: dict) -> DataFrame:
+    if "schema" not in manifest:
+        raise ValueError(
+            "no buckets to read and the manifest records no schema "
+            "(pre-sparse-manifest table?) — cannot type an empty read"
+        )
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    return spark.createDataFrame([], schema)
 
 
 def create_table(
@@ -148,13 +215,12 @@ def create_table(
     if is_snapshot_table(path):
         raise ValueError(f"snapshot table already exists at {path}")
     bucketed = with_bucket(df, n_buckets, key=key)
-    _sid, dirs = _write_snapshot_files(
-        bucketed, path, list(range(n_buckets))
-    )
+    _sid, dirs = _write_snapshot_files(bucketed, path, n_buckets)
     manifest = {
         "key": key,
         "n_buckets": n_buckets,
         "buckets": {str(b): d for b, d in dirs.items()},
+        "schema": _schema_with_bucket(bucketed),
     }
     _commit(path, manifest, new_version=0, base_version=-1)
     return read_manifest(path)
@@ -164,9 +230,12 @@ def _read_buckets(
     spark: SparkSession, path: str, manifest: dict, buckets: list[int] | None
 ) -> DataFrame:
     """Assemble the table (or just ``buckets``) from the manifest's file
-    pointers. Bucket dirs from the same snapshot share a basePath read so
-    the partition column is restored; snapshots union (bounded by history
-    length, typically a handful)."""
+    pointers. A bucket with no manifest entry is EMPTY (sparse
+    manifests), never an error; an entirely-empty selection returns a
+    typed empty frame from the manifest's recorded schema. Bucket dirs
+    from the same snapshot share a basePath read so the partition
+    column is restored; snapshots union (bounded by history length,
+    typically a handful)."""
     wanted = (
         {str(b) for b in buckets}
         if buckets is not None
@@ -184,7 +253,7 @@ def _read_buckets(
             ).parquet(*[os.path.join(path, r) for r in rels])
         )
     if not parts:
-        raise ValueError(f"no buckets to read in {path}")
+        return _empty_frame(spark, manifest)
     df = parts[0]
     for p in parts[1:]:
         # allowMissingColumns: snapshots written before a schema-widening
@@ -197,7 +266,7 @@ def _read_buckets(
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """The table at ``version`` (default: CURRENT), bucket column included."""
+    """The table at ``version`` (default: current), bucket column included."""
     return _read_buckets(spark, path, read_manifest(path, version), None)
 
 
@@ -206,11 +275,27 @@ def merge(
     path: str,
     updates: DataFrame,
     order_col: str | None = None,
+    delete_where: str | None = None,
 ) -> dict:
-    """Keyed latest-wins MERGE (UPDATE matched / INSERT unmatched) as a
-    real copy-on-write commit: read ONLY touched buckets from the base
-    snapshot, resolve, write new files for those buckets, commit a new
-    manifest that reuses every untouched bucket's existing files.
+    """Keyed MERGE as a real copy-on-write commit: read ONLY touched
+    buckets from the base snapshot, resolve, write new files for those
+    buckets, commit a new manifest that reuses every untouched bucket's
+    existing files.
+
+    Arms (Delta/Iceberg ``MERGE INTO`` correspondence, with
+    ``delete_where`` as the matched-clause condition evaluated on the
+    UPDATE row):
+
+    - ``WHEN MATCHED AND delete_where THEN DELETE`` — the existing row
+      is removed (reference analog: the plane-repair visitor deleting
+      emptied records, ``fix_product_id_visit.py:97-106``);
+    - ``WHEN MATCHED THEN UPDATE`` — latest wins (``order_col`` breaks
+      intra-batch ties);
+    - ``WHEN NOT MATCHED AND NOT delete_where THEN INSERT`` — a delete
+      marker for a key the table never held is a no-op, as in SQL MERGE.
+
+    A NULL ``delete_where`` result counts as false (keep). A bucket
+    emptied by deletes drops out of the manifest (sparse manifests).
 
     Schema evolution: updates may carry NEW columns (widening) — the
     touched buckets are rewritten with the superset schema, untouched
@@ -220,7 +305,7 @@ def merge(
     raises instead.
 
     Returns {"version", "base_version", "touched_buckets", "updated",
-    "inserted"}.
+    "inserted", "deleted"}.
     """
     from ..operators.upsert import _dedup_updates
 
@@ -243,6 +328,7 @@ def merge(
             "touched_buckets": [],
             "updated": 0,
             "inserted": 0,
+            "deleted": 0,
         }
 
     existing = _read_buckets(spark, path, base, touched)
@@ -254,6 +340,14 @@ def merge(
             "silently NULL matched rows' retained values) — carry every "
             "existing column; new columns (widening) are fine"
         )
+    if delete_where is not None:
+        is_del = F.coalesce(F.expr(delete_where).cast("boolean"), F.lit(False))
+        del_keys = upd.filter(is_del).select(key).distinct()
+        n_deleted = existing.join(del_keys, on=key, how="left_semi").count()
+        existing = existing.join(del_keys, on=key, how="left_anti")
+        upd = upd.filter(~is_del)
+    else:
+        n_deleted = 0
     n_before = existing.count()
     from pyspark.sql.window import Window
 
@@ -275,10 +369,17 @@ def merge(
     n_update_keys = upd.count()
     inserted = n_after - n_before
 
-    _sid, new_dirs = _write_snapshot_files(resolved, path, touched)
+    _sid, new_dirs = _write_snapshot_files(resolved, path, len(touched))
     new_buckets = dict(base["buckets"])  # untouched entries carry forward
+    for b in touched:  # a touched bucket emptied by deletes has no new dir
+        new_buckets.pop(str(b), None)
     new_buckets.update({str(b): d for b, d in new_dirs.items()})
-    manifest = {"key": key, "n_buckets": n_buckets, "buckets": new_buckets}
+    manifest = {
+        "key": key,
+        "n_buckets": n_buckets,
+        "buckets": new_buckets,
+        "schema": _schema_with_bucket(resolved),
+    }
     new_version = base["version"] + 1
     _commit(path, manifest, new_version, base_version=base["version"])
     return {
@@ -287,6 +388,7 @@ def merge(
         "touched_buckets": touched,
         "updated": n_update_keys - inserted,
         "inserted": inserted,
+        "deleted": n_deleted,
     }
 
 
@@ -305,18 +407,19 @@ def compact(spark: SparkSession, path: str) -> dict:
     wins; the loser retries)."""
     base = read_manifest(path)
     all_buckets = sorted(int(b) for b in base["buckets"])
-    df = _read_buckets(spark, path, base, all_buckets)
+    df = _read_buckets(spark, path, base, all_buckets or None)
     # materialize before writing: compaction writes to a FRESH snapshot
     # dir so the scan's source files are never overwritten, but the
     # checkpoint pins the read to the base version even if a concurrent
     # merge commits mid-compact (the commit race is then decided by the
     # put-if-absent protocol, not by a torn scan)
     df = df.localCheckpoint(eager=True)
-    _sid, dirs = _write_snapshot_files(df, path, all_buckets)
+    _sid, dirs = _write_snapshot_files(df, path, max(len(all_buckets), 1))
     manifest = {
         "key": base["key"],
         "n_buckets": base["n_buckets"],
         "buckets": {str(b): d for b, d in dirs.items()},
+        "schema": base.get("schema") or _schema_with_bucket(df),
     }
     new_version = base["version"] + 1
     _commit(path, manifest, new_version, base_version=base["version"])
@@ -358,13 +461,10 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
             removed_dirs.append(rel)
 
     removed_manifests = []
-    meta = _meta_dir(path)
-    for name in sorted(os.listdir(meta)):
-        if name.startswith("v") and name.endswith(".json"):
-            v = int(name[1:-5])
-            if v not in keep_versions:
-                os.remove(os.path.join(meta, name))
-                removed_manifests.append(v)
+    for v in _list_versions(path):
+        if v not in keep_versions:
+            os.remove(_manifest_path(path, v))
+            removed_manifests.append(v)
     return {
         "kept_versions": sorted(keep_versions),
         "removed_snapshot_dirs": removed_dirs,
@@ -390,17 +490,20 @@ def snapshot_changes(
     manifest entry (file pointer) is IDENTICAL in both versions cannot
     contain a change, so only DIFFERING buckets are read at all (a 0.1%
     merge yields a diff that scans 0.1% of both versions, not two full
-    tables). Within those buckets the diff is a single full-outer
-    equi-join on the key with a row-hash comparison, shuffling only the
-    touched buckets' slim rows.
+    tables). A bucket present in only ONE version (sparse manifests — a
+    delete-merge emptied it, or an insert populated it) differs by
+    definition and is read from the side that has it. Within those
+    buckets the diff is a single full-outer equi-join on the key with a
+    row-hash comparison, shuffling only the touched buckets' slim rows.
     """
     m_from = read_manifest(path, from_version)
     m_to = read_manifest(path, to_version)
     key = m_from["key"]
+    all_b = set(m_from["buckets"]) | set(m_to["buckets"])
     differing = sorted(
         int(b)
-        for b in m_to["buckets"]
-        if m_from["buckets"].get(b) != m_to["buckets"][b]
+        for b in all_b
+        if m_from["buckets"].get(b) != m_to["buckets"].get(b)
     )
     if not differing:
         # typed empty frame with the full diff schema

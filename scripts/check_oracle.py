@@ -5,12 +5,20 @@ sf0.01, compares row count, column names, and an order-insensitive value hash
 (columns sorted by name, rows sorted, values stringified). Exit code 1 on any
 mismatch.
 
-Usage: python scripts/check_oracle.py [name ...]
+Usage: python scripts/check_oracle.py [--json-out PATH] [name ...]
+
+``--json-out`` additionally writes a machine-readable per-query record
+``{"sf_dir", "queries": {name: {"seconds", "status"}}}`` — the input of
+``scripts/check_sweep_regression.py``, which flags any query whose wall
+time grew super-linearly vs a previous sweep (round-4 verdict #1: the
+hot-bucket quadratic was caught by a human reading a log; the next one
+should be caught by the harness).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -48,7 +56,14 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json-out" in args:
+        i = args.index("--json-out")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
+    record: dict[str, dict] = {}
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     unknown = only - set(queries)
@@ -87,12 +102,17 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            record[name] = {"seconds": round(time.time() - t0, 3), "status": "fail"}
             continue
+        # the regression gate times the SPARK side only (oracle replay
+        # time is DuckDB's business, not a plan-shape signal)
+        spark_secs = round(time.time() - t0, 3)
         if name not in oracles:
             print(
                 f"ok   {name}: rows-only ({len(srows)} rows, "
-                f"{time.time() - t0:.1f}s) [no oracle]"
+                f"{spark_secs:.1f}s) [no oracle]"
             )
+            record[name] = {"seconds": spark_secs, "status": "ok"}
             continue
         try:
             res = con.execute(oracles[name])
@@ -101,6 +121,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            record[name] = {"seconds": spark_secs, "status": "fail"}
             continue
         problems = []
         if sorted(scols) != sorted(ocols):
@@ -112,14 +133,25 @@ def main() -> int:
             ho = value_hash(ocols, orows)
             if hs != ho:
                 problems.append(f"value-hash {hs} != {ho}")
+        record[name] = {
+            "seconds": spark_secs,
+            "status": "fail" if problems else "ok",
+        }
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
         else:
             print(
                 f"ok   {name}: {len(srows)} rows match "
-                f"({time.time() - t0:.1f}s)"
+                f"({spark_secs:.1f}s)"
             )
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": SF_DIR, "queries": record}, fh, indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out} ({len(record)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

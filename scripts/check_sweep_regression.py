@@ -83,6 +83,32 @@ def compare_sweeps(
     return {"flagged": flagged, "new": new, "ok": compared}
 
 
+def sweep_from_log(text: str) -> dict:
+    """Convert a human-readable sweep log (``ok   name: ... (X.Xs)`` /
+    ``FAIL name: ...`` lines, as committed in docs/sweep_*.log) into the
+    ``--json-out`` payload shape, so historical logs can serve as
+    regression baselines. Later lines win (the committed logs append
+    re-measure lines after fixes)."""
+    import re
+
+    queries: dict[str, dict] = {}
+    # matches both "(3.6s)" and the rows-only form "(10 rows, 2.0s)"
+    ok_re = re.compile(r"^ok\s+([\w.]+):.*[\s(]([0-9.]+)s\)")
+    fail_re = re.compile(r"^FAIL\s+([\w.]+):")
+    for line in text.splitlines():
+        m = ok_re.match(line)
+        if m:
+            queries[m.group(1)] = {
+                "seconds": float(m.group(2)),
+                "status": "ok",
+            }
+            continue
+        m = fail_re.match(line)
+        if m:
+            queries[m.group(1)] = {"seconds": None, "status": "fail"}
+    return {"queries": queries}
+
+
 def main() -> int:
     import argparse
 
@@ -92,10 +118,15 @@ def main() -> int:
     ap.add_argument("--ratio", type=float, default=3.0)
     ap.add_argument("--min-seconds", type=float, default=1.0)
     ns = ap.parse_args()
-    with open(ns.prev) as fh:
-        prev = json.load(fh)
-    with open(ns.cur) as fh:
-        cur = json.load(fh)
+
+    def _load(p: str) -> dict:
+        with open(p) as fh:
+            if p.endswith(".log"):
+                return sweep_from_log(fh.read())
+            return json.load(fh)
+
+    prev = _load(ns.prev)
+    cur = _load(ns.cur)
     out = compare_sweeps(prev, cur, ratio=ns.ratio, min_seconds=ns.min_seconds)
     for f in out["flagged"]:
         print(f"FLAG {json.dumps(f, sort_keys=True)}")

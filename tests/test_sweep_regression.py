@@ -65,6 +65,24 @@ def test_new_query_reported_not_flagged():
     assert out["flagged"] == [] and out["new"] == ["brand_new"]
 
 
+def test_sweep_from_log_parses_ok_fail_and_appended_remeasures():
+    from scripts.check_sweep_regression import sweep_from_log
+
+    log = """# header comment
+ok   pricing_summary: 6 rows match (0.4s)
+FAIL broken_q: value-hash deadbeef != cafebabe
+ok   neardup: 3 rows match (525.9s)
+ok   neardup: 3 rows match (17.1s)
+ok   rows_only_q: rows-only (10 rows, 2.0s) [no oracle]
+"""
+    out = sweep_from_log(log)
+    q = out["queries"]
+    assert q["pricing_summary"] == {"seconds": 0.4, "status": "ok"}
+    assert q["broken_q"]["status"] == "fail"
+    assert q["neardup"]["seconds"] == 17.1  # appended re-measure wins
+    assert q["rows_only_q"]["seconds"] == 2.0
+
+
 def test_missing_query_is_flagged():
     prev = _sweep([("kept", 1.0, "ok"), ("dropped", 9.0, "ok")])
     cur = _sweep([("kept", 1.0, "ok")])

@@ -14,6 +14,18 @@ Modes:
   batch      resumable wave runner (checkpoint → exactly-once re-runs)
   stream     availableNow structured-streaming front-end (checkpoint bookmark)
   compact    small-files compaction of an existing results table
+  merge      snapshot-table MERGE: --input parquet updates into the
+             snapshot table at --output (created on first run); supports
+             --order-col, --delete-where, --key, --n-buckets
+  cdc        keyed diff between two snapshot versions (--from-version /
+             --to-version); row counts per change kind to stdout, full
+             change set to --cdc-out as parquet when given
+  expire     drop snapshot manifests/data older than --keep-last versions
+
+The reference ships its maintenance operations as console entry points
+(``setup.cfg:59-61`` wallaby_run / wallaby_run_state / …); merge/cdc/
+expire are this repo's lakehouse equivalents, driving
+``sources/snapshot_table.py`` end-to-end from spark-submit.
 """
 
 from __future__ import annotations
@@ -40,6 +52,13 @@ DEFAULTS = {
     "n_waves": 8,
     "run_id": None,
     "target_mb": 128,
+    "key": "clip_id",
+    "order_col": None,
+    "delete_where": None,
+    "from_version": None,
+    "to_version": None,
+    "keep_last": 2,
+    "cdc_out": None,
 }
 
 
@@ -61,23 +80,52 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--input", default=None)
     ap.add_argument("--output", default=None)
     ap.add_argument(
-        "--mode", choices=("batch", "stream", "compact"), default=None
+        "--mode",
+        choices=("batch", "stream", "compact", "merge", "cdc", "expire"),
+        default=None,
     )
     ap.add_argument("--target-mb", type=int, default=None)
     ap.add_argument("--n-buckets", type=int, default=None)
     ap.add_argument("--n-waves", type=int, default=None)
+    ap.add_argument("--key", default=None, help="merge key column")
+    ap.add_argument("--order-col", default=None, help="merge latest-wins order")
+    ap.add_argument(
+        "--delete-where", default=None,
+        help="MERGE delete arm: SQL predicate over the update row",
+    )
+    ap.add_argument("--from-version", type=int, default=None)
+    ap.add_argument("--to-version", type=int, default=None)
+    ap.add_argument("--keep-last", type=int, default=None)
+    ap.add_argument(
+        "--cdc-out", default=None, help="write the cdc change set here (parquet)"
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
-    for k in ("input", "output", "mode", "n_buckets", "n_waves", "target_mb"):
-        v = getattr(args, k.replace("-", "_"))
+    for k in (
+        "input", "output", "mode", "n_buckets", "n_waves", "target_mb",
+        "key", "order_col", "delete_where", "from_version", "to_version",
+        "keep_last", "cdc_out",
+    ):
+        v = getattr(args, k)
         if v is not None:
             cfg[k] = v
-    if cfg["mode"] == "compact":
+    if cfg["mode"] in ("compact", "cdc", "expire"):
         if not cfg["output"]:
-            ap.error("compact mode needs --output (the results table)")
+            ap.error(f"{cfg['mode']} mode needs --output (the table path)")
+        if cfg["mode"] == "cdc" and cfg["from_version"] is None:
+            ap.error("cdc mode needs --from-version")
     elif not cfg["input"] or not cfg["output"]:
         ap.error("input and output are required (flag or config)")
+
+    if cfg["mode"] == "expire":
+        # driver-side filesystem work only — no Spark session needed
+        from wallaby2caom2_spark.sources import snapshot_table as st
+
+        out = st.expire_snapshots(cfg["output"], keep_last=int(cfg["keep_last"]))
+        out["mode"] = "expire"
+        print(json.dumps(out))
+        return 0
 
     # spark-submit provides the session; standalone runs build one
     from pyspark.sql import SparkSession
@@ -91,7 +139,54 @@ def main(argv: list[str]) -> int:
         spark = active
     spark.sparkContext.setLogLevel("WARN")
 
-    if cfg["mode"] == "compact":
+    if cfg["mode"] == "merge":
+        from wallaby2caom2_spark.sources import snapshot_table as st
+
+        updates = spark.read.parquet(cfg["input"])
+        if not st.is_snapshot_table(cfg["output"]):
+            st.create_table(
+                spark, cfg["output"], updates, key=cfg["key"],
+                n_buckets=int(cfg["n_buckets"]),
+            )
+            summary = {
+                "mode": "merge",
+                "created": True,
+                "version": st.current_version(cfg["output"]),
+                "rows": st.read_table(spark, cfg["output"]).count(),
+            }
+        else:
+            summary = st.merge(
+                spark, cfg["output"], updates,
+                order_col=cfg.get("order_col"),
+                delete_where=cfg.get("delete_where"),
+            )
+            summary["mode"] = "merge"
+            summary["created"] = False
+    elif cfg["mode"] == "cdc":
+        from wallaby2caom2_spark.sources import snapshot_table as st
+
+        to_v = cfg.get("to_version")
+        changes = st.snapshot_changes(
+            spark, cfg["output"], int(cfg["from_version"]),
+            None if to_v is None else int(to_v),
+        )
+        if cfg.get("cdc_out"):
+            changes.write.mode("overwrite").parquet(cfg["cdc_out"])
+            changes = spark.read.parquet(cfg["cdc_out"])  # count what landed
+        by_kind = {
+            r["change"]: r["n"]
+            for r in changes.groupBy("change").count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        summary = {
+            "mode": "cdc",
+            "from_version": int(cfg["from_version"]),
+            "to_version": to_v if to_v is None else int(to_v),
+            "changes": by_kind,
+            "cdc_out": cfg.get("cdc_out"),
+        }
+    elif cfg["mode"] == "compact":
         from wallaby2caom2_spark.plans.maintenance import compact_results_job
 
         summary = compact_results_job(

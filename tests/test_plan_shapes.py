@@ -427,3 +427,118 @@ def test_semantic_neardup_pair_join_includes_position(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # the join keys carry the shifted position (t_pos = l_pos + off)
     assert "t_pos" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# golden plan fingerprints for the most expensive NON-clips queries
+# (round-4 verdict #6: the payload sweep pins the clips family; these pin
+# the dedup/decontam/iterative analogs so a silent BroadcastNestedLoopJoin
+# or an extra Exchange fails a test, not a sweep read)
+# ---------------------------------------------------------------------------
+
+_FP_NODES = [
+    "Exchange", "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct", "MapInPandas",
+    "MapInArrow", "Window", "Sort",
+]
+
+
+def plan_fingerprint(plan: str) -> dict:
+    """Operator-tree shape: counts of the scale-deciding node types.
+    Matches TREE lines only ("Name [modifiers] (id)"); the detail
+    section's "(id) Name" repeats don't double-count."""
+    import re
+
+    fp = {}
+    for n in _FP_NODES:
+        c = len(re.findall(rf"\b{n}\b[^()\n]*\(\d+\)", plan))
+        if c:
+            fp[n] = c
+    return fp
+
+
+# Golden shapes at SF (sf0.001), captured from the tuned plans.  Notes:
+# - the two BroadcastNestedLoopJoin entries are the DOCUMENTED bounded
+#   cross joins (dedup_ngram_jaccard's hash-gated eval subset;
+#   dedup_savings_report's 1-row totals broadcast) — anywhere else a BNLJ
+#   appears, the golden diff fails the test;
+# - dedup_connected_components / dedup_pagerank_hubs fingerprint small
+#   because iterative rounds localCheckpoint their lineage (the O(1)-deep
+#   plan IS the property being pinned).
+_GOLDEN_FINGERPRINTS = {
+    "audio_semantic_neardup": {
+        "Exchange": 6, "SortMergeJoin": 1, "MapInPandas": 2, "Window": 2,
+        "Sort": 5,
+    },
+    "classifier_train_logreg": {"Exchange": 1},
+    "dedup_pagerank_hubs": {"Exchange": 1, "Sort": 1},
+    "dedup_connected_components": {},
+    "dedup_quality_keeper": {
+        "Exchange": 3, "SortMergeJoin": 1, "Window": 1, "Sort": 3,
+    },
+    "dedup_savings_report": {
+        "Exchange": 4, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1,
+        "Sort": 1,
+    },
+    "dedup_ngram_jaccard": {"BroadcastNestedLoopJoin": 1},
+    "decontaminate_containment": {
+        "Exchange": 4, "BroadcastHashJoin": 3, "Sort": 4,
+    },
+    "decontaminate_bloom": {"Exchange": 4, "BroadcastHashJoin": 1, "Sort": 1},
+    "bpe_train_merges": {"Exchange": 3, "Window": 1},
+    "crossmodal_dup_consistency": {
+        "Exchange": 8, "SortMergeJoin": 3, "Sort": 7,
+    },
+    "audio_incremental_dedup": {
+        "Exchange": 7, "SortMergeJoin": 2, "Sort": 6,
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(_GOLDEN_FINGERPRINTS))
+def test_golden_plan_fingerprint(spark, name):
+    fp = plan_fingerprint(plan_of(spark, name))
+    assert fp == _GOLDEN_FINGERPRINTS[name], (
+        f"{name}: plan shape drifted — got {fp}, golden "
+        f"{_GOLDEN_FINGERPRINTS[name]}. If the change is an intentional "
+        "improvement, re-pin the golden; if not, the regression class is "
+        "usually a dropped join key (equi-join -> BNLJ) or a new Exchange."
+    )
+
+
+def test_fingerprint_canary_catches_dropped_join_key(spark):
+    """The round-4 regression class, reproduced: the same self-join with
+    and without the position equi-key. The keyed plan fingerprints as a
+    hash/merge join; dropping the key degrades to a nested-loop product
+    and the fingerprint MUST see it."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.range(100).selectExpr(
+        "id % 7 AS bucket", "id AS pos", "id * 2 AS v"
+    )
+    l = df.selectExpr("bucket AS lb", "pos AS lp", "v AS lv")
+
+    def fp_of(joined):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        return plan_fingerprint(buf.getvalue())
+
+    keyed = fp_of(
+        l.join(df, (l.lb == df.bucket) & (l.lp + 1 == df.pos))
+    )
+    dropped = fp_of(
+        l.join(df, (l.lb <= df.bucket) & (l.lp + 1 <= df.pos))
+    )
+    assert (
+        keyed.get("BroadcastNestedLoopJoin", 0)
+        + keyed.get("CartesianProduct", 0)
+        == 0
+    ), keyed
+    assert (
+        dropped.get("BroadcastNestedLoopJoin", 0)
+        + dropped.get("CartesianProduct", 0)
+        > 0
+    ), dropped
+    assert keyed != dropped

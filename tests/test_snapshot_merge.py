@@ -240,6 +240,19 @@ def test_expire_after_compact_drops_all_old_data(spark, table):
     assert _state(spark, table)["c001"] == ("x", 1)
 
 
+def test_repeated_expiry_with_version_gaps(spark, table):
+    """A second expiry after an earlier one left version gaps must not
+    try to read already-expired manifests."""
+    st.merge(spark, table, _df(spark, [("c001", "v1", 1)]))
+    st.merge(spark, table, _df(spark, [("c001", "v2", 2)]))
+    st.merge(spark, table, _df(spark, [("c001", "v3", 3)]))
+    st.expire_snapshots(table, keep_last=2)  # drops v0, v1
+    out = st.expire_snapshots(table, keep_last=3)  # only v2, v3 retained
+    assert out["kept_versions"] == [2, 3]
+    assert out["removed_manifest_versions"] == []
+    assert _state(spark, table)["c001"] == ("v3", 3)
+
+
 def test_snapshot_changes_diff(spark, table):
     st.merge(
         spark,

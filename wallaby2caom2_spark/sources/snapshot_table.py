@@ -445,8 +445,12 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    cur = current_version(path)
-    keep_versions = [v for v in range(cur, -1, -1)][:keep_last]
+    # from the versions actually retained, not range(cur, ...): earlier
+    # expirations leave gaps, and a missing manifest must not crash the
+    # next expiry
+    keep_versions = _list_versions(path)[-keep_last:]
+    if not keep_versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
     live_dirs: set[str] = set()
     for v in keep_versions:
         m = read_manifest(path, v)

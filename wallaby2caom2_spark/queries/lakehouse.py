@@ -198,11 +198,15 @@ FROM merged GROUP BY seg ORDER BY seg
 
 
 def snapshot_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The version-1 → version-2 change set: exactly the DELETED
+    """The version-1 → current change set: exactly the DELETED
     negative-balance supplier rows, via the manifest-pruned CDC reader —
-    old values present, new values NULL."""
+    old values present, new values NULL. ``to_version=None`` (current)
+    rather than a literal 2: at sf0.001 no supplier is negative, the
+    delete wave is an empty batch, and an empty merge correctly commits
+    NO new version — current stays 1 and the diff (like the oracle) is
+    empty."""
     path = _ensure_table(spark, sf_dir)
-    return st.snapshot_changes(spark, path, 1, 2).orderBy("rec_id")
+    return st.snapshot_changes(spark, path, 1, None).orderBy("rec_id")
 
 
 _CDC_DELETES_SQL = """

@@ -16,7 +16,13 @@ Modes:
   compact    small-files compaction of an existing results table
   merge      snapshot-table MERGE: --input parquet updates into the
              snapshot table at --output (created on first run); supports
-             --order-col, --delete-where, --key, --n-buckets
+             --order-col, --delete-where, --key, --n-buckets, and
+             --write-mode cow|mor (mor = O(batch) merge-on-read delta
+             append; resolution happens at read / snapshot-compact)
+  snapshot-compact  materialize pending merge-on-read deltas and collapse
+             snapshot-dir fragmentation on the table at --output;
+             --min-deltas K limits the rewrite to buckets with >= K
+             pending deltas (incremental maintenance)
   cdc        keyed diff between two snapshot versions (--from-version /
              --to-version); row counts per change kind to stdout, full
              change set to --cdc-out as parquet when given
@@ -59,6 +65,8 @@ DEFAULTS = {
     "to_version": None,
     "keep_last": 2,
     "cdc_out": None,
+    "write_mode": "cow",
+    "min_deltas": None,
 }
 
 
@@ -81,7 +89,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--output", default=None)
     ap.add_argument(
         "--mode",
-        choices=("batch", "stream", "compact", "merge", "cdc", "expire"),
+        choices=(
+            "batch", "stream", "compact", "merge", "cdc", "expire",
+            "snapshot-compact",
+        ),
         default=None,
     )
     ap.add_argument("--target-mb", type=int, default=None)
@@ -99,18 +110,26 @@ def main(argv: list[str]) -> int:
     ap.add_argument(
         "--cdc-out", default=None, help="write the cdc change set here (parquet)"
     )
+    ap.add_argument(
+        "--write-mode", default=None, choices=("cow", "mor"),
+        help="merge write path: copy-on-write rewrite or merge-on-read delta",
+    )
+    ap.add_argument(
+        "--min-deltas", type=int, default=None,
+        help="snapshot-compact: only rewrite buckets with >= K pending deltas",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
     for k in (
         "input", "output", "mode", "n_buckets", "n_waves", "target_mb",
         "key", "order_col", "delete_where", "from_version", "to_version",
-        "keep_last", "cdc_out",
+        "keep_last", "cdc_out", "write_mode", "min_deltas",
     ):
         v = getattr(args, k)
         if v is not None:
             cfg[k] = v
-    if cfg["mode"] in ("compact", "cdc", "expire"):
+    if cfg["mode"] in ("compact", "cdc", "expire", "snapshot-compact"):
         if not cfg["output"]:
             ap.error(f"{cfg['mode']} mode needs --output (the table path)")
         if cfg["mode"] == "cdc" and cfg["from_version"] is None:
@@ -159,6 +178,7 @@ def main(argv: list[str]) -> int:
                 spark, cfg["output"], updates,
                 order_col=cfg.get("order_col"),
                 delete_where=cfg.get("delete_where"),
+                mode=cfg.get("write_mode") or "cow",
             )
             summary["mode"] = "merge"
             summary["created"] = False
@@ -186,6 +206,15 @@ def main(argv: list[str]) -> int:
             "changes": by_kind,
             "cdc_out": cfg.get("cdc_out"),
         }
+    elif cfg["mode"] == "snapshot-compact":
+        from wallaby2caom2_spark.sources import snapshot_table as st
+
+        md = cfg.get("min_deltas")
+        summary = st.compact(
+            spark, cfg["output"],
+            min_deltas=None if md is None else int(md),
+        )
+        summary["mode"] = "snapshot-compact"
     elif cfg["mode"] == "compact":
         from wallaby2caom2_spark.plans.maintenance import compact_results_job
 

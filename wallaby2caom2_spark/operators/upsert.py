@@ -129,6 +129,7 @@ def merge_upsert_auto(
     n_buckets: int = 16,
     order_col: str | None = None,
     delete_where: str | None = None,
+    write_mode: str = "cow",
 ) -> dict:
     """Gated dispatch (J2): a catalog table with a MERGE-capable provider
     gets true ``MERGE INTO``; a path holding a snapshot table
@@ -142,7 +143,15 @@ def merge_upsert_auto(
     MATCHED-DELETE arm on the MERGE INTO and snapshot paths; the plain
     partition-overwrite stand-in has no row-deletion story (it only
     rewrites whole buckets from resolved rows), so it refuses rather
-    than silently keeping rows marked for deletion."""
+    than silently keeping rows marked for deletion.
+
+    ``write_mode`` ("cow" | "mor") selects the snapshot table's write
+    path — copy-on-write bucket rewrite vs O(batch) merge-on-read delta
+    append (``snapshot_table.merge``). A real-catalog ``MERGE INTO``
+    target picks its own strategy from table properties (e.g. Iceberg's
+    ``write.merge.mode``), so write_mode is ignored there; the
+    partition-overwrite stand-in is COW by construction and refuses
+    "mor" rather than silently rewriting buckets."""
     if "/" not in target and supports_merge_into(spark, target):
         deduped = _dedup_updates(updates, key, order_col)
         out = _run_merge_into(spark, target, deduped, key, delete_where)
@@ -152,10 +161,15 @@ def merge_upsert_auto(
     if snapshot_table.is_snapshot_table(target):
         out = snapshot_table.merge(
             spark, target, updates, order_col=order_col,
-            delete_where=delete_where,
+            delete_where=delete_where, mode=write_mode,
         )
         out["engine"] = "snapshot_merge"
         return out
+    if write_mode != "cow":
+        raise ValueError(
+            "write_mode='mor' requires a snapshot table (the "
+            "partition-overwrite stand-in has no delta-file story)"
+        )
     if delete_where is not None:
         raise ValueError(
             "delete_where requires a snapshot table or a MERGE-capable "

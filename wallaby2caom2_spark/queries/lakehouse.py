@@ -221,11 +221,71 @@ ORDER BY rec_id
 """
 
 
+_MOR_TBL_VERSION = "v1"
+
+
+def _mor_table_path(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_CACHE_ROOT, f"{name}-snapmor-{_MOR_TBL_VERSION}")
+
+
+def _ensure_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """The SAME three waves as ``_ensure_table``, applied with
+    ``mode="mor"`` — every wave lands as delta file groups (tombstones
+    for the delete arm), never a bucket rewrite, so the oracle checks
+    the whole write-delta → read-resolve chain. A compact here would
+    defeat the point: the table is read WITH its pending delta chains."""
+    path = _mor_table_path(sf_dir)
+    if not st.is_snapshot_table(path):
+        st.create_table(
+            spark, path, _wave1(spark, sf_dir), key="rec_id",
+            n_buckets=_N_BUCKETS,
+        )
+    if st.current_version(path) == 0:
+        st.merge(spark, path, _wave2(spark, sf_dir), mode="mor")
+    if st.current_version(path) == 1:
+        st.merge(
+            spark, path, _wave3(spark, sf_dir),
+            delete_where="bal < 0", mode="mor",
+        )
+    return path
+
+
+def snapshot_mor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge audit of the MERGE-ON-READ table at its CURRENT
+    version: both waves (upsert + tombstone delete) are pending delta
+    chains that the read must resolve latest-wins — a bug in delta
+    ordering, tombstone filtering, or the unmatched-delete no-op rule
+    breaks the hash against the same source-derived oracle as the COW
+    delete query."""
+    path = _ensure_mor_table(spark, sf_dir)
+    return (
+        st.read_table(spark, path)
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_recs"),
+            F.round(F.sum("bal") + 1e-9, 2).alias("total_bal"),
+        )
+        .orderBy("seg")
+    )
+
+
+def snapshot_mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-0 → version-1 change set of the MOR table — version 1's
+    content exists ONLY as a pending delta chain (base pointers are
+    untouched by a MOR merge), so this exercises CDC's delta-list
+    differencing and per-version resolution."""
+    path = _ensure_mor_table(spark, sf_dir)
+    return st.snapshot_changes(spark, path, 0, 1).orderBy("rec_id")
+
+
 QUERIES = {
     "snapshot_cdc_demo": snapshot_cdc_demo,
     "snapshot_merge_counts": snapshot_merge_counts,
     "snapshot_delete_counts": snapshot_delete_counts,
     "snapshot_cdc_deletes": snapshot_cdc_deletes,
+    "snapshot_mor_counts": snapshot_mor_counts,
+    "snapshot_mor_cdc": snapshot_mor_cdc,
 }
 
 ORACLE = {
@@ -233,4 +293,8 @@ ORACLE = {
     "snapshot_merge_counts": _MERGE_COUNTS_SQL,
     "snapshot_delete_counts": _DELETE_COUNTS_SQL,
     "snapshot_cdc_deletes": _CDC_DELETES_SQL,
+    # the MOR table resolves to the same content the COW waves imply,
+    # so the source-derived oracles are shared verbatim
+    "snapshot_mor_counts": _DELETE_COUNTS_SQL,
+    "snapshot_mor_cdc": _CDC_SQL,
 }

@@ -47,6 +47,19 @@ end-to-end in tests with no mocks:
   DELETE`` arm the reference's repair visitor needs —
   ``wallaby2caom2/fix_product_id_visit.py:97-106`` deletes emptied
   planes). A bucket emptied by deletes simply drops out of the manifest.
+- **Merge-on-read** (``merge(..., mode="mor")``) — the write path for
+  small/frequent batches at 10^12-row scale: the merge writes ONLY the
+  deduped update batch (tombstone rows for the delete arm) as a delta
+  file group per touched bucket and appends it to the manifest's
+  per-bucket delta list — O(batch) I/O, no base read, no bucket
+  rewrite. Readers resolve latest-wins per key across base + deltas
+  (ordered by committing version) and filter tombstones; buckets with
+  no deltas keep the plain COW scan plan. ``compact`` materializes the
+  resolution and clears delta lists (optionally only for buckets whose
+  delta count crossed a threshold — incremental maintenance). This is
+  the Iceberg v2 positional/equality-delete // Delta deletion-vector
+  trade: COW pays at write time and reads clean files, MOR pays a
+  per-read window over delta'd buckets and writes O(batch).
 - **Time travel** — ``read_table(..., version=N)`` resolves any retained
   manifest.
 
@@ -226,41 +239,111 @@ def create_table(
     return read_manifest(path)
 
 
+def _union_snap_reads(
+    spark: SparkSession, path: str, rels: list[str]
+) -> DataFrame | None:
+    """Union the bucket dirs in ``rels`` (grouped so dirs from one
+    snapshot share a basePath read that restores the partition column).
+    Returns None for an empty selection."""
+    by_snap: dict[str, list[str]] = {}
+    for rel in rels:
+        by_snap.setdefault(os.path.dirname(rel), []).append(rel)
+    df = None
+    for snap_rel, group in sorted(by_snap.items()):
+        p = spark.read.option(
+            "basePath", os.path.join(path, snap_rel)
+        ).parquet(*[os.path.join(path, r) for r in group])
+        # allowMissingColumns: snapshots written before a schema-widening
+        # merge lack the new columns — their rows read back as NULL (the
+        # standard lakehouse evolution contract)
+        df = p if df is None else df.unionByName(p, allowMissingColumns=True)
+    return df
+
+
+def _resolve_deltas(
+    base: DataFrame | None, delta: DataFrame, key: str
+) -> DataFrame:
+    """Merge-on-read resolution: latest ``_seq`` wins per key, tombstones
+    (``_deleted``) drop the key. ``base`` rows carry ``_seq = -1``; each
+    delta group already has unique keys (``_dedup_updates`` ran at write
+    time), so (key, _seq) is unique and the window is a top-1 per key.
+    The shuffle this costs is confined to the delta'd buckets — the
+    documented MOR read tax."""
+    from pyspark.sql.window import Window
+
+    if base is not None:
+        base = base.withColumn("_seq", F.lit(-1)).withColumn(
+            "_deleted", F.lit(False)
+        )
+        merged = base.unionByName(delta, allowMissingColumns=True)
+    else:
+        merged = delta
+    w = Window.partitionBy(key).orderBy(F.col("_seq").desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.coalesce("_deleted", F.lit(False)))
+        .drop("_rn", "_seq", "_deleted")
+    )
+
+
 def _read_buckets(
     spark: SparkSession, path: str, manifest: dict, buckets: list[int] | None
 ) -> DataFrame:
     """Assemble the table (or just ``buckets``) from the manifest's file
     pointers. A bucket with no manifest entry is EMPTY (sparse
     manifests), never an error; an entirely-empty selection returns a
-    typed empty frame from the manifest's recorded schema. Bucket dirs
-    from the same snapshot share a basePath read so the partition
-    column is restored; snapshots union (bounded by history length,
-    typically a handful)."""
+    typed empty frame from the manifest's recorded schema.
+
+    Buckets with pending merge-on-read deltas route through latest-wins
+    resolution; buckets without keep the plain COW scan (no window, no
+    shuffle), so a fully-compacted table reads exactly as before MOR
+    existed."""
+    deltas: dict[str, list] = manifest.get("deltas", {})
     wanted = (
         {str(b) for b in buckets}
         if buckets is not None
-        else set(manifest["buckets"])
+        else set(manifest["buckets"]) | set(deltas)
     )
-    by_snap: dict[str, list[str]] = {}
-    for b, rel in manifest["buckets"].items():
-        if b in wanted:
-            by_snap.setdefault(os.path.dirname(rel), []).append(rel)
-    parts = []
-    for snap_rel, rels in sorted(by_snap.items()):
-        parts.append(
-            spark.read.option(
-                "basePath", os.path.join(path, snap_rel)
-            ).parquet(*[os.path.join(path, r) for r in rels])
-        )
-    if not parts:
+    clean_rels = [
+        rel
+        for b, rel in manifest["buckets"].items()
+        if b in wanted and b not in deltas
+    ]
+    clean = _union_snap_reads(spark, path, clean_rels)
+
+    delta_buckets = sorted(b for b in wanted if b in deltas)
+    resolved = None
+    if delta_buckets:
+        base_rels = [
+            manifest["buckets"][b]
+            for b in delta_buckets
+            if b in manifest["buckets"]
+        ]
+        base = _union_snap_reads(spark, path, base_rels)
+        # group delta dirs by committing version (one snapshot dir per
+        # commit), so the whole pending chain is a handful of reads
+        by_seq: dict[int, list[str]] = {}
+        for b in delta_buckets:
+            for seq, rel in deltas[b]:
+                by_seq.setdefault(int(seq), []).append(rel)
+        delta_df = None
+        for seq in sorted(by_seq):
+            d = _union_snap_reads(spark, path, by_seq[seq])
+            d = d.withColumn("_seq", F.lit(int(seq)))
+            delta_df = (
+                d
+                if delta_df is None
+                else delta_df.unionByName(d, allowMissingColumns=True)
+            )
+        resolved = _resolve_deltas(base, delta_df, manifest["key"])
+
+    if clean is None and resolved is None:
         return _empty_frame(spark, manifest)
-    df = parts[0]
-    for p in parts[1:]:
-        # allowMissingColumns: snapshots written before a schema-widening
-        # merge lack the new columns — their rows read back as NULL (the
-        # standard lakehouse evolution contract)
-        df = df.unionByName(p, allowMissingColumns=True)
-    return df
+    if clean is None:
+        return resolved
+    if resolved is None:
+        return clean
+    return clean.unionByName(resolved, allowMissingColumns=True)
 
 
 def read_table(
@@ -270,12 +353,34 @@ def read_table(
     return _read_buckets(spark, path, read_manifest(path, version), None)
 
 
+def _manifest_columns(manifest: dict) -> set[str]:
+    """Data columns the table currently holds (from the recorded schema),
+    excluding the partition column — the no-read column-drop check MOR
+    needs (a COW merge learns them from the bucket read instead)."""
+    fields = json.loads(manifest["schema"])["fields"]
+    return {f["name"] for f in fields} - {"bucket"}
+
+
+def _widened_schema_json(manifest: dict, upd: DataFrame) -> str:
+    """The read schema after a widening merge: every existing field in
+    its recorded order, then any NEW update columns, bucket last."""
+    existing = T.StructType.fromJson(json.loads(manifest["schema"]))
+    have = {f.name for f in existing.fields}
+    fields = [f for f in existing.fields if f.name != "bucket"]
+    for f in upd.schema.fields:
+        if f.name not in have and f.name not in ("bucket", "_deleted"):
+            fields.append(T.StructField(f.name, f.dataType, True))
+    fields.append(T.StructField("bucket", T.IntegerType(), True))
+    return json.dumps(T.StructType(fields).jsonValue())
+
+
 def merge(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     order_col: str | None = None,
     delete_where: str | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Keyed MERGE as a real copy-on-write commit: read ONLY touched
     buckets from the base snapshot, resolve, write new files for those
@@ -304,17 +409,32 @@ def merge(
     column would silently NULL matched rows' retained values, so it
     raises instead.
 
+    ``mode="mor"`` (merge-on-read) writes ONLY the deduped batch —
+    tombstone rows (``_deleted``) for the delete arm — as per-bucket
+    delta file groups appended to the manifest's delta lists: O(batch)
+    I/O with no base read, the write path for frequent small batches at
+    10^12-row scale. Resolution happens at read time
+    (``_read_buckets``); ``compact`` materializes it. A MOR merge
+    reports ``delta_rows`` instead of the updated/inserted/deleted
+    split (the split requires reading the base — exactly the cost MOR
+    exists to avoid; ``snapshot_changes`` recovers it on demand).
+
     Returns {"version", "base_version", "touched_buckets", "updated",
-    "inserted", "deleted"}.
+    "inserted", "deleted"} for COW; {"version", "base_version",
+    "touched_buckets", "delta_rows", "mode"} for MOR.
     """
     from ..operators.upsert import _dedup_updates
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     base = read_manifest(path)
     key, n_buckets = base["key"], base["n_buckets"]
 
     upd = with_bucket(
         _dedup_updates(updates, key, order_col), n_buckets, key=key
     )
+    if mode == "mor":
+        return _merge_mor(spark, path, base, upd, delete_where)
     # one materialization: the deduped batch feeds the touched-bucket
     # collect, the resolve, and the counts (upsert.py's contract)
     upd = upd.localCheckpoint(eager=True)
@@ -374,12 +494,21 @@ def merge(
     for b in touched:  # a touched bucket emptied by deletes has no new dir
         new_buckets.pop(str(b), None)
     new_buckets.update({str(b): d for b, d in new_dirs.items()})
+    # a COW rewrite of a delta'd bucket MATERIALIZES its pending deltas
+    # (the bucket read above resolved them), so their list entries clear
+    new_deltas = {
+        b: lst
+        for b, lst in base.get("deltas", {}).items()
+        if int(b) not in set(touched)
+    }
     manifest = {
         "key": key,
         "n_buckets": n_buckets,
         "buckets": new_buckets,
         "schema": _schema_with_bucket(resolved),
     }
+    if new_deltas:
+        manifest["deltas"] = new_deltas
     new_version = base["version"] + 1
     _commit(path, manifest, new_version, base_version=base["version"])
     return {
@@ -392,40 +521,138 @@ def merge(
     }
 
 
+def _merge_mor(
+    spark: SparkSession,
+    path: str,
+    base: dict,
+    upd: DataFrame,
+    delete_where: str | None,
+) -> dict:
+    """The merge-on-read write path: write the deduped batch (with the
+    delete arm folded into a ``_deleted`` tombstone flag) as per-bucket
+    delta file groups and append them to the manifest's delta lists —
+    no base read, no bucket rewrite, O(batch) I/O end-to-end.
+
+    A tombstone for a key the table never held resolves to nothing at
+    read time — the same unmatched-delete-is-a-no-op rule as the COW
+    arm. The column-drop check runs against the manifest's RECORDED
+    schema (no read needed); widening columns extend it."""
+    key = base["key"]
+    dropped = _manifest_columns(base) - set(upd.columns)
+    if dropped:
+        raise ValueError(
+            f"updates are missing existing columns {sorted(dropped)}: "
+            "column drops are not supported (a latest-wins merge would "
+            "silently NULL matched rows' retained values) — carry every "
+            "existing column; new columns (widening) are fine"
+        )
+    if delete_where is not None:
+        is_del = F.coalesce(F.expr(delete_where).cast("boolean"), F.lit(False))
+    else:
+        is_del = F.lit(False)
+    upd = upd.withColumn("_deleted", is_del)
+    upd = upd.localCheckpoint(eager=True)  # one materialization: write + count
+    n_rows = upd.count()
+    if n_rows == 0:
+        return {
+            "version": base["version"],
+            "base_version": base["version"],
+            "touched_buckets": [],
+            "delta_rows": 0,
+            "mode": "mor",
+        }
+    new_version = base["version"] + 1
+    _sid, new_dirs = _write_snapshot_files(upd, path, base["n_buckets"])
+    deltas = {b: list(lst) for b, lst in base.get("deltas", {}).items()}
+    for b, rel in new_dirs.items():
+        deltas.setdefault(str(b), []).append([new_version, rel])
+    manifest = {
+        "key": key,
+        "n_buckets": base["n_buckets"],
+        "buckets": dict(base["buckets"]),
+        "deltas": deltas,
+        "schema": _widened_schema_json(base, upd),
+    }
+    _commit(path, manifest, new_version, base_version=base["version"])
+    return {
+        "version": new_version,
+        "base_version": base["version"],
+        "touched_buckets": sorted(new_dirs),
+        "delta_rows": n_rows,
+        "mode": "mor",
+    }
+
+
 # ---------------------------------------------------------------------------
 # maintenance: compact + expire (the lakehouse housekeeping pair)
 # ---------------------------------------------------------------------------
 
-def compact(spark: SparkSession, path: str) -> dict:
-    """Rewrite EVERY bucket into one fresh snapshot — bounds manifest
-    fragmentation after many small merges (each merge adds per-bucket
-    file groups from a new snapshot dir; reads union one frame per
-    distinct snapshot referenced). The reference analog is the bulk
-    rewrite maintenance visitor (P19, ``plans/maintenance.py``) — a full
-    table rewrite as ONE job, committed with the same put-if-absent
-    protocol so a concurrent merge cannot be clobbered (one of the two
-    wins; the loser retries)."""
+def compact(
+    spark: SparkSession, path: str, min_deltas: int | None = None
+) -> dict:
+    """Rewrite buckets into a fresh snapshot, MATERIALIZING any pending
+    merge-on-read deltas (the read below resolves them) and clearing
+    their delta lists — bounds manifest fragmentation after many small
+    merges and restores the no-window COW read plan for the rewritten
+    buckets. The reference analog is the bulk rewrite maintenance
+    visitor (P19, ``plans/maintenance.py``) — committed with the same
+    put-if-absent protocol so a concurrent merge cannot be clobbered
+    (one of the two wins; the loser retries).
+
+    Default: every bucket (full compaction). ``min_deltas=k``:
+    incremental maintenance — rewrite ONLY buckets whose pending delta
+    count is ≥ k, carrying every other bucket (and its delta list)
+    forward untouched, so steady-state housekeeping at 10^12 rows
+    scales with the fragmented fraction, not the table."""
     base = read_manifest(path)
-    all_buckets = sorted(int(b) for b in base["buckets"])
-    df = _read_buckets(spark, path, base, all_buckets or None)
+    base_deltas: dict[str, list] = base.get("deltas", {})
+    if min_deltas is None:
+        targets = sorted(
+            int(b) for b in set(base["buckets"]) | set(base_deltas)
+        )
+    else:
+        targets = sorted(
+            int(b) for b, lst in base_deltas.items() if len(lst) >= min_deltas
+        )
+        if not targets:
+            return {
+                "version": base["version"],
+                "rewritten_buckets": [],
+                "snapshot_dirs_before": len(
+                    {os.path.dirname(r) for r in base["buckets"].values()}
+                ),
+            }
+    df = _read_buckets(spark, path, base, targets or None)
     # materialize before writing: compaction writes to a FRESH snapshot
     # dir so the scan's source files are never overwritten, but the
     # checkpoint pins the read to the base version even if a concurrent
     # merge commits mid-compact (the commit race is then decided by the
     # put-if-absent protocol, not by a torn scan)
     df = df.localCheckpoint(eager=True)
-    _sid, dirs = _write_snapshot_files(df, path, max(len(all_buckets), 1))
+    _sid, dirs = _write_snapshot_files(df, path, max(len(targets), 1))
+    target_set = set(targets)
+    new_buckets = {
+        b: rel
+        for b, rel in base["buckets"].items()
+        if int(b) not in target_set
+    }
+    new_buckets.update({str(b): d for b, d in dirs.items()})
+    new_deltas = {
+        b: lst for b, lst in base_deltas.items() if int(b) not in target_set
+    }
     manifest = {
         "key": base["key"],
         "n_buckets": base["n_buckets"],
-        "buckets": {str(b): d for b, d in dirs.items()},
+        "buckets": new_buckets,
         "schema": base.get("schema") or _schema_with_bucket(df),
     }
+    if new_deltas:
+        manifest["deltas"] = new_deltas
     new_version = base["version"] + 1
     _commit(path, manifest, new_version, base_version=base["version"])
     return {
         "version": new_version,
-        "rewritten_buckets": all_buckets,
+        "rewritten_buckets": targets,
         "snapshot_dirs_before": len(
             {os.path.dirname(r) for r in base["buckets"].values()}
         ),
@@ -455,6 +682,8 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     for v in keep_versions:
         m = read_manifest(path, v)
         live_dirs.update(os.path.dirname(rel) for rel in m["buckets"].values())
+        for lst in m.get("deltas", {}).values():  # pending MOR deltas are live
+            live_dirs.update(os.path.dirname(rel) for _seq, rel in lst)
 
     data_root = os.path.join(path, "data")
     removed_dirs = []
@@ -503,11 +732,21 @@ def snapshot_changes(
     m_from = read_manifest(path, from_version)
     m_to = read_manifest(path, to_version)
     key = m_from["key"]
-    all_b = set(m_from["buckets"]) | set(m_to["buckets"])
+    d_from: dict[str, list] = m_from.get("deltas", {})
+    d_to: dict[str, list] = m_to.get("deltas", {})
+    all_b = (
+        set(m_from["buckets"]) | set(m_to["buckets"]) | set(d_from) | set(d_to)
+    )
+    # a bucket differs if its base pointer OR its pending-delta chain
+    # changed (a MOR merge leaves base pointers untouched — the delta
+    # list is where its changes live); compaction changes the base AND
+    # clears the chain but the resolved CONTENT is identical, which the
+    # row-hash comparison below reports as unchanged
     differing = sorted(
         int(b)
         for b in all_b
         if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+        or d_from.get(b) != d_to.get(b)
     )
     if not differing:
         # typed empty frame with the full diff schema

@@ -38,7 +38,7 @@ from ..sources import snapshot_table as st
 from ._tables import load
 from .clips_flagship import _CACHE_ROOT
 
-_TBL_VERSION = "v2"  # bump forces cache rebuild (v2 adds the delete wave)
+_TBL_VERSION = "v3"  # bump forces cache rebuild (v3 adds zone-map stats)
 _N_BUCKETS = 8
 
 
@@ -221,7 +221,7 @@ ORDER BY rec_id
 """
 
 
-_MOR_TBL_VERSION = "v1"
+_MOR_TBL_VERSION = "v2"  # v2: manifests carry zone-map stats
 
 
 def _mor_table_path(sf_dir: str) -> str:
@@ -279,6 +279,40 @@ def snapshot_mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.snapshot_changes(spark, path, 0, 1).orderBy("rec_id")
 
 
+def snapshot_stats_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping under the oracle gate: ``read_table`` with
+    a ``where`` prunes buckets whose manifest stats prove emptiness and
+    filters the survivors — the result must be EXACTLY the unpruned
+    read + filter, which the source-derived oracle replays. A pruner
+    that drops a live bucket (too aggressive) or corrupts stats on any
+    commit path loses rows and breaks the hash."""
+    path = _ensure_table(spark, sf_dir)
+    return (
+        st.read_table(spark, path, where="bal >= 5000")
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_recs"),
+            F.round(F.sum("bal") + 1e-9, 2).alias("total_bal"),
+        )
+        .orderBy("seg")
+    )
+
+
+_STATS_PRUNE_SQL = """
+WITH merged AS (
+  SELECT CASE WHEN c_acctbal < 0 THEN 'REPAIRED' ELSE c_mktsegment END
+           AS seg,
+         round(c_acctbal, 2) AS bal
+  FROM customer
+  UNION ALL
+  SELECT 'NEWSUPP', round(s_acctbal, 2) FROM supplier WHERE s_acctbal >= 0
+)
+SELECT seg, count(*)::BIGINT AS n_recs,
+       round(sum(bal) + 1e-9, 2) AS total_bal
+FROM merged WHERE bal >= 5000 GROUP BY seg ORDER BY seg
+"""
+
+
 QUERIES = {
     "snapshot_cdc_demo": snapshot_cdc_demo,
     "snapshot_merge_counts": snapshot_merge_counts,
@@ -286,6 +320,7 @@ QUERIES = {
     "snapshot_cdc_deletes": snapshot_cdc_deletes,
     "snapshot_mor_counts": snapshot_mor_counts,
     "snapshot_mor_cdc": snapshot_mor_cdc,
+    "snapshot_stats_prune_read": snapshot_stats_prune_read,
 }
 
 ORACLE = {
@@ -297,4 +332,5 @@ ORACLE = {
     # so the source-derived oracles are shared verbatim
     "snapshot_mor_counts": _DELETE_COUNTS_SQL,
     "snapshot_mor_cdc": _CDC_SQL,
+    "snapshot_stats_prune_read": _STATS_PRUNE_SQL,
 }

@@ -171,17 +171,24 @@ def _commit(path: str, manifest: dict, new_version: int, base_version: int) -> N
 
 def _write_snapshot_files(
     df: DataFrame, path: str, n_tasks: int
-) -> tuple[str, dict[int, str]]:
+) -> tuple[str, dict[int, str], dict]:
     """Write ``df`` (must carry ``bucket``) under a fresh snapshot dir,
-    one directory per bucket, returning {bucket: relative_dir} for the
-    bucket dirs ACTUALLY created — ``partitionBy`` makes no directory
-    for an empty partition, so a sparse write (fewer keys than buckets,
-    hash skew, or deletes emptying a bucket) yields a sparse map; a
-    missing entry means an empty bucket (``_read_buckets``).
+    one directory per bucket, returning (snapshot_id, {bucket:
+    relative_dir}, per-bucket zone-map stats) for the bucket dirs
+    ACTUALLY created — ``partitionBy`` makes no directory for an empty
+    partition, so a sparse write (fewer keys than buckets, hash skew,
+    or deletes emptying a bucket) yields a sparse map; a missing entry
+    means an empty bucket (``_read_buckets``).
 
     ``repartitionByRange`` on the bucket value keeps rewrite
     parallelism equal to the touched-bucket count (plain hash
-    ``repartition`` can collide distinct bucket values into one task)."""
+    ``repartition`` can collide distinct bucket values into one task).
+
+    Zone maps are computed by reading BACK the just-written parquet:
+    column pruning means only the atomic statable columns are scanned
+    (the audio payload bytes never leave the footers), so the stats
+    pass costs a slim column scan of the batch, not a second full
+    materialization of the plan."""
     sid = "s" + uuid.uuid4().hex[:12]
     snap_rel = os.path.join("data", sid)
     (
@@ -195,7 +202,186 @@ def _write_snapshot_files(
         if name.startswith("bucket="):
             b = int(name.split("=", 1)[1])
             written[b] = os.path.join(snap_rel, name)
-    return sid, written
+    stats: dict = {}
+    if written:
+        spark = df.sparkSession
+        back = spark.read.option(
+            "basePath", os.path.join(path, snap_rel)
+        ).parquet(*[os.path.join(path, r) for r in written.values()])
+        stats = _bucket_stats(back)
+    return sid, written, stats
+
+
+def _json_safe(v):
+    """Stats values must survive the JSON manifest round trip."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _bucket_stats(df: DataFrame) -> dict:
+    """Per-bucket zone maps for data skipping: ``{bucket: {"n_rows": n,
+    "cols": {col: [min, max, null_count]}}}`` over every atomic
+    (numeric / string / boolean) column — the manifest-level analog of
+    Iceberg's per-file column stats / Delta's add-action stats. One
+    map-side-combined agg over the batch being written (bounded output:
+    n_buckets rows x statable columns), collected to the driver for the
+    manifest."""
+    statable = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in ("bucket", "_deleted")
+        and isinstance(
+            f.dataType, (T.NumericType, T.StringType, T.BooleanType)
+        )
+    ]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in statable:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+    out: dict = {}
+    for r in df.groupBy("bucket").agg(*aggs).collect():
+        out[str(r["bucket"])] = {
+            "n_rows": r["_n"],
+            "cols": {
+                c: [
+                    _json_safe(r[f"_min_{c}"]),
+                    _json_safe(r[f"_max_{c}"]),
+                    r[f"_nulls_{c}"],
+                ]
+                for c in statable
+            },
+        }
+    return out
+
+
+def _merge_stats_union(base: dict | None, delta: dict | None) -> dict:
+    """Interval union of two per-bucket stats entries (merge-on-read: a
+    bucket's effective zone map is base ∪ pending deltas). Min of mins,
+    max of maxes — a SUPERSET of the live rows (tombstoned rows may
+    keep the interval wide until compaction recomputes it exactly),
+    which is the safe direction for pruning."""
+    if not base:
+        return dict(delta or {})
+    if not delta:
+        return dict(base)
+    cols: dict = {}
+    for c in set(base.get("cols", {})) | set(delta.get("cols", {})):
+        b, d = base.get("cols", {}).get(c), delta.get("cols", {}).get(c)
+        if b is None or d is None:
+            # column statable on one side only (widening): rows on the
+            # other side read NULL for it, which no comparison matches —
+            # the one-sided interval remains a safe zone map
+            cols[c] = list(b or d)
+            continue
+        lo = b[0] if d[0] is None else d[0] if b[0] is None else min(b[0], d[0])
+        hi = b[1] if d[1] is None else d[1] if b[1] is None else max(b[1], d[1])
+        cols[c] = [lo, hi, (b[2] or 0) + (d[2] or 0)]
+    return {
+        "n_rows": (base.get("n_rows") or 0) + (delta.get("n_rows") or 0),
+        "cols": cols,
+    }
+
+
+_CONJUNCT_RE = re.compile(
+    r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*$"
+)
+_REV_CONJUNCT_RE = re.compile(
+    r"^\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*(<=|>=|<|>|=)\s*(\w+)\s*$"
+)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+        return tok[1:-1].replace("''", "'")
+    if tok.lower() in ("true", "false"):
+        return tok.lower() == "true"
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return None
+
+
+def _conjunct_excludes(col_stats: list, op: str, lit) -> bool:
+    """True when the zone map PROVES no row in the bucket satisfies
+    ``col op lit``. NULL cells never satisfy a comparison (SQL
+    three-valued logic), so an all-NULL interval (min=max=None) excludes
+    every comparison; mixed types fall back to not-prunable."""
+    lo, hi = col_stats[0], col_stats[1]
+    if lo is None and hi is None:
+        return True  # every row NULL for this column
+    try:
+        if op == "=":
+            return lit < lo or lit > hi
+        if op == "<":
+            return lo >= lit
+        if op == "<=":
+            return lo > lit
+        if op == ">":
+            return hi <= lit
+        if op == ">=":
+            return hi < lit
+    except TypeError:
+        return False
+    return False
+
+
+def prune_buckets(manifest: dict, where: str) -> list[int] | None:
+    """Buckets that MAY hold rows matching ``where``, from the
+    manifest's zone maps — or None when pruning cannot be proven safe
+    (disjunctions/parentheses/unparseable conjuncts on every column, or
+    a pre-stats manifest). Conservative by construction: only
+    top-level AND chains of ``col (<|<=|>|>=|=) literal`` conjuncts
+    participate; anything else keeps the bucket. The returned list
+    feeds ``_read_buckets`` — the same code path as explicit bucket
+    selection, so pruned reads stay on the ordinary scan plan."""
+    stats: dict = manifest.get("stats") or {}
+    if not stats:
+        return None
+    low = where.lower()
+    if "(" in where or ")" in where or " or " in f" {low} " or " not " in f" {low} ":
+        return None
+    conjuncts = []
+    for part in re.split(r"(?i)\s+and\s+", where.strip()):
+        # reversed form first: "390 <= v" would otherwise match the
+        # normal regex with "390" as the column name
+        m = _REV_CONJUNCT_RE.match(part)
+        if m:
+            lit = _parse_literal(m.group(1))
+            if lit is not None:
+                conjuncts.append((m.group(3), _FLIP[m.group(2)], lit))
+                continue
+        m = _CONJUNCT_RE.match(part)
+        if m and not m.group(1).isdigit():
+            lit = _parse_literal(m.group(3))
+            if lit is not None:
+                conjuncts.append((m.group(1), m.group(2), lit))
+    if not conjuncts:
+        return None
+    all_buckets = set(manifest["buckets"]) | set(manifest.get("deltas", {}))
+    kept = []
+    for b in sorted(all_buckets, key=int):
+        entry = stats.get(b)
+        if entry is None:
+            kept.append(int(b))  # no zone map for this bucket: keep it
+            continue
+        excluded = any(
+            c in entry.get("cols", {})
+            and _conjunct_excludes(entry["cols"][c], op, lit)
+            for c, op, lit in conjuncts
+        )
+        if not excluded:
+            kept.append(int(b))
+    return kept
 
 
 def _schema_with_bucket(df: DataFrame) -> str:
@@ -228,12 +414,13 @@ def create_table(
     if is_snapshot_table(path):
         raise ValueError(f"snapshot table already exists at {path}")
     bucketed = with_bucket(df, n_buckets, key=key)
-    _sid, dirs = _write_snapshot_files(bucketed, path, n_buckets)
+    _sid, dirs, stats = _write_snapshot_files(bucketed, path, n_buckets)
     manifest = {
         "key": key,
         "n_buckets": n_buckets,
         "buckets": {str(b): d for b, d in dirs.items()},
         "schema": _schema_with_bucket(bucketed),
+        "stats": stats,
     }
     _commit(path, manifest, new_version=0, base_version=-1)
     return read_manifest(path)
@@ -347,10 +534,55 @@ def _read_buckets(
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
-    """The table at ``version`` (default: current), bucket column included."""
-    return _read_buckets(spark, path, read_manifest(path, version), None)
+    """The table at ``version`` (default: current), bucket column
+    included. With ``where``, the manifest's zone maps prune buckets the
+    predicate provably cannot match BEFORE any file is listed or
+    scanned (data skipping — the manifest-level analog of Iceberg/Delta
+    column stats), and the full predicate is still applied to the
+    survivors, so the result is always exactly ``read_table(...)
+    .filter(where)``. Pruning is conservative: unsupported predicate
+    shapes skip nothing and just filter."""
+    manifest = read_manifest(path, version)
+    if where is None:
+        return _read_buckets(spark, path, manifest, None)
+    kept = prune_buckets(manifest, where)
+    df = _read_buckets(spark, path, manifest, kept)
+    return df.filter(F.expr(where))
+
+
+def read_table_by_keys(
+    spark: SparkSession,
+    path: str,
+    keys: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup path: the bucket hash that PLACED each key also
+    FINDS it — ``pmod(xxhash64(key), n_buckets)`` computed driver-side
+    selects only the buckets that can hold the requested keys, then an
+    in-plan ``isin`` filters the survivors. A k-key lookup on a
+    10^12-row table scans ≤ k buckets, not the table."""
+    manifest = read_manifest(path, version)
+    key = manifest["key"]
+    n_buckets = manifest["n_buckets"]
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    key_field = next(f for f in schema.fields if f.name == key)
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys], T.StructType([key_field])
+    )
+    wanted = sorted(
+        r["bucket"]
+        for r in with_bucket(kdf, n_buckets, key=key)
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    df = _read_buckets(spark, path, manifest, wanted)
+    return df.filter(F.col(key).isin(list(keys)))
 
 
 def _manifest_columns(manifest: dict) -> set[str]:
@@ -489,7 +721,9 @@ def merge(
     n_update_keys = upd.count()
     inserted = n_after - n_before
 
-    _sid, new_dirs = _write_snapshot_files(resolved, path, len(touched))
+    _sid, new_dirs, new_stats = _write_snapshot_files(
+        resolved, path, len(touched)
+    )
     new_buckets = dict(base["buckets"])  # untouched entries carry forward
     for b in touched:  # a touched bucket emptied by deletes has no new dir
         new_buckets.pop(str(b), None)
@@ -501,11 +735,19 @@ def merge(
         for b, lst in base.get("deltas", {}).items()
         if int(b) not in set(touched)
     }
+    # rewritten buckets get EXACT fresh zone maps; untouched carry forward
+    stats = {
+        b: s
+        for b, s in (base.get("stats") or {}).items()
+        if int(b) not in set(touched)
+    }
+    stats.update(new_stats)
     manifest = {
         "key": key,
         "n_buckets": n_buckets,
         "buckets": new_buckets,
         "schema": _schema_with_bucket(resolved),
+        "stats": stats,
     }
     if new_deltas:
         manifest["deltas"] = new_deltas
@@ -562,16 +804,25 @@ def _merge_mor(
             "mode": "mor",
         }
     new_version = base["version"] + 1
-    _sid, new_dirs = _write_snapshot_files(upd, path, base["n_buckets"])
+    _sid, new_dirs, delta_stats = _write_snapshot_files(
+        upd, path, base["n_buckets"]
+    )
     deltas = {b: list(lst) for b, lst in base.get("deltas", {}).items()}
     for b, rel in new_dirs.items():
         deltas.setdefault(str(b), []).append([new_version, rel])
+    # a delta'd bucket's zone map widens to the interval UNION of base
+    # and batch (a superset of the post-resolution rows — safe to prune
+    # on; compaction recomputes it exactly)
+    stats = dict(base.get("stats") or {})
+    for b, s in delta_stats.items():
+        stats[b] = _merge_stats_union(stats.get(b), s)
     manifest = {
         "key": key,
         "n_buckets": base["n_buckets"],
         "buckets": dict(base["buckets"]),
         "deltas": deltas,
         "schema": _widened_schema_json(base, upd),
+        "stats": stats,
     }
     _commit(path, manifest, new_version, base_version=base["version"])
     return {
@@ -629,7 +880,9 @@ def compact(
     # merge commits mid-compact (the commit race is then decided by the
     # put-if-absent protocol, not by a torn scan)
     df = df.localCheckpoint(eager=True)
-    _sid, dirs = _write_snapshot_files(df, path, max(len(targets), 1))
+    _sid, dirs, new_stats = _write_snapshot_files(
+        df, path, max(len(targets), 1)
+    )
     target_set = set(targets)
     new_buckets = {
         b: rel
@@ -640,11 +893,18 @@ def compact(
     new_deltas = {
         b: lst for b, lst in base_deltas.items() if int(b) not in target_set
     }
+    stats = {
+        b: s
+        for b, s in (base.get("stats") or {}).items()
+        if int(b) not in target_set
+    }
+    stats.update(new_stats)  # compaction restores exact zone maps
     manifest = {
         "key": base["key"],
         "n_buckets": base["n_buckets"],
         "buckets": new_buckets,
         "schema": base.get("schema") or _schema_with_bucket(df),
+        "stats": stats,
     }
     if new_deltas:
         manifest["deltas"] = new_deltas

@@ -422,6 +422,351 @@ SELECT (SELECT count(*) FROM sub)::BIGINT AS n_clips_eval,
 """
 
 
+# ---------------------------------------------------------------------------
+# multi-table LSH (OR-amplification): the round-5 answer to the measured
+# hyperplane-boundary miss. One 8-plane table groups ~54% of true ≥0.98
+# pairs (bucket_recall 0.544 at sf0.01 — a pair lands in one bucket only
+# if NO plane separates it); N_TABLES independent tables OR their
+# candidate sets, so a pair is missed only if EVERY table splits it —
+# recall 1-(1-p)^T for near-independent tables, at T× the candidate/
+# ranking cost (still O(T·N·W), skew-immune per table). The plane count
+# per table and the table count are the two explicit dials.
+# ---------------------------------------------------------------------------
+
+N_TABLES = 4
+
+
+def _plane_t(t: int, h: int) -> list[float]:
+    """Table ``t``'s hyperplane ``h`` — table 0 is the single-table
+    query's plane set (so the two queries share bucket semantics);
+    further tables derive from independent md5 streams."""
+    if t == 0:
+        return PLANES[h]
+    return [
+        int(hashlib.md5(f"aemb_t{t}_{h}_{i}".encode()).hexdigest()[:8], 16)
+        / 2**31
+        - 1.0
+        for i in range(embed.EMB_DIM)
+    ]
+
+
+TABLE_PLANES: list[list[list[float]]] = [
+    [_plane_t(t, h) for h in range(N_PLANES)] for t in range(N_TABLES)
+]
+
+
+def _sql_plane_t(t: int, h: int) -> str:
+    return "[" + ", ".join(repr(v) for v in TABLE_PLANES[t][h]) + "]"
+
+
+def _bucket_col(planes: list[list[float]]) -> F.Column:
+    bucket = F.lit(0)
+    for h, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        bucket = bucket + F.when(
+            _dot(F.col("emb"), plane) > 0, 1 << h
+        ).otherwise(0)
+    return bucket.cast("int")
+
+
+def _table_candidates(base: DataFrame, t: int) -> DataFrame:
+    """Table ``t``'s sorted-neighborhood candidate pairs with their
+    cosine — the exact single-table chain (bucket → per-bucket
+    projection ranking → SN_W window equi-join) under table-specific
+    planes. ``base`` must carry (clip_id, emb, nrm) and should be
+    persisted by the caller (every table re-reads it)."""
+    from pyspark.sql.window import Window
+
+    planes = TABLE_PLANES[t]
+    plane0 = F.array(*[F.lit(v) for v in planes[0]])
+    b = base.select(
+        "clip_id",
+        "emb",
+        "nrm",
+        _bucket_col(planes).alias("bucket"),
+        _dot(F.col("emb"), plane0).alias("proj"),
+    )
+    pos_w = Window.partitionBy("bucket").orderBy("proj", "clip_id")
+    r = b.withColumn("pos", F.row_number().over(pos_w))
+    lhs = r.select(
+        F.col("clip_id").alias("l_id"),
+        F.col("bucket").alias("l_bucket"),
+        F.col("emb").alias("l_emb"),
+        F.col("nrm").alias("l_nrm"),
+        F.col("pos").alias("l_pos"),
+        F.explode(F.sequence(F.lit(1), F.lit(SN_W))).alias("off"),
+    ).withColumn("t_pos", F.col("l_pos") + F.col("off"))
+    return lhs.join(
+        r,
+        (F.col("l_bucket") == F.col("bucket"))
+        & (F.col("t_pos") == F.col("pos")),
+    ).select(
+        F.least(F.col("l_id"), F.col("clip_id")).alias("id_a"),
+        F.greatest(F.col("l_id"), F.col("clip_id")).alias("id_b"),
+        F.round(
+            _dot(F.col("l_emb"), F.col("emb"))
+            / (F.col("l_nrm") * F.col("nrm"))
+            + 1e-9,
+            2,
+        ).alias("cos_sim"),
+    )
+
+
+def audio_semantic_neardup_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table near-dup: union the N_TABLES candidate sets, dedup
+    pairs found by several tables (same pair → identical cos on every
+    path, so the distinct is exact), then the production ≥0.98
+    histogram. Compared against ``audio_semantic_neardup`` this trades
+    T× candidate generation for the OR'd recall; the eval query
+    (``audio_semantic_recall_eval_mt``) puts numbers on both sides."""
+    e = embed.embed_clips(load_clips(spark, sf_dir)).filter(F.col("emb_ok"))
+    base = e.select(
+        "clip_id",
+        "emb",
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+    ).persist()
+    cand = None
+    for t in range(N_TABLES):
+        c = _table_candidates(base, t)
+        cand = c if cand is None else cand.unionByName(c)
+    return (
+        cand.distinct()
+        .filter(F.col("cos_sim") >= 0.98)
+        .groupBy("cos_sim")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("cos_sim")
+    )
+
+
+def semantic_neardup_mt_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    table_ctes, table_sels = [], []
+    for t in range(N_TABLES):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {_sql_plane_t(t, h)}) > 0 "
+            f"THEN {1 << h} ELSE 0 END)"
+            for h in range(N_PLANES)
+        )
+        table_ctes.append(
+            f"""r{t} AS (
+  SELECT clip_id, emb, nrm, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY proj, clip_id)
+           AS pos
+  FROM (SELECT clip_id, emb, nrm, ({terms})::INTEGER AS bucket,
+               list_dot_product(emb, {_sql_plane_t(t, 0)}) AS proj
+        FROM e)
+),
+lhs{t} AS (SELECT l.clip_id AS l_id, l.emb AS l_emb, l.nrm AS l_nrm,
+                  l.bucket, l.pos + off AS t_pos
+           FROM r{t} l CROSS JOIN offs),
+p{t} AS (
+  SELECT least(lhs{t}.l_id, r2.clip_id) AS id_a,
+         greatest(lhs{t}.l_id, r2.clip_id) AS id_b,
+         round(list_dot_product(lhs{t}.l_emb, r2.emb)
+               / (lhs{t}.l_nrm * r2.nrm) + 1e-9, 2) AS cos_sim
+  FROM lhs{t} JOIN r{t} r2
+    ON r2.bucket = lhs{t}.bucket AND r2.pos = lhs{t}.t_pos
+)"""
+        )
+        table_sels.append(f"SELECT * FROM p{t}")
+    ctes = ",\n".join(table_ctes)
+    union = "\nUNION ALL\n".join(table_sels)
+    return f"""
+WITH e AS (
+  SELECT clip_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM read_parquet('{path}/*.parquet') WHERE emb_ok
+),
+offs AS (SELECT unnest(generate_series(1, {SN_W})) AS off),
+{ctes},
+cand AS (SELECT DISTINCT id_a, id_b, cos_sim FROM ({union}))
+SELECT cos_sim, count(*)::BIGINT AS n_pairs
+FROM cand WHERE cos_sim >= 0.98
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def audio_semantic_recall_eval_mt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The recall eval re-run against the UNION candidate chain:
+    ``bucket_recall`` becomes the fraction of true pairs co-bucketed in
+    AT LEAST ONE table (the component-recall ceiling of the OR'd
+    generator), ``pair_recall``/``precision`` measure the realized
+    union. Read next to ``audio_semantic_recall_eval``: the delta IS
+    the value of the extra tables, measured in-engine on the production
+    chain."""
+    e = embed.embed_clips(load_clips(spark, sf_dir))
+    return recall_eval_frame_mt(e)
+
+
+def recall_eval_frame_mt(e: DataFrame) -> DataFrame:
+    e = e.filter(F.col("emb_ok"))
+    base = e.select(
+        "clip_id",
+        "emb",
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+    ).persist()
+    cand = None
+    for t in range(N_TABLES):
+        c = _table_candidates(base, t).select("id_a", "id_b")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    buckets = base.select(
+        "clip_id",
+        "emb",
+        "nrm",
+        *[
+            _bucket_col(TABLE_PLANES[t]).alias(f"b{t}")
+            for t in range(N_TABLES)
+        ],
+    )
+    sub = buckets.filter(_eval_gate())
+    ids_a = sub.select(F.col("clip_id").alias("id_a"))
+    ids_b = sub.select(F.col("clip_id").alias("id_b"))
+    cand_sub = cand.join(ids_a, "id_a", "left_semi").join(
+        ids_b, "id_b", "left_semi"
+    )
+    la = sub.select(
+        F.col("clip_id").alias("id_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+        *[F.col(f"b{t}").alias(f"ba{t}") for t in range(N_TABLES)],
+    )
+    lb = sub.select(
+        F.col("clip_id").alias("id_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+        *[F.col(f"b{t}").alias(f"bb{t}") for t in range(N_TABLES)],
+    )
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) + 1e-9,
+        2,
+    )
+    same_any = F.lit(False)
+    for t in range(N_TABLES):
+        same_any = same_any | (F.col(f"ba{t}") == F.col(f"bb{t}"))
+    truth = (
+        la.crossJoin(lb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= _EVAL_COS)
+        .select("id_a", "id_b", same_any.alias("same_bucket"))
+    )
+    found = truth.join(cand_sub, ["id_a", "id_b"], "left_semi")
+    stats = (
+        sub.agg(F.count("*").alias("n_clips_eval"))
+        .crossJoin(
+            truth.agg(
+                F.count("*").alias("true_pairs"),
+                F.coalesce(
+                    F.sum(F.col("same_bucket").cast("long")), F.lit(0)
+                ).alias("cobucket_pairs"),
+            )
+        )
+        .crossJoin(cand_sub.agg(F.count("*").alias("cand_pairs")))
+        .crossJoin(found.agg(F.count("*").alias("found_pairs")))
+    )
+    return stats.select(
+        "n_clips_eval",
+        "true_pairs",
+        "cand_pairs",
+        "found_pairs",
+        "cobucket_pairs",
+        F.when(
+            F.col("true_pairs") > 0,
+            F.round(F.col("found_pairs") / F.col("true_pairs") + 1e-9, 4),
+        ).alias("pair_recall"),
+        F.when(
+            F.col("true_pairs") > 0,
+            F.round(F.col("cobucket_pairs") / F.col("true_pairs") + 1e-9, 4),
+        ).alias("bucket_recall"),
+        F.when(
+            F.col("cand_pairs") > 0,
+            F.round(F.col("found_pairs") / F.col("cand_pairs") + 1e-9, 4),
+        ).alias("precision"),
+    )
+
+
+def semantic_recall_eval_mt_oracle(sf_dir: str) -> str:
+    path = features_path_for(sf_dir)
+    table_ctes, table_sels, bcols = [], [], []
+    for t in range(N_TABLES):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {_sql_plane_t(t, h)}) > 0 "
+            f"THEN {1 << h} ELSE 0 END)"
+            for h in range(N_PLANES)
+        )
+        bcols.append(f"({terms})::INTEGER AS b{t}")
+        table_ctes.append(
+            f"""r{t} AS (
+  SELECT clip_id, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY proj, clip_id)
+           AS pos
+  FROM (SELECT clip_id, ({terms})::INTEGER AS bucket,
+               list_dot_product(emb, {_sql_plane_t(t, 0)}) AS proj
+        FROM e)
+),
+lhs{t} AS (SELECT l.clip_id AS l_id, l.bucket, l.pos + off AS t_pos
+           FROM r{t} l CROSS JOIN offs),
+p{t} AS (
+  SELECT least(lhs{t}.l_id, r2.clip_id) AS id_a,
+         greatest(lhs{t}.l_id, r2.clip_id) AS id_b
+  FROM lhs{t} JOIN r{t} r2
+    ON r2.bucket = lhs{t}.bucket AND r2.pos = lhs{t}.t_pos
+)"""
+        )
+        table_sels.append(f"SELECT * FROM p{t}")
+    ctes = ",\n".join(table_ctes)
+    union = "\nUNION ALL\n".join(table_sels)
+    same_any = " OR ".join(f"a.b{t} = b.b{t}" for t in range(N_TABLES))
+    return f"""
+WITH e AS (
+  SELECT clip_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM read_parquet('{path}/*.parquet') WHERE emb_ok
+),
+offs AS (SELECT unnest(generate_series(1, {SN_W})) AS off),
+{ctes},
+cand AS (SELECT DISTINCT id_a, id_b FROM ({union})),
+sub AS (
+  SELECT clip_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+         {", ".join(bcols)}
+  FROM read_parquet('{path}/*.parquet')
+  WHERE emb_ok AND right(clip_id, 10)::INTEGER % {_EVAL_MOD} = 0
+),
+cand_sub AS (
+  SELECT cand.id_a, cand.id_b FROM cand
+  JOIN sub sa ON sa.clip_id = cand.id_a
+  JOIN sub sb ON sb.clip_id = cand.id_b
+),
+truth AS (
+  SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+         ({same_any}) AS same_bucket
+  FROM sub a JOIN sub b ON a.clip_id < b.clip_id
+  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-9, 2)
+        >= {_EVAL_COS}
+),
+found AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  JOIN cand_sub c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT (SELECT count(*) FROM sub)::BIGINT AS n_clips_eval,
+       (SELECT count(*) FROM truth)::BIGINT AS true_pairs,
+       (SELECT count(*) FROM cand_sub)::BIGINT AS cand_pairs,
+       (SELECT count(*) FROM found)::BIGINT AS found_pairs,
+       (SELECT coalesce(sum(same_bucket::INT), 0) FROM truth)::BIGINT
+         AS cobucket_pairs,
+       CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+         round((SELECT count(*) FROM found)::DOUBLE
+               / (SELECT count(*) FROM truth) + 1e-9, 4) END AS pair_recall,
+       CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+         round((SELECT coalesce(sum(same_bucket::INT), 0) FROM truth)::DOUBLE
+               / (SELECT count(*) FROM truth) + 1e-9, 4) END
+         AS bucket_recall,
+       CASE WHEN (SELECT count(*) FROM cand_sub) > 0 THEN
+         round((SELECT count(*) FROM found)::DOUBLE
+               / (SELECT count(*) FROM cand_sub) + 1e-9, 4) END AS precision
+"""
+
+
 AC_K = 8  # clusters for the balance report
 
 
@@ -527,6 +872,8 @@ QUERIES = {
     "audio_embedding_stats": audio_embedding_stats,
     "audio_semantic_neardup": audio_semantic_neardup,
     "audio_semantic_recall_eval": audio_semantic_recall_eval,
+    "audio_semantic_neardup_mt": audio_semantic_neardup_mt,
+    "audio_semantic_recall_eval_mt": audio_semantic_recall_eval_mt,
     "audio_cluster_balance": audio_cluster_balance,
 }
 
@@ -536,5 +883,7 @@ ORACLE_BUILDERS = {
     "audio_embedding_stats": embedding_stats_oracle,
     "audio_semantic_neardup": semantic_neardup_oracle,
     "audio_semantic_recall_eval": semantic_recall_eval_oracle,
+    "audio_semantic_neardup_mt": semantic_neardup_mt_oracle,
+    "audio_semantic_recall_eval_mt": semantic_recall_eval_mt_oracle,
     "audio_cluster_balance": cluster_balance_oracle,
 }

@@ -19,6 +19,9 @@ Modes:
              --order-col, --delete-where, --key, --n-buckets, and
              --write-mode cow|mor (mor = O(batch) merge-on-read delta
              append; resolution happens at read / snapshot-compact)
+  rebucket   partition-spec evolution: re-hash the snapshot table at
+             --output to --n-buckets buckets in one atomic full-rewrite
+             commit (history stays readable under each version's spec)
   snapshot-compact  materialize pending merge-on-read deltas and collapse
              snapshot-dir fragmentation on the table at --output;
              --min-deltas K limits the rewrite to buckets with >= K
@@ -91,7 +94,7 @@ def main(argv: list[str]) -> int:
         "--mode",
         choices=(
             "batch", "stream", "compact", "merge", "cdc", "expire",
-            "snapshot-compact",
+            "snapshot-compact", "rebucket",
         ),
         default=None,
     )
@@ -129,7 +132,9 @@ def main(argv: list[str]) -> int:
         v = getattr(args, k)
         if v is not None:
             cfg[k] = v
-    if cfg["mode"] in ("compact", "cdc", "expire", "snapshot-compact"):
+    if cfg["mode"] in (
+        "compact", "cdc", "expire", "snapshot-compact", "rebucket",
+    ):
         if not cfg["output"]:
             ap.error(f"{cfg['mode']} mode needs --output (the table path)")
         if cfg["mode"] == "cdc" and cfg["from_version"] is None:
@@ -206,6 +211,11 @@ def main(argv: list[str]) -> int:
             "changes": by_kind,
             "cdc_out": cfg.get("cdc_out"),
         }
+    elif cfg["mode"] == "rebucket":
+        from wallaby2caom2_spark.sources import snapshot_table as st
+
+        summary = st.rebucket(spark, cfg["output"], int(cfg["n_buckets"]))
+        summary["mode"] = "rebucket"
     elif cfg["mode"] == "snapshot-compact":
         from wallaby2caom2_spark.sources import snapshot_table as st
 

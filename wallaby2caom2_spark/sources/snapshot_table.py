@@ -919,6 +919,52 @@ def compact(
     }
 
 
+def rebucket(spark: SparkSession, path: str, new_n_buckets: int) -> dict:
+    """Partition-spec evolution: change the table's bucket count with
+    ONE atomic full-rewrite commit — the whole table (pending MOR
+    deltas resolved) is re-hashed under the new spec, stats and zone
+    maps recomputed, and the new manifest committed with the same
+    put-if-absent protocol (a concurrent merge loses cleanly or wins
+    cleanly; never a torn spec). Time travel still reads old versions
+    under their OWN ``n_buckets`` — every manifest is self-describing.
+
+    Scale note: a full rewrite is the honest cost of re-hashing —
+    unlike Iceberg's lazy spec evolution there is no mixed-spec state
+    to reason about afterwards, and at bucket-count DOUBLING the
+    xxhash64 pmod identity (``hash % 2N ∈ {b, b+N}`` whenever
+    ``hash % N == b``) keeps every task's input confined to one old
+    bucket, so the rewrite shuffles nothing across old bucket
+    boundaries; ``repartitionByRange`` on the new bucket value keeps
+    task parallelism = new bucket count. Run it as maintenance, like
+    ``compact``."""
+    if new_n_buckets < 1:
+        raise ValueError("new_n_buckets must be >= 1")
+    base = read_manifest(path)
+    if new_n_buckets == base["n_buckets"]:
+        raise ValueError(
+            f"table already has n_buckets={new_n_buckets}; nothing to do"
+        )
+    df = _read_buckets(spark, path, base, None).drop("bucket")
+    df = with_bucket(df, new_n_buckets, key=base["key"])
+    df = df.localCheckpoint(eager=True)  # pin the read to the base version
+    _sid, dirs, stats = _write_snapshot_files(df, path, new_n_buckets)
+    manifest = {
+        "key": base["key"],
+        "n_buckets": new_n_buckets,
+        "buckets": {str(b): d for b, d in dirs.items()},
+        "schema": base.get("schema") or _schema_with_bucket(df),
+        "stats": stats,
+    }
+    new_version = base["version"] + 1
+    _commit(path, manifest, new_version, base_version=base["version"])
+    return {
+        "version": new_version,
+        "n_buckets_before": base["n_buckets"],
+        "n_buckets": new_n_buckets,
+        "buckets_written": sorted(dirs),
+    }
+
+
 def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     """Delete data directories referenced ONLY by manifests older than the
     ``keep_last`` most recent versions, then drop those manifests — the

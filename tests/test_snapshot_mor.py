@@ -291,6 +291,67 @@ def test_upsert_auto_mor_dispatch(spark, table):
         )
 
 
+def test_streaming_mor_equals_cow_stream(spark, tmp_path):
+    """run_upsert_stream(write_mode='mor', compact_min_deltas=2): the
+    high-frequency-ingest shape — each micro-batch lands as deltas, the
+    sink auto-compacts fragmented buckets, and the drained table equals
+    the COW stream's content exactly."""
+    import os
+    import shutil
+
+    from wallaby2caom2_spark import datagen
+    from wallaby2caom2_spark.streaming.upsert_stream import run_upsert_stream
+
+    def _add_wave(in_dir, stage_dir, seed, tag):
+        datagen.write_clips_parquet(stage_dir, 120, seed=seed)
+        for f in os.listdir(stage_dir):
+            shutil.copy(
+                os.path.join(stage_dir, f),
+                os.path.join(in_dir, f"{tag}_{f}"),
+            )
+
+    states = {}
+    for mode in ("cow", "mor"):
+        in_dir = str(tmp_path / f"in_{mode}")
+        os.makedirs(in_dir)
+        out = str(tmp_path / f"out_{mode}")
+        _add_wave(in_dir, str(tmp_path / f"s1_{mode}"), 11, "w1")
+        kwargs = (
+            {"write_mode": "mor", "compact_min_deltas": 2}
+            if mode == "mor"
+            else {}
+        )
+        run_upsert_stream(
+            spark, in_dir, out, n_buckets=4,
+            max_files_per_trigger=1, **kwargs,
+        )
+        _add_wave(in_dir, str(tmp_path / f"s2_{mode}"), 22, "w2")
+        run_upsert_stream(
+            spark, in_dir, out, n_buckets=4,
+            max_files_per_trigger=1, **kwargs,
+        )
+        tbl = os.path.join(out, "table")
+        states[mode] = {
+            r["clip_id"]: (r["keep"], r["scrubbed_transcript"])
+            for r in st.read_table(spark, tbl).collect()
+        }
+        if mode == "mor":
+            # metrics rows record the mode and delta counts
+            mrows = spark.read.parquet(os.path.join(out, "metrics")).collect()
+            assert any(r["write_mode"] == "mor" for r in mrows)
+            assert all(
+                r["delta_rows"] is not None
+                for r in mrows
+                if r["write_mode"] == "mor"
+            )
+            # auto-compaction kept every pending chain below the threshold
+            m = st.read_manifest(tbl)
+            assert all(
+                len(lst) < 2 for lst in m.get("deltas", {}).values()
+            )
+    assert states["cow"] == states["mor"]
+
+
 def test_mor_conflict_detection(spark, table):
     """Two MOR merges from the same base: second commit loses."""
     base = st.read_manifest(table)

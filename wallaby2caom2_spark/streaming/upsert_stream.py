@@ -25,7 +25,16 @@ optimistic commit raises on a concurrent writer rather than corrupt).
 
 Scale shape: per batch this is the flagship plan (one Arrow crossing,
 slim rows) followed by a merge that reads/rewrites only the buckets the
-batch touches — O(batch), never O(table).
+batch touches — O(batch), never O(table). With ``write_mode="mor"`` the
+merge does not even read those buckets: each batch lands as delta file
+groups (O(batch) I/O end-to-end, the high-frequency-ingest shape), and
+``compact_min_deltas`` keeps pending chains bounded by compacting any
+bucket whose chain reaches the threshold after the batch commits — the
+steady-state cadence the delta-chain probe (BENCH/mor-chain.md)
+recommends. A MOR batch re-delivered after a crash appends a redundant
+delta whose rows equal what resolution already yields — the table
+CONTENT converges exactly as in the COW path, and the next compaction
+folds the redundancy away.
 """
 
 from __future__ import annotations
@@ -48,6 +57,7 @@ def upsert_batch(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     n_buckets: int = 16,
     order_col: str | None = None,
+    write_mode: str = "cow",
 ) -> dict:
     """One micro-batch: pipeline → bootstrap-or-merge. Shared by the
     streaming sink and direct batch callers (tests)."""
@@ -65,7 +75,7 @@ def upsert_batch(
             "inserted": n,
         }
     return snapshot_table.merge(
-        spark, table_path, result, order_col=order_col
+        spark, table_path, result, order_col=order_col, mode=write_mode
     )
 
 
@@ -76,9 +86,17 @@ def run_upsert_stream(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     n_buckets: int = 16,
     max_files_per_trigger: int | None = None,
+    write_mode: str = "cow",
+    compact_min_deltas: int | None = None,
 ) -> None:
     """One bounded (availableNow) streaming run: new clip files →
     pipeline → snapshot-table MERGE + per-batch metrics.
+
+    ``write_mode="mor"`` lands each batch as delta file groups (no
+    bucket rewrite); ``compact_min_deltas=k`` then compacts any bucket
+    whose pending chain reached ``k`` after the commit, bounding the
+    read tax while keeping housekeeping proportional to the hot
+    fraction (BENCH/mor-chain.md).
 
     Layout under ``out_dir``: ``table/`` (the snapshot table),
     ``metrics/`` (one row per batch, batch_id-partitioned, overwritten on
@@ -88,20 +106,29 @@ def run_upsert_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         stats = upsert_batch(
-            spark, batch_df, table_path, cfg=cfg, n_buckets=n_buckets
+            spark, batch_df, table_path, cfg=cfg, n_buckets=n_buckets,
+            write_mode=write_mode,
         )
+        if compact_min_deltas is not None and snapshot_table.is_snapshot_table(
+            table_path
+        ):
+            snapshot_table.compact(
+                spark, table_path, min_deltas=compact_min_deltas
+            )
         row = spark.createDataFrame(
             [
                 (
                     int(batch_id),
                     int(stats["version"]),
-                    int(stats["updated"]),
-                    int(stats["inserted"]),
+                    stats.get("updated"),
+                    stats.get("inserted"),
                     len(stats["touched_buckets"]),
+                    stats.get("mode", "cow"),
+                    stats.get("delta_rows"),
                 )
             ],
             "batch_id long, version int, updated long, inserted long, "
-            "touched_buckets int",
+            "touched_buckets int, write_mode string, delta_rows long",
         )
         (
             row.coalesce(1)

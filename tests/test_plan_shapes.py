@@ -492,6 +492,15 @@ _GOLDEN_FINGERPRINTS = {
     "audio_incremental_dedup": {
         "Exchange": 7, "SortMergeJoin": 2, "Sort": 6,
     },
+    # multi-table neardup: 4 tables x (bucket window + pair SMJ) over ONE
+    # persisted embed frame — the MapInPandas/Window/Sort counts are the
+    # per-branch echoes of the cached lineage; the load-bearing pins are
+    # SortMergeJoin == N_TABLES (each table's pair join stays an
+    # equi-join on (bucket, pos)) and the absence of any BNLJ/Cartesian
+    "audio_semantic_neardup_mt": {
+        "Exchange": 19, "SortMergeJoin": 4, "MapInPandas": 8, "Window": 8,
+        "Sort": 17,
+    },
 }
 
 

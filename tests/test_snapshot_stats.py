@@ -165,6 +165,67 @@ def test_pre_stats_manifest_reads_unpruned_but_correct(spark, table, tmp_path):
     assert st.read_table(spark, table, where="v >= 390").count() == 10
 
 
+def test_mor_on_pre_stats_bucket_leaves_it_unstated(spark, table, tmp_path):
+    """Regression: a MOR delta landing on a bucket whose BASE rows carry
+    no zone map (pre-stats manifest) must NOT give that bucket a
+    delta-only interval — pruning on it would wrongly exclude base
+    rows."""
+    import json as _json
+
+    v = st.current_version(table)
+    mp = st._manifest_path(table, v)
+    m = _json.load(open(mp))
+    m.pop("stats", None)  # simulate a pre-stats table
+    open(mp, "w").write(_json.dumps(m))
+
+    out = st.merge(
+        spark, table, _df(spark, [("k0001", 7, 7.0, "grpZ")]), mode="mor"
+    )
+    (touched,) = out["touched_buckets"]
+    m2 = st.read_manifest(table)
+    # the delta'd base bucket stays unstated; no other bucket gained stats
+    assert str(touched) not in (m2.get("stats") or {})
+    # and a predicate outside the DELTA's range still reads base rows
+    # from that bucket (k0001's old v is 1, batch wrote v=7)
+    got = st.read_table(spark, table, where="v >= 300")
+    want = st.read_table(spark, table).filter("v >= 300")
+    assert sorted(r["clip_id"] for r in got.collect()) == sorted(
+        r["clip_id"] for r in want.collect()
+    )
+    # a delta into an EMPTY bucket (no base rows) IS statable even on a
+    # pre-stats table: build a sparse 16-bucket table from one row, strip
+    # its stats, MOR-insert a key hashing to a DIFFERENT (empty) bucket
+    p2 = str(tmp_path / "sparse")
+    st.create_table(
+        spark, p2, _df(spark, [("a", 1, 1.0, "g")]), key="clip_id",
+        n_buckets=16,
+    )
+    mp2 = st._manifest_path(p2, 0)
+    m2j = _json.load(open(mp2))
+    m2j.pop("stats", None)
+    open(mp2, "w").write(_json.dumps(m2j))
+    taken = set(m2j["buckets"])
+    probe = next(
+        k
+        for k in (f"key{i}" for i in range(200))
+        if str(
+            st.with_bucket(_df(spark, [(k, 0, 0.0, "g")]), 16)
+            .collect()[0]["bucket"]
+        )
+        not in taken
+    )
+    out2 = st.merge(
+        spark, p2, _df(spark, [(probe, 42, 1.0, "g")]), mode="mor"
+    )
+    (tb,) = out2["touched_buckets"]
+    m3 = st.read_manifest(p2)
+    assert str(tb) in m3["stats"]
+    # pruning keeps the delta bucket (stats say v=42 possible) and the
+    # UNSTATED pre-stats bucket (conservative), nothing else
+    kept = st.prune_buckets(m3, "v = 42")
+    assert tb in kept and set(map(str, kept)) == taken | {str(tb)}
+
+
 def test_point_lookup_scans_only_hashed_buckets(spark, table):
     got = st.read_table_by_keys(spark, table, ["k0005", "k0350", "nope"])
     assert sorted(r["clip_id"] for r in got.collect()) == ["k0005", "k0350"]

@@ -812,10 +812,18 @@ def _merge_mor(
         deltas.setdefault(str(b), []).append([new_version, rel])
     # a delta'd bucket's zone map widens to the interval UNION of base
     # and batch (a superset of the post-resolution rows — safe to prune
-    # on; compaction recomputes it exactly)
-    stats = dict(base.get("stats") or {})
+    # on; compaction recomputes it exactly). A bucket whose BASE rows
+    # carry no zone map (pre-stats manifest) must stay unstated — a
+    # delta-only interval would describe the batch, not the bucket, and
+    # pruning on it could wrongly exclude base rows.
+    base_stats = base.get("stats") or {}
+    stats = dict(base_stats)
     for b, s in delta_stats.items():
-        stats[b] = _merge_stats_union(stats.get(b), s)
+        if b in base_stats:
+            stats[b] = _merge_stats_union(base_stats[b], s)
+        elif b not in base["buckets"]:
+            stats[b] = s  # no base rows: the delta IS the bucket
+        # else: pre-stats base bucket — leave unstated (never prunable)
     manifest = {
         "key": key,
         "n_buckets": base["n_buckets"],

@@ -99,7 +99,16 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # sweep hygiene: queries may persist intermediates for their
+            # own multi-leg reads; on a shared 182-query session those
+            # caches accumulate and starve later queries (observed: 12g
+            # driver OOM at sf0.1 right after the persist-heavy MT pair)
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # a dead context must not mask the error
+                pass
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             record[name] = {"seconds": round(time.time() - t0, 3), "status": "fail"}

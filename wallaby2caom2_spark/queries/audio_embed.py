@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from ..operators import embed
@@ -269,7 +270,7 @@ def recall_eval_frame(e: DataFrame) -> DataFrame:
         bucket.cast("int").alias("bucket"),
         F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
         _dot(F.col("emb"), plane0).alias("proj"),
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     pos_w = Window.partitionBy("bucket").orderBy("proj", "clip_id")
     r = b.withColumn("pos", F.row_number().over(pos_w))
     lhs = r.select(
@@ -524,7 +525,7 @@ def audio_semantic_neardup_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clip_id",
         "emb",
         F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     cand = None
     for t in range(N_TABLES):
         c = _table_candidates(base, t)
@@ -605,7 +606,7 @@ def recall_eval_frame_mt(e: DataFrame) -> DataFrame:
         "clip_id",
         "emb",
         F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     cand = None
     for t in range(N_TABLES):
         c = _table_candidates(base, t).select("id_a", "id_b")

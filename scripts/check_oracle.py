@@ -62,6 +62,11 @@ def main() -> int:
         i = args.index("--json-out")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
+    session_chunk = 0
+    if "--session-chunk" in args:
+        i = args.index("--session-chunk")
+        session_chunk = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
     only = set(args)
     record: dict[str, dict] = {}
     queries = entrymod.queries()
@@ -91,9 +96,22 @@ def main() -> int:
         )
 
     failures = []
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        if session_chunk and n_run and n_run % session_chunk == 0:
+            # full-sweep JVM hygiene: a single driver running 180+
+            # unrelated jobs back-to-back accumulates JVM state (codegen
+            # classes, listener/broadcast bookkeeping) until a later
+            # query's peak tips a heap that the same query clears easily
+            # in a fresh session (observed twice at sf0.1). Recycling the
+            # session every N queries bounds that accumulation without
+            # relaxing any per-query check — ops hygiene a real cluster
+            # gets for free from per-job drivers.
+            spark.stop()
+            spark = get_spark("check_oracle")
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)

@@ -122,6 +122,14 @@ def main() -> int:
             # caches accumulate and starve later queries (observed: 12g
             # driver OOM at sf0.1 right after the persist-heavy MT pair)
             spark.catalog.clearCache()
+            del sdf
+            # py4j holds JVM-side plan objects (the MT queries embed
+            # 4x8x24 literal-array plane constants per branch) until
+            # PYTHON gc runs and sends the detach; force it per query so
+            # dead plans cannot pile up on the driver heap
+            import gc
+
+            gc.collect()
         except Exception as e:  # noqa: BLE001
             try:
                 spark.catalog.clearCache()

@@ -352,6 +352,51 @@ def test_streaming_mor_equals_cow_stream(spark, tmp_path):
     assert states["cow"] == states["mor"]
 
 
+def test_mor_crash_before_commit_invisible_and_orphan_reaped(
+    spark, table, monkeypatch
+):
+    """A MOR merge that crashes AFTER writing its delta files but BEFORE
+    the manifest link leaves the table untouched (the link IS the
+    commit); the orphan delta dir is reaped by expire_snapshots while
+    LIVE delta dirs from committed MOR merges survive. Re-running the
+    merge converges."""
+    import os
+
+    # one committed MOR merge whose delta dir must stay live
+    st.merge(spark, table, _df(spark, [("c005", "live", 1)]), mode="mor")
+    before_state = _state(spark, table)
+    v_before = st.current_version(table)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before manifest link")
+
+    monkeypatch.setattr(st, "_commit", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        st.merge(spark, table, _df(spark, [("c001", "lost", 2)]), mode="mor")
+    monkeypatch.undo()
+
+    # invisible: same version, same content; orphan dir exists on disk
+    assert st.current_version(table) == v_before
+    assert _state(spark, table) == before_state
+    data_root = os.path.join(table, "data")
+    live = {
+        os.path.dirname(rel)
+        for rel in st.read_manifest(table)["buckets"].values()
+    }
+    for lst in st.read_manifest(table).get("deltas", {}).values():
+        live.update(os.path.dirname(rel) for _seq, rel in lst)
+    on_disk = {os.path.join("data", d) for d in os.listdir(data_root)}
+    orphans = on_disk - live
+    assert orphans  # the crashed merge's delta files
+
+    out = st.expire_snapshots(table, keep_last=10)
+    assert set(out["removed_snapshot_dirs"]) == orphans
+    # live delta chain intact, retry converges
+    assert _state(spark, table)["c005"] == ("live", 1)
+    st.merge(spark, table, _df(spark, [("c001", "lost", 2)]), mode="mor")
+    assert _state(spark, table)["c001"] == ("lost", 2)
+
+
 def test_mor_conflict_detection(spark, table):
     """Two MOR merges from the same base: second commit loses."""
     base = st.read_manifest(table)

@@ -295,28 +295,30 @@ def main() -> None:
     }
     print(json.dumps(out))
 
+    # APPEND a dated series section — cross-boot history in these files is
+    # evidence (the north rule is re-proven per boot); truncating it cost a
+    # manual git restore once, so the report is now append-only
     os.makedirs("BENCH", exist_ok=True)
-    with open(f"BENCH/scaling-cluster-{lo}x{hi}.md", "w") as fh:
+    md_path = f"BENCH/scaling-cluster-{lo}x{hi}.md"
+    header = not os.path.exists(md_path)
+    with open(md_path, "a") as fh:
+        if header:
+            fh.write(
+                "# Two-cluster-size scaling at EXECUTOR granularity\n\n"
+                "North rule: throughput scaling efficiency >= 0.8 between N\n"
+                "and 4N executors, in-sandbox literal topology\n"
+                f"`local-cluster[N,{CORES_PER_EXEC},{EXEC_MEM_MB}]` — N separate executor\n"
+                "JVM processes (cluster backend + netty shuffle +\n"
+                "per-executor python-UDF worker pools), NOT local[N]\n"
+                "threads. Protocol: min-of-samples, interleaved levels,\n"
+                "taskset role-pinned children, -Xms-pinned executor heaps.\n"
+                "Append-only: one section per run; cross-boot numbers are\n"
+                "not comparable on this host (BENCH/BASELINE.md).\n"
+            )
         fh.write(
-            "# Two-cluster-size scaling at EXECUTOR granularity\n\n"
-            "North rule: throughput scaling efficiency >= 0.8 between N and\n"
-            "4N executors. This run uses the in-sandbox form of the literal\n"
-            f"topology: `local-cluster[N,{CORES_PER_EXEC},{EXEC_MEM_MB}]` — N\n"
-            "separate executor JVM processes (cluster backend + netty\n"
-            "shuffle + per-executor python-UDF worker pools), NOT local[N]\n"
-            f"threads — at N={lo} vs N={hi} executors on the same\n"
-            f"{n_clips}-clip text-heavy input.\n\n"
-            "Protocol: bench_scaling.py's min-of-samples (fresh taskset-\n"
-            "pinned child tree per round, levels interleaved; this VM's\n"
-            "bursty hypervisor throttling makes medians measure the\n"
-            "weather), plus ROLE pinning inside each child: once the\n"
-            "executor JVMs register they are re-pinned (all threads) to\n"
-            "exactly their N*C compute cores and the driver JVM + python\n"
-            "driver to 2 spare cores, so neither level can overflow its\n"
-            "advertised width (a shared mask hands the small level a 50%\n"
-            "core bonus vs 12.5% at the large one). Executor heaps are\n"
-            "-Xms-pinned + AlwaysPreTouch like the driver's (session.py's\n"
-            "documented page-fault-storm mitigation on this host).\n\n"
+            f"\n## Series appended {time.strftime('%Y-%m-%d %H:%M')} — "
+            f"N={lo} vs N={hi}, {n_clips} clips, "
+            f"{ROUNDS}x{RUNS_PER_ROUND} samples/level\n\n"
             "| executors | cores | best sec | best clips/sec | median sec | samples (sec) |\n"
             "|---|---|---|---|---|---|\n"
             + "".join(
@@ -325,11 +327,7 @@ def main() -> None:
                 f"{v['samples_sec']} |\n"
                 for v in results.values()
             )
-            + f"\n**Scaling efficiency (best-vs-best): {eff:.3f}**\n\n"
-            "Why this scales: after the fused decode the payload never\n"
-            "enters an exchange; the only cross-executor traffic is the\n"
-            "~300 B/row slim shuffle and the parquet scan itself, so adding\n"
-            "executors adds decode/langid/ppl capacity near-linearly.\n"
+            + f"\n**Scaling efficiency (best-vs-best): {eff:.3f}**\n"
         )
 
 
